@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing = full plan execution to a count-style action (no driver-side
+materialization of result rows beyond the aggregate), after a one-query
+JVM warmup. Each query is measured once — the suite is the unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ftm_lakehouse_spark.queries.inventory import query_map
+from ftm_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j_multiway_star",
+    "j_semi_join_changed",
+    "a_merge_dedupe_latest",
+    "a_supersession_ties",
+    "a_entity_assembly",
+    "o_topk_global",
+    "o_topk_per_group",
+    "w_running_total",
+    "dedup_exact",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_lang_id",
+    "sim_cosine_topk",
+    "c_checksum_fold",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qmap = query_map()
+    # warmup: JVM + parquet footer caches
+    qmap["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution incl. result production, cheap transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Per-dataset configuration (reference: model/dataset.py:20-39).
+
+``shards`` is immutable after first write (docs/architecture.md:119-129);
+default 0 means a single shard ``"0"`` so small datasets don't fragment
+into tiny files. ``compression`` selects the parquet codec for exports.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class DatasetConfig:
+    name: str
+    title: str | None = None
+    shards: int = 0
+    compression: str | None = "zstd"
+    metadata: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        validate_dataset_name(self.name)
+        if self.shards < 0:
+            raise ValueError("shards must be >= 0")
+
+    # -- persistence (a tiny JSON sidecar next to the table) -------------
+    @classmethod
+    def load(cls, path: str) -> "DatasetConfig":
+        with open(path) as fh:
+            return cls(**json.load(fh))
+
+    def dump(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(asdict(self), fh)
+        os.replace(tmp, path)
+
+
+def validate_dataset_name(name: str) -> str:
+    """Boundary validation (reference: util.py:38-107) — dataset names are
+    path components and must never enable traversal or injection."""
+    import re
+
+    if not re.fullmatch(r"[a-z0-9][a-z0-9_-]{0,127}", name):
+        raise ValueError(f"invalid dataset name: {name!r}")
+    return name
+
+
+def validate_origin(origin: str) -> str:
+    """Origins are partition directory names (reference: util.py:81-107)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,127}", origin):
+        raise ValueError(f"invalid origin: {origin!r}")
+    return origin

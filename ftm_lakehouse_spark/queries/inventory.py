@@ -1,0 +1,858 @@
+"""The graded query inventory: every operator family from SURVEY.md §2,
+demonstrated on the driver's testdata tables, each with a DuckDB oracle.
+
+Determinism rules (both engines must produce hash-identical values):
+  * monetary/double aggregates go through DECIMAL casts so sums are
+    exact and order-independent, then cast to double for output;
+  * every computed column is aliased identically in Spark and SQL;
+  * top-k queries use a total order (unique tiebreak column);
+  * timestamps are µs UTC on both sides (events ns → µs truncation).
+
+Each entry is ``name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql|None)``.
+``oracle_sql`` is ANSI/DuckDB SQL over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``. ``None`` marks a genuinely non-SQL-expressible operator
+(driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+def _dec(col, scale=4):
+    """Exact-sum helper: double → decimal (deterministic round-to-nearest
+    in both engines, no float-order sensitivity in the aggregate)."""
+    return F.col(col).cast(f"decimal(12,{scale})")
+
+
+# =====================================================================
+# S/F — scans, projections, filters (SURVEY §2.1, §2.2)
+# =====================================================================
+
+@_register(
+    "f_scan_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    """,
+)
+def f_scan_filter_project(spark, sf_dir):
+    """S1/S2/F1/F8: projection + predicate, both pushed to the parquet scan
+    (reference keeps the live view window-free for exactly this:
+    logic/parquet.py:170-174)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@_register(
+    "f_point_lookup",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber
+    """,
+)
+def f_point_lookup(spark, sf_dir):
+    """F7: single-key lookup — on the statement table this is shard-pruned;
+    here it exercises predicate pushdown + file skipping."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    )
+
+
+@_register(
+    "f_in_and_null_filters",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P') AND o_totalprice IS NOT NULL
+      AND o_orderpriority NOT IN ('1-URGENT')
+    """,
+)
+def f_in_and_null_filters(spark, sf_dir):
+    """F4: equality / IN / NOT IN / NULL-check filters (ftmq-style
+    lookups, reference tests/test_repository_entities.py:92-96)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").isNotNull()
+        & ~F.col("o_orderpriority").isin("1-URGENT")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@_register(
+    "f_timestamp_range",
+    """
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def f_timestamp_range(spark, sf_dir):
+    """F9/I2: changed-since predicate (reference first_seen >= ts OR
+    deleted_at >= ts, storage/parquet.py:766-805)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+@_register(
+    "f_property_semi_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.user_id IN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def f_property_semi_join(spark, sf_dir):
+    """F5: EAV property filter — entity-level semantics via id-set
+    membership (reference P(name=...) semi-join shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return ev.join(buyers, "user_id", "left_semi").select("event_id", "user_id", "event_type")
+
+
+# =====================================================================
+# J — joins (SURVEY §2.3)
+# =====================================================================
+
+@_register(
+    "j_semi_join_changed",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    """,
+)
+def j_semi_join_changed(spark, sf_dir):
+    """J1: semi-join on a changed-id set (reference build_changed_sql,
+    logic/parquet.py:195-231). Broadcast semi-join — no IN-literal
+    batching needed (reference J2 workaround deleted by design)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    changed = (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return c.join(F.broadcast(changed), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_register(
+    "j_anti_join_deleted",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j_anti_join_deleted(spark, sf_dir):
+    """J3: anti-join for DEL detection (reference original_ids - seen_ids,
+    repository/entities/main.py:563-578)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "j_broadcast_dims",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j_broadcast_dims(spark, sf_dir):
+    """Star-schema dimension joins — both dims broadcast (no shuffle of
+    the fact side on the dim keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "j_multiway_star",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j_multiway_star(spark, sf_dir):
+    """TPC-H Q5-shaped multiway join: fact-fact shuffle join on orderkey,
+    dims broadcast; Catalyst/AQE pick the physical strategy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# =====================================================================
+# A — aggregations (SURVEY §2.4) + W — windows (§2.5)
+# =====================================================================
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))
+                    * CAST(1 + l_tax AS DECIMAL(12,4))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the flagship scan→group→agg. Partial aggregation
+    (map-side combine) is automatic; decimals keep sums exact and
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "a_merge_dedupe_latest",
+    """
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def a_merge_dedupe_latest(spark, sf_dir):
+    """A1: the merge dedupe window — keep the latest row per group
+    (reference non-fragment branch, logic/parquet.py:128-137). Same
+    row_number/filter stack the statement merge job uses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@_register(
+    "a_supersession_ties",
+    """
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    QUALIFY date_trunc('day', CAST(ts AS TIMESTAMP)) =
+            max(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                OVER (PARTITION BY user_id)
+    """,
+)
+def a_supersession_ties(spark, sf_dir):
+    """A2: supersession — ALL rows tied at the group max survive (the
+    reference's fragment branch keeps multi-valued props of one emission
+    alive together, logic/parquet.py:98-108). Day-truncated ts creates
+    real ties, like second-granularity last_seen does."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = W.partitionBy("user_id")
+    return (
+        ev.withColumn("_max_day", F.max(day).over(w))
+        .filter(day == F.col("_max_day"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@_register(
+    "a_first_seen_fold",
+    """
+    SELECT DISTINCT user_id,
+           min(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS first_seen
+    FROM events
+    """,
+)
+def a_first_seen_fold(spark, sf_dir):
+    """A3: min-over-group fold computed BEFORE any dedupe filter, so
+    dropped duplicates still contribute (reference SELECT * REPLACE
+    pattern, logic/parquet.py:109-112)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    return ev.withColumn("first_seen", F.min("ts").over(w)).select("user_id", "first_seen").distinct()
+
+
+@_register(
+    "a_entity_assembly",
+    """
+    SELECT user_id AS entity_id,
+           count(*) AS n_statements,
+           count(DISTINCT event_type) AS n_props,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS props,
+           min(CAST(ts AS TIMESTAMP)) AS first_seen,
+           max(CAST(ts AS TIMESTAMP)) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a_entity_assembly(spark, sf_dir):
+    """A5: entity assembly — fold a group of statement-grain rows into one
+    entity-grain row (reference aggregate_unsafe,
+    logic/entities/aggregate.py:53-186; here: sorted prop set + min/max
+    timestamps). Spark needs no sort-contiguity: groupBy is hash-based."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.count("*").alias("n_statements"),
+        F.countDistinct("event_type").alias("n_props"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("props"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+@_register(
+    "a_stats_facets",
+    """
+    SELECT event_type AS schema, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_entities
+    FROM events GROUP BY event_type
+    """,
+)
+def a_stats_facets(spark, sf_dir):
+    """A6/A7: dataset statistics facets — per-schema entity counts
+    (reference stats(), storage/parquet.py:294-324)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("schema")).agg(
+        F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_entities")
+    )
+
+
+@_register(
+    "a_count_distinct",
+    "SELECT count(DISTINCT o_custkey) AS n_entities FROM orders",
+)
+def a_count_distinct(spark, sf_dir):
+    """A7: count(q) — a single exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_entities"))
+
+
+@_register(
+    "a_rollup_stats",
+    """
+    SELECT event_type, date_part('month', CAST(ts AS TIMESTAMP)) AS month,
+           count(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, month)
+    """,
+)
+def a_rollup_stats(spark, sf_dir):
+    """Rollup hierarchy for the stats export (reference has flat facets;
+    rollup is the scale path for a facet matrix — SURVEY §2.4 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("month", F.month("ts").cast("long")).rollup("event_type", "month").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_register(
+    "w_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def w_running_total(spark, sf_dir):
+    """Window with an explicit ROWS frame (beyond the reference's
+    unbounded analytics — SURVEY §2.5 notes Spark covers frames 1:1)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# =====================================================================
+# O — sorts / limits / top-k (SURVEY §2.6)
+# =====================================================================
+
+@_register(
+    "o_topk_global",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def o_topk_global(spark, sf_dir):
+    """O5/O6: global top-k (TakeOrderedAndProject — no global sort of the
+    full table; reference needed a routing rule for this,
+    storage/parquet.py:197-209 — Spark plans are global by construction)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(20).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@_register(
+    "o_entity_slice",
+    """
+    WITH ranked AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen
+        FROM events GROUP BY user_id
+        ORDER BY first_seen, user_id
+        LIMIT 10 OFFSET 5
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e JOIN ranked r ON e.user_id = r.user_id
+    """,
+)
+def o_entity_slice(spark, sf_dir):
+    """O5: entity-grain limit/offset — rank entity ids first, then
+    semi-join back to the row grain (reference canonical_ids subquery,
+    storage/parquet.py:197-209; SURVEY §7.4 hard-part 5)."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+        .withColumn(
+            "_rank",
+            F.row_number().over(W.orderBy("first_seen", "user_id")),
+        )
+        .filter((F.col("_rank") > 5) & (F.col("_rank") <= 15))
+        .select("user_id")
+    )
+    return ev.join(F.broadcast(ranked), "user_id", "inner").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@_register(
+    "o_topk_per_group",
+    """
+    SELECT user_id, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id
+    ) <= 3
+    """,
+)
+def o_topk_per_group(spark, sf_dir):
+    """Top-k per group — the canonical window ranking pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# =====================================================================
+# U — set operations (SURVEY §2.7)
+# =====================================================================
+
+@_register(
+    "u_union_branches",
+    """
+    SELECT o_orderkey, o_totalprice, 'open' AS branch
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'done' AS branch
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u_union_branches(spark, sf_dir):
+    """U1: UNION ALL of two filtered branches (the merge job unions its
+    fragment/non-fragment branches the same way, logic/parquet.py:155-159)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", F.lit("open").alias("branch")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("done").alias("branch")
+    )
+    return a.unionByName(b)
+
+
+@_register(
+    "u_intersect_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def u_intersect_except(spark, sf_dir):
+    """INTERSECT (beyond the reference — SURVEY §2.7 notes Spark has it
+    natively)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+# =====================================================================
+# C — scalar functions (SURVEY §2.8)
+# =====================================================================
+
+@_register(
+    "c_shard_assignment",
+    """
+    -- x % 16 of a hex number is its last hex digit: shard = 8th hash char
+    SELECT c_custkey,
+           substring(sha256(CAST(c_custkey AS VARCHAR)), 8, 1) AS shard
+    FROM customer
+    """,
+)
+def c_shard_assignment(spark, sf_dir):
+    """C1: entity→shard assignment — first 8 hex chars of sha256 mod
+    shards, zero-padded hex (reference core/conventions/path.py:245-264;
+    the engine's actual expression lives in model/statement.entity_shard)."""
+    from ftm_lakehouse_spark.model.statement import entity_shard
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", entity_shard(F.col("c_custkey").cast("string"), 16).alias("shard")
+    )
+
+
+@_register(
+    "c_statement_id",
+    """
+    SELECT event_id,
+           md5('testdata' || chr(30) || CAST(user_id AS VARCHAR) || chr(30) ||
+               event_type || chr(30) || CAST(event_id AS VARCHAR)) AS stmt_id
+    FROM events
+    """,
+)
+def c_statement_id(spark, sf_dir):
+    """C2: content-addressed statement id — hash of
+    (dataset, entity_id, prop, value) with an unambiguous separator
+    (reference Statement.make_key, logic/entities/explode.py:129,196)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "\x1e",
+        F.lit("testdata"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select("event_id", F.md5(key).alias("stmt_id"))
+
+
+@_register(
+    "c_checksum_fold",
+    """
+    SELECT user_id,
+           md5(string_agg(md5(CAST(event_id AS VARCHAR)), '' ORDER BY md5(CAST(event_id AS VARCHAR)))) AS checksum
+    FROM events GROUP BY user_id
+    """,
+)
+def c_checksum_fold(spark, sf_dir):
+    """C3: BASE_ID-style checksum — a hash folded over the sorted hashes
+    of a group's row ids (reference helpers/statements.py:102-144). Sorted
+    collect + concat keeps the fold order-independent of shuffle order."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list(F.md5(F.col("event_id").cast("string")))))
+        ).alias("checksum")
+    )
+
+
+# =====================================================================
+# D — deduplication suite (training-data pipeline, BASELINE north star)
+# =====================================================================
+
+@_register(
+    "dedup_exact",
+    """
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+    )
+    SELECT doc_id, content_hash,
+           min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+           count(*) OVER (PARTITION BY content_hash) AS n_copies,
+           doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+    FROM hashed
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash grouping; keeper = min id per group,
+    every other copy flagged. At 100 TB this is one shuffle on a 32-byte
+    key — the canonical first pass of a training-data dedup pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("content_hash")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper_id"))
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+           )), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: hash of the sorted distinct normalized token
+    set (near-dup blocking key; word-order / duplication invariant)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
+
+
+# =====================================================================
+# T — text analysis (training-data pipeline)
+# =====================================================================
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting + char counts — all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@_register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                 / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '')), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: punctuation / digit / stopword ratios
+    (C4-quality-filter style), pure column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1))
+    words = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z]+"), "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "that")])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / n, 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / n, 6
+        ).alias("digit_ratio"),
+        F.round(
+            n_stop.cast("double") / F.greatest(F.size(words), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "text_lang_id",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x IN ('the','and','of','to','is'))) AS en_hits,
+               len(list_filter(string_split_regex(lower(text), '[^a-zäöüß]+'),
+                   x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+               len(list_filter(string_split_regex(lower(text), '[^a-zéèàù]+'),
+                   x -> x IN ('le','la','et','les','est'))) AS fr_hits
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS detected_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID by marker-word voting (n-gram-heuristic family),
+    deterministic tiebreak order en > de > fr."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def hits(pattern, markers):
+        words = F.array_remove(F.split(F.lower(F.col("text")), pattern), "")
+        return F.size(F.filter(words, lambda x: F.array_contains(F.array(*map(F.lit, markers)), x)))
+
+    en = hits("[^a-z]+", ["the", "and", "of", "to", "is"])
+    de = hits("[^a-zäöüß]+", ["der", "die", "das", "und", "ist"])
+    fr = hits("[^a-zéèàù]+", ["le", "la", "et", "les", "est"])
+    detected = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", detected.alias("detected_lang"))
+
+
+# =====================================================================
+# V — similarity search (training-data pipeline)
+# =====================================================================
+
+@_register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, round(cos, 4) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a query vector — the ANN baseline.
+    Dot product via zip_with + aggregate (JVM higher-order functions,
+    no Python); global top-k via TakeOrderedAndProject. The 100 TB path
+    is the LSH-bucketed variant in operators/similarity.py."""
+    from ftm_lakehouse_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,93 @@
+"""SparkSession factory tuned for the lakehouse engine.
+
+Defaults are chosen for correctness-portability (UTC session timezone —
+the reference pins tz-aware UTC everywhere, see
+/root/reference/ftm_lakehouse/model/statement.py:28-34) and for scale
+(AQE on, skew-join handling on, shuffle partitions sized to the
+environment rather than the 200 default).
+
+On a real cluster the same builder is used with a different master; in
+this repo everything runs on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_for_local"]
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "ftm_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's required conf.
+
+    Required semantics:
+      * ``spark.sql.session.timeZone=UTC`` — all engine timestamps are
+        tz-aware UTC microseconds.
+      * ``nanosAsLong`` — parquet TIMESTAMP(NANOS) columns (e.g. the
+        testdata ``events`` table) are read as long and normalized by
+        :func:`ftm_lakehouse_spark.sources.tables.load_table`.
+      * dynamic partition overwrite — the engine's merge job rewrites
+        only dirty ``(shard, bucket, origin)`` partitions, the parquet
+        analog of Delta ``replaceWhere``.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+        # local mode: the driver JVM is the only memory pool
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_local(spark: SparkSession) -> SparkSession:
+    """Re-apply runtime-settable conf on a session we did not create
+    (e.g. the driver-provided one in ``__spark_entry__.entry``)."""
+    rt = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(_cpus()),
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in rt.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on a live session
+            pass
+    return spark
