@@ -1,0 +1,245 @@
+"""Lakehouse: the top-level repository facade.
+
+Mirrors the reference's EntityRepository surface
+(/root/reference/ftm_lakehouse/repository/entities/main.py) on Spark:
+
+    lake = Lakehouse(spark, root)
+    ds = lake.dataset("donations")               # get-or-create
+    ds.write_entities(entities_df, origin="bulk")
+    ds.merge()                                    # canonicalize
+    ds.entities(Query().where(schema="Person"))   # assembled entities
+    ds.delete_entity("jane")                      # tombstone
+    ds.diff(since)                                # ADD/MOD/DEL envelopes
+
+The reference's SQL write-ahead journal is gone by design: parquet
+appends through Spark's committer are already atomic-per-job, and the
+journal's in-window dedup semantic is covered by the merge
+(SURVEY §3.2 — crash-safe buffering and dedup were the only semantics
+worth keeping). A streaming ingest mode lives in
+:mod:`ftm_lakehouse_spark.streaming.journal`.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.model.dataset import DatasetConfig, validate_origin
+from ftm_lakehouse_spark.model.statement import CSV_COLUMNS, STATEMENT_SCHEMA
+from ftm_lakehouse_spark.operators.aggregate import assemble_entities
+from ftm_lakehouse_spark.operators.explode import ENTITY_SCHEMA, explode_entities
+from ftm_lakehouse_spark.plans.query import Query
+from ftm_lakehouse_spark.sources.statement_store import StatementStore
+
+__all__ = ["Lakehouse", "Dataset"]
+
+
+class Dataset:
+    def __init__(self, spark: SparkSession, root: str, config: DatasetConfig):
+        self.spark = spark
+        self.config = config
+        self.path = os.path.join(root, config.name)
+        self.store = StatementStore(spark, self.path, config)
+
+    # --------------------------------------------------------- writes
+    def write_statements(self, df: DataFrame) -> None:
+        """Append raw statement rows (already in STATEMENT_SCHEMA)."""
+        self.store.append(df)
+
+    def write_entities(
+        self,
+        entities: DataFrame,
+        origin: str = "default",
+        fragment: str = "",
+        seen=None,
+    ) -> None:
+        """Explode FtM entities to statements and append. In-batch
+        dedupe keeps the last row per (id, fragment, origin) like the
+        reference's RowBuffer (logic/entities/buffer.py:23-139)."""
+        validate_origin(origin)
+        stmts = explode_entities(
+            entities,
+            dataset=self.config.name,
+            origin=origin,
+            shards=self.config.shards,
+            seen=seen,
+            fragment=fragment,
+        ).dropDuplicates(["id", "fragment", "origin"])
+        self.store.append(stmts)
+
+    def write_entities_json(self, path: str, origin: str = "default", **kw) -> None:
+        """Ingest an entities.ftm.json lines file (S8)."""
+        raw = self.spark.read.schema(ENTITY_SCHEMA).json(path)
+        self.write_entities(raw, origin=origin, **kw)
+
+    def delete_entity(self, entity_id: str, origin: str | None = None) -> None:
+        """Soft delete: append tombstone copies of the entity's current
+        rows with ``deleted_at`` set and ``last_seen`` bumped to the
+        delete time so the tombstone wins the merge tiebreak
+        (reference repository/entities/main.py:210-215,439-463)."""
+        now = datetime.now(timezone.utc).replace(microsecond=0)
+        rows = self.store.live().filter(F.col("entity_id") == entity_id)
+        if origin is not None:
+            rows = rows.filter(F.col("origin") == origin)
+        tombstones = rows.select(*STATEMENT_SCHEMA.fieldNames()).withColumns(
+            {
+                "deleted_at": F.lit(now),
+                "last_seen": F.lit(now),
+            }
+        )
+        self.store.append(tombstones)
+
+    # ---------------------------------------------------------- reads
+    def statements(self, q: Query | None = None) -> DataFrame:
+        live = self.store.live()
+        return q.apply_rows(live) if q else live
+
+    def entities(self, q: Query | None = None) -> DataFrame:
+        live = self.store.live()
+        scoped = q.apply_statements(live) if q else live
+        return assemble_entities(scoped)
+
+    def get(self, entity_id: str) -> dict | None:
+        """Point lookup: shard prune + entity_id pushdown, then a
+        one-entity assembly (reference storage/parquet.py:276-292)."""
+        from ftm_lakehouse_spark.model.statement import entity_shard
+
+        rows = self.store.live().filter(
+            (F.col("shard") == entity_shard(F.lit(entity_id), self.config.shards))
+            & (F.col("entity_id") == entity_id)
+        )
+        out = assemble_entities(rows).collect()
+        return out[0].asDict(recursive=True) if out else None
+
+    def count(self, q: Query | None = None) -> int:
+        live = self.store.live()
+        ids = q.matching_ids(live) if q else live.select("entity_id").distinct()
+        return ids.count()
+
+    def stats(self) -> dict:
+        return self.store.stats()
+
+    # ----------------------------------------------------- maintenance
+    def merge(self, grace_days: int = 30, force: bool = False) -> bool:
+        return self.store.merge(grace_days=grace_days, force=force)
+
+    def optimize(self, grace_days: int = 30, force: bool = False) -> None:
+        """merge → compact (reference OptimizeOperation,
+        operation/maintenance.py:28-49; vacuum is a no-op here because
+        the partition swap already removes replaced files)."""
+        self.merge(grace_days=grace_days, force=force)
+
+    # ----------------------------------------------------------- diffs
+    def diff(self, since: datetime) -> DataFrame:
+        """ADD/MOD/DEL envelopes for entities changed since ``since``
+        (reference repository/diff.py:85-145). Canonical state is
+        computed on the fly — no merge required first (I3).
+
+        Returns columns: op (ADD|MOD|DEL), entity_id, entity (struct,
+        null for DEL)."""
+        canonical = self.store.canonical_changed(since)
+        live = canonical.filter(F.col("deleted_at").isNull())
+        assembled = assemble_entities(live)
+
+        changed = self.store.changed_entity_ids(since)
+        deleted = changed.join(
+            live.select("entity_id").distinct(), "entity_id", "left_anti"
+        )
+
+        added_or_mod = assembled.withColumn(
+            "op",
+            F.when(F.col("first_seen") >= F.lit(since), F.lit("ADD")).otherwise(
+                F.lit("MOD")
+            ),
+        ).select(
+            "op",
+            "entity_id",
+            F.struct(
+                "entity_id", "caption", "schema", "properties",
+                "first_seen", "last_seen", "last_change",
+            ).alias("entity"),
+        )
+        dels = deleted.select(
+            F.lit("DEL").alias("op"),
+            "entity_id",
+            F.lit(None).cast(added_or_mod.schema["entity"].dataType).alias("entity"),
+        )
+        return added_or_mod.unionByName(dels)
+
+    # --------------------------------------------------------- exports
+    def export_statements_csv(self, out_dir: str, compression: str | None = None) -> None:
+        """statements.csv export: 15 canonical columns ordered by
+        entity_id (reference S10, storage/parquet.py:731-764)."""
+        df = (
+            self.store.live()
+            .withColumn("canonical_id", F.col("entity_id"))
+            .select(*CSV_COLUMNS)
+            .sort("entity_id")
+        )
+        codec = compression or self.config.compression or "none"
+        codec = {"zst": "zstd", "gz": "gzip"}.get(codec, codec)
+        df.write.mode("overwrite").option("header", True).option(
+            "compression", codec
+        ).csv(out_dir)
+
+    def export_entities_json(self, out_dir: str, compression: str | None = None) -> None:
+        """entities.ftm.json export (reference S11): one JSON object per
+        line, properties as map<string, array<string>>."""
+        ent = assemble_entities(self.store.live())
+        codec = compression or self.config.compression or "none"
+        codec = {"zst": "zstd", "gz": "gzip"}.get(codec, codec)
+        (
+            ent.select(
+                F.col("entity_id").alias("id"),
+                "caption",
+                "schema",
+                "properties",
+                F.array(F.lit(self.config.name)).alias("datasets"),
+                "first_seen",
+                "last_seen",
+                "last_change",
+                F.col("origins").alias("origin"),
+            )
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .json(out_dir)
+        )
+
+
+class Lakehouse:
+    """Catalog of datasets under one root (reference catalog.py)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _config_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "_meta", "config.json")
+
+    def dataset(self, name: str, **config_kw) -> Dataset:
+        cfg_path = self._config_path(name)
+        if os.path.exists(cfg_path):
+            cfg = DatasetConfig.load(cfg_path)
+            if config_kw.get("shards") not in (None, cfg.shards):
+                # immutable after first write (reference model/dataset.py:25-30)
+                raise ValueError(f"shards is immutable for dataset {name!r}")
+        else:
+            cfg = DatasetConfig(name=name, **config_kw)
+            cfg.dump(cfg_path)
+        return Dataset(self.spark, self.root, cfg)
+
+    def list_datasets(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if os.path.exists(self._config_path(name)):
+                out.append(name)
+        return out
+
+    def drop_dataset(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

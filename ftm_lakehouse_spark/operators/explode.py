@@ -1,0 +1,209 @@
+"""Entity → statement explosion (the ingest transform).
+
+Reference behavior: /root/reference/ftm_lakehouse/logic/entities/
+explode.py:42-219 — each entity dict becomes one row per
+(prop, value) pair plus one synthesized BASE_ID checksum row; every
+statement id is content-addressed; one ``last_seen`` is pinned per
+emission so supersession groups stay consistent
+(docs/usage/entities.md:187-201).
+
+Spark realization: the whole transform is native column expressions —
+``explode`` over the properties map, ``sha1`` for ids — no Python in
+the row path. The FtM registry concerns (prop types, schema buckets)
+are broadcast-size literal maps.
+
+Statement id formula (C2): ``sha1(dataset ␟ entity_id ␟ prop ␟ value
+␟ external ␟ lang)`` with the unit separator, mirroring the shape of
+FtM's ``Statement.make_key`` (content addressing is what matters for
+idempotent re-import; see model docstring for interop caveats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ftm_lakehouse_spark.model.statement import (
+    BASE_ID_PROP,
+    BASE_ID_PROP_TYPE,
+    STATEMENT_COLUMNS,
+    entity_shard,
+    schema_bucket,
+)
+
+__all__ = ["ENTITY_SCHEMA", "explode_entities", "statement_id", "base_id_checksum"]
+
+#: Wire schema of one FtM entity JSON line (FIXTURES.md F2;
+#: reference reader at repository/entities/main.py:346-359).
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("schema", T.StringType(), False),
+        T.StructField(
+            "properties",
+            T.MapType(T.StringType(), T.ArrayType(T.StringType())),
+            True,
+        ),
+        T.StructField("referents", T.ArrayType(T.StringType()), True),
+        T.StructField("datasets", T.ArrayType(T.StringType()), True),
+        T.StructField("first_seen", T.StringType(), True),
+        T.StructField("last_seen", T.StringType(), True),
+        T.StructField("last_change", T.StringType(), True),
+        T.StructField("origin", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+#: FtM property → type name for the props used in tests/fixtures
+#: (reference recomputes prop_type from the model and nulls ``lang``
+#: for non-linguistic types: logic/entities/explode.py:190-194).
+PROP_TYPES = {
+    "name": "name",
+    "alias": "name",
+    "nationality": "country",
+    "country": "country",
+    "jurisdiction": "country",
+    "birthDate": "date",
+    "incorporationDate": "date",
+    "date": "date",
+    "startDate": "date",
+    "endDate": "date",
+    "amount": "number",
+    "amountEur": "number",
+    "addressEntity": "entity",
+    "payer": "entity",
+    "beneficiary": "entity",
+    "parent": "entity",
+    "contentHash": "checksum",
+    "fileName": "string",
+    "mimeType": "mimetype",
+    "full": "address",
+    "address": "address",
+    "indexText": "text",
+    "bodyText": "text",
+}
+
+#: prop types that carry language information — everything else gets
+#: ``lang`` nulled.
+LINGUISTIC_TYPES = ("name", "string", "text", "html")
+
+
+def prop_type(prop: Column) -> Column:
+    mapping = F.create_map(*[F.lit(x) for kv in PROP_TYPES.items() for x in kv])
+    return F.coalesce(mapping[prop], F.lit("string"))
+
+
+def statement_id(
+    dataset: Column, entity_id: Column, prop: Column, value: Column,
+    external: Column, lang: Column,
+) -> Column:
+    """Content-addressed statement id (reference Statement.make_key,
+    logic/entities/explode.py:129,196)."""
+    return F.sha1(
+        F.concat_ws(
+            "\x1f",
+            dataset,
+            entity_id,
+            prop,
+            value,
+            external.cast("string"),
+            F.coalesce(lang, F.lit("")),
+        )
+    )
+
+
+def base_id_checksum(schema: Column, sorted_ids: Column) -> Column:
+    """BASE_ID checksum: sha1(schema) folded over the sorted statement
+    ids (reference helpers/statements.py:102-144). A sequential fold
+    over the pre-sorted id array — deterministic under any shuffle
+    order."""
+    return F.aggregate(
+        sorted_ids,
+        F.sha1(schema),
+        lambda acc, sid: F.sha1(F.concat(acc, sid)),
+    )
+
+
+def explode_entities(
+    entities: DataFrame,
+    dataset: str,
+    origin: str = "default",
+    shards: int = 0,
+    seen: Column | None = None,
+    fragment: str = "",
+) -> DataFrame:
+    """Explode entity rows (ENTITY_SCHEMA shape) into statement rows.
+
+    * one row per (prop, value) pair (multi-valued props are rows —
+      reference keeps no arrays in physical storage, SURVEY §1.2);
+    * plus one BASE_ID checksum row per entity, whose value folds the
+      sorted ids of the entity's statements — this is what makes
+      ``last_change`` detection and idempotent re-import work;
+    * one pinned ``last_seen``/``first_seen`` per call (producer
+      contract: all rows of one emission share one last_seen).
+    """
+    now = F.date_trunc("second", seen if seen is not None else F.current_timestamp())
+
+    base = entities.select(
+        F.col("id").alias("entity_id"),
+        F.col("schema"),
+        F.explode("properties").alias("prop", "values"),
+    )
+    pairs = base.select(
+        "entity_id",
+        "schema",
+        "prop",
+        F.explode("values").alias("value"),
+    )
+    pt = prop_type(F.col("prop"))
+    stmts = pairs.select(
+        F.col("entity_id"),
+        F.col("schema"),
+        F.col("prop"),
+        pt.alias("prop_type"),
+        F.col("value"),
+    )
+
+    # BASE_ID row: value = fold of the entity's sorted statement ids
+    ext = F.lit(False)
+    lang = F.lit(None).cast("string")
+    sid = statement_id(F.lit(dataset), F.col("entity_id"), F.col("prop"), F.col("value"), ext, lang)
+    checksum = (
+        stmts.select("entity_id", "schema", sid.alias("sid"))
+        .groupBy("entity_id", "schema")
+        .agg(F.array_sort(F.collect_list("sid")).alias("sids"))
+        .select(
+            "entity_id",
+            "schema",
+            F.lit(BASE_ID_PROP).alias("prop"),
+            F.lit(BASE_ID_PROP_TYPE).alias("prop_type"),
+            base_id_checksum(F.col("schema"), F.col("sids")).alias("value"),
+        )
+    )
+
+    all_rows = stmts.unionByName(checksum)
+    return all_rows.select(
+        entity_shard(F.col("entity_id"), shards).alias("shard"),
+        statement_id(
+            F.lit(dataset), F.col("entity_id"), F.col("prop"), F.col("value"), ext, lang
+        ).alias("id"),
+        F.col("entity_id"),
+        F.lit(dataset).alias("dataset"),
+        schema_bucket(F.col("schema")).alias("bucket"),
+        F.lit(origin).alias("origin"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("schema"),
+        F.col("prop"),
+        F.col("prop_type"),
+        F.col("value"),
+        F.lit(None).cast("string").alias("original_value"),
+        # entity-JSON properties carry no lang; the statements-CSV path
+        # applies the LINGUISTIC_TYPES nulling rule instead
+        lang.alias("lang"),
+        ext.alias("external"),
+        now.alias("first_seen"),
+        now.alias("last_seen"),
+        F.lit(fragment).alias("fragment"),
+        F.lit(None).cast("timestamp").alias("deleted_at"),
+    ).select(*STATEMENT_COLUMNS)

@@ -1,0 +1,105 @@
+"""The merge: canonicalize raw statement rows.
+
+Semantics (reference: _dedupe_sql, /root/reference/ftm_lakehouse/logic/
+parquet.py:72-162; behavioral contract from tests/test_logic_parquet.py):
+
+Two write modes that never interact:
+
+1. **Non-fragment** (``fragment = ''``): content-addressed dedup — at
+   most one row per statement ``id`` per ``(shard, bucket, origin)``;
+   the row with the greatest ``last_seen`` wins, tombstones
+   (``deleted_at`` set) beat live rows at the same second.
+
+2. **Fragment-bearing** (``fragment != ''``): supersession — a later
+   emission of the same ``(origin, entity_id, prop, fragment)`` group
+   replaces the earlier one entirely; **all rows tied at the group's
+   max last_seen survive** (that is what keeps multi-valued properties
+   of one emission alive together — last_seen is second-granularity by
+   producer contract, so ties are the normal case, not an edge case).
+   A per-id row_number makes re-runs idempotent.
+
+Both branches fold ``first_seen`` to the group MIN **before** dropping
+duplicate rows, so superseded rows still contribute their first
+observation (reference applies the window before QUALIFY).
+
+Spark realization: window functions + filter — ``QUALIFY`` is just a
+``withColumn`` + ``filter`` here. All windows are partitioned by keys
+that START with the table's physical partition columns
+``(shard, bucket, origin)``, so at 100 TB the merge of one dirty
+partition shuffles only that partition's rows, and the two branches'
+windows share one shuffle per branch.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.model.statement import (
+    MERGE_GROUP_FRAGMENT,
+    MERGE_GROUP_NONFRAGMENT,
+    STATEMENT_COLUMNS,
+)
+
+__all__ = ["canonicalize", "reap_tombstones"]
+
+
+def canonicalize(raw: DataFrame, grace_cutoff: datetime | None = None) -> DataFrame:
+    """Return the canonical view of a raw statement DataFrame.
+
+    Reusable both as the merge job's rewrite input and as the
+    dedupe-on-read view for diff exports over an un-merged store
+    (SURVEY §7.4 hard-part 6 — reference applies the same SQL stack in
+    both places, logic/parquet.py:195-275).
+
+    ``grace_cutoff``: if given, tombstones whose ``deleted_at`` is at or
+    before the cutoff are physically dropped (reap); newer tombstones
+    are kept so late diff consumers still see the delete
+    (reference: logic/parquet.py:160,264-275).
+    """
+    is_fragment = F.col("fragment") != ""
+
+    # --- branch 1: non-fragment — latest row per content-addressed id.
+    nf = raw.filter(~is_fragment)
+    nf_group = W.partitionBy(*MERGE_GROUP_NONFRAGMENT)
+    nf_rank = nf_group.orderBy(
+        F.desc("last_seen"), F.desc_nulls_last("deleted_at")
+    )
+    nf = (
+        nf.withColumn("first_seen", F.min("first_seen").over(nf_group))
+        .withColumn("_rn", F.row_number().over(nf_rank))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # --- branch 2: fragment — supersession, ties at group max survive.
+    fr = raw.filter(is_fragment)
+    fr_group = W.partitionBy(*MERGE_GROUP_FRAGMENT)
+    # per-id idempotency window: a re-run of merge output must be a
+    # no-op even though every surviving row ties at the group max
+    fr_id_rank = W.partitionBy(*MERGE_GROUP_FRAGMENT, "id").orderBy(
+        F.desc("last_seen"), F.desc_nulls_last("deleted_at")
+    )
+    fr = (
+        fr.withColumn("first_seen", F.min("first_seen").over(fr_group))
+        .withColumn("_max_seen", F.max("last_seen").over(fr_group))
+        .withColumn("_rn", F.row_number().over(fr_id_rank))
+        .filter((F.col("last_seen") == F.col("_max_seen")) & (F.col("_rn") == 1))
+        .drop("_max_seen", "_rn")
+    )
+
+    out = nf.unionByName(fr)
+    if grace_cutoff is not None:
+        out = reap_tombstones(out, grace_cutoff)
+    return out.select(*STATEMENT_COLUMNS)
+
+
+def reap_tombstones(df: DataFrame, grace_cutoff: datetime) -> DataFrame:
+    """Drop tombstones older than the grace cutoff; keep live rows and
+    recent tombstones (reference grace period, default 30 days:
+    core/settings.py:31; predicate at logic/parquet.py:160)."""
+    return df.filter(
+        F.col("deleted_at").isNull() | (F.col("deleted_at") > F.lit(grace_cutoff))
+    )

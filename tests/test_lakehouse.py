@@ -1,0 +1,195 @@
+"""End-to-end lakehouse workflows: ingest → merge → query → delete →
+diff → export (behavior modeled on the reference's repository and e2e
+suites, tests/test_repository_entities.py / test_e2e_workflows.py)."""
+
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.lakehouse import Lakehouse
+from ftm_lakehouse_spark.operators.explode import ENTITY_SCHEMA
+from ftm_lakehouse_spark.plans.query import Query
+
+JANE = {
+    "id": "jane",
+    "schema": "Person",
+    "properties": {"name": ["Jane Doe"], "nationality": ["us"]},
+}
+ACME = {
+    "id": "acme",
+    "schema": "Company",
+    "properties": {"name": ["ACME Inc"], "jurisdiction": ["de"]},
+}
+PAY = {
+    "id": "pay1",
+    "schema": "Payment",
+    "properties": {"payer": ["acme"], "beneficiary": ["jane"], "amountEur": ["100"]},
+}
+
+
+def entities_df(spark, *ents):
+    return spark.createDataFrame(
+        [
+            {
+                "id": e["id"],
+                "schema": e["schema"],
+                "properties": e["properties"],
+                "caption": None,
+                "referents": [],
+                "datasets": [],
+                "first_seen": None,
+                "last_seen": None,
+                "last_change": None,
+                "origin": [],
+            }
+            for e in ents
+        ],
+        ENTITY_SCHEMA,
+    )
+
+
+def test_ingest_query_roundtrip(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("donations")
+    ds.write_entities(entities_df(spark, JANE, ACME, PAY), origin="bulk")
+
+    assert ds.count() == 3
+    # schema filter folds into a bucket prune: Payment → interval
+    payments = ds.entities(Query().where(schema="Payment")).collect()
+    assert len(payments) == 1
+    props = payments[0]["properties"]
+    assert props["payer"] == ["acme"]
+
+    # EAV property filter selects the whole entity
+    janes = ds.entities(Query().where(name="Jane Doe")).collect()
+    assert len(janes) == 1
+    assert janes[0]["entity_id"] == "jane"
+    assert janes[0]["caption"] == "Jane Doe"
+    assert sorted(janes[0]["properties"]["nationality"]) == ["us"]
+
+    # point lookup
+    got = ds.get("jane")
+    assert got is not None and got["schema"] == "Person"
+    assert ds.get("nobody") is None
+
+
+def test_multi_origin_assembles_one_entity(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d2")
+    ds.write_entities(entities_df(spark, JANE), origin="crawl")
+    jane2 = {**JANE, "properties": {"name": ["Jane Doe"], "birthDate": ["1980-01-01"]}}
+    ds.write_entities(entities_df(spark, jane2), origin="bulk")
+
+    out = ds.entities(Query().where(entity_id="jane")).collect()
+    assert len(out) == 1
+    props = out[0]["properties"]
+    assert props["birthDate"] == ["1980-01-01"]
+    assert props["nationality"] == ["us"]
+    assert sorted(out[0]["origins"]) == ["bulk", "crawl"]
+
+
+def test_merge_collapses_reimports(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d3")
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+
+    raw_before = ds.store.raw().count()
+    assert ds.merge(force=True)
+    raw_after = ds.store.raw().count()
+    assert raw_after < raw_before
+    # dedupe happened at the physical level; logical result unchanged
+    assert ds.count() == 1
+    # freshness tag: second merge skips
+    assert not ds.merge()
+
+
+def test_delete_and_diff(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d4")
+    t0 = datetime.now(timezone.utc) - timedelta(seconds=5)
+    ds.write_entities(entities_df(spark, JANE, ACME), origin="bulk")
+
+    ds.delete_entity("jane")
+    # reference contract: pre-merge, live row and tombstone coexist and
+    # the live view still shows the entity (dedup-only-after-merge,
+    # reference tests/test_repository_entities_delete.py docstring)
+    assert ds.count() == 2
+
+    # but diff applies the merge stack on-the-fly: the tombstone
+    # shadows the live rows WITHOUT a prior merge (I3)
+    diff = {r["entity_id"]: r["op"] for r in ds.diff(t0).collect()}
+    assert diff["acme"] == "ADD"
+    assert diff["jane"] == "DEL"
+    assert ds.store.tags.get("last_optimized") is None
+
+    # after merge the tombstone wins and the live view hides the entity
+    assert ds.merge(force=True, grace_days=30)
+    assert ds.count() == 1
+
+
+def test_stats_and_exports(spark, lake_root, tmp_path):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d5")
+    ds.write_entities(entities_df(spark, JANE, ACME, PAY))
+
+    st = ds.stats()
+    assert st["entity_count"] == 3
+    assert st["things"]["schemata"]["Person"] == 1
+
+    csv_dir = str(tmp_path / "csv")
+    ds.export_statements_csv(csv_dir, compression="none")
+    back = spark.read.option("header", True).csv(csv_dir)
+    assert back.count() == ds.statements().count()
+    assert back.columns[:3] == ["id", "entity_id", "canonical_id"]
+
+    json_dir = str(tmp_path / "json")
+    ds.export_entities_json(json_dir, compression="none")
+    ents = spark.read.json(json_dir)
+    assert ents.count() == 3
+    assert set(ents.select("id").toPandas()["id"]) == {"jane", "acme", "pay1"}
+
+
+def test_idempotent_reimport_same_ids(spark, lake_root):
+    """Content-addressed ids: re-importing identical entities produces
+    identical statement ids (BASE_ID parity contract)."""
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d6")
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+    ids1 = {r["id"] for r in ds.store.raw().select("id").collect()}
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+    ids2 = {r["id"] for r in ds.store.raw().select("id").collect()}
+    assert ids1 == ids2
+    ds.merge(force=True)
+    assert ds.store.raw().count() == len(ids1)
+
+
+def test_shards_immutable_and_assignment(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d7", shards=4)
+    ds.write_entities(entities_df(spark, JANE, ACME, PAY))
+    shards = {
+        r["shard"]
+        for r in ds.store.raw().select("shard").distinct().collect()
+    }
+    assert shards <= {"0", "1", "2", "3"}
+    try:
+        lake.dataset("d7", shards=8)
+        assert False, "shards must be immutable"
+    except ValueError:
+        pass
+
+
+def test_entity_slice_and_order(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("d8")
+    people = [
+        {"id": f"p{i}", "schema": "Person", "properties": {"name": [f"Name{i:02d}"]}}
+        for i in range(10)
+    ]
+    ds.write_entities(entities_df(spark, *people))
+    q = Query().where(schema="Person").order_by("name")[2:5]
+    out = ds.entities(q).collect()
+    names = sorted(e["properties"]["name"][0] for e in out)
+    assert names == ["Name02", "Name03", "Name04"]
