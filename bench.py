@@ -35,6 +35,11 @@ HEADLINE = [
     "text_lang_id",
     "sim_cosine_topk",
     "c_checksum_fold",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_knn_join",
+    "w_sessionize",
 ]
 
 

@@ -1,0 +1,260 @@
+"""Near-duplicate detection operators for training-data pipelines.
+
+Four tiers, in increasing recall/cost:
+
+1. **exact** — content-hash groupBy (one shuffle on a 32-byte key);
+2. **fingerprint** — token-set hash groupBy (word-order invariant);
+3. **MinHash + LSH** — shingle → signature → banded bucket join →
+   per-bucket candidate pairs → exact Jaccard verify. The classic
+   Broder scheme: pair space collapses from O(n²) to the bucket
+   collisions, all expressible as explode + self-join + groupBy;
+4. **SimHash** — 64-bit Charikar hash via per-token md5 bit voting;
+   hamming-close pairs found by probing rotated prefix blocks.
+
+Scale notes (100 TB): every stage is a projection or a key-partitioned
+shuffle; nothing collects to the driver. The LSH bucket join salts
+naturally (bucket keys are hashes); ``spark.sql.adaptive.skewJoin``
+covers pathological buckets (e.g. boilerplate-heavy corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.functions.text import (
+    fingerprint,
+    lsh_band_keys,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "fingerprint_duplicates",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_duplicates",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id → (content_hash, keeper_id, n_copies, is_duplicate)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_hash")
+    return (
+        docs.select(id_col, F.md5(text_col).alias("content_hash"))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keeper_id"))
+    )
+
+
+def fingerprint_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups sharing a token-set fingerprint (order/dup-invariant)."""
+    return (
+        docs.select(id_col, fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    exact Jaccard over the shingle sets.
+
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # the shingle/signature projections are CPU-bound: spread the corpus
+    # across cores even when the source is one small parquet file
+    base = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+    # band keys only — the heavy shingle arrays do NOT travel through
+    # the bucket join; candidates are re-hydrated afterwards
+    banded = base.select(
+        "doc",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows)
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("doc").alias("a"), F.col("shingles").alias("sa")), "a")
+        .join(base.select(F.col("doc").alias("b"), F.col("shingles").alias("sb")), "b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(text_col, bits: int = 48):
+    """Charikar SimHash as a bigint column: per-token md5 → bit votes →
+    sign. Near-dup docs differ in few bits (hamming distance).
+
+    Implemented with higher-order functions: fold token hashes into a
+    per-bit vote vector, collapse votes to a binary string, and parse it
+    with ``conv`` (sign-safe for ``bits <= 62``; default 48 keeps every
+    intermediate exact)."""
+    toks = F.array_distinct(tokens(text_col))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            _token_bits(t, bits),
+            lambda a, b: a + F.when(b == 1, 1).otherwise(-1),
+        ),
+    )
+    chars = F.transform(
+        F.reverse(votes), lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return F.conv(F.array_join(chars, ""), 2, 10).cast("long")
+
+
+def _token_bits(token, bits: int):
+    """First ``bits`` bits of md5(token) as array<int> of 0/1."""
+    hexstr = F.md5(token)
+    nibbles = F.transform(
+        F.sequence(F.lit(1), F.lit(bits // 4)),
+        lambda i: F.conv(hexstr.substr(i, F.lit(1)), 16, 10).cast("int"),
+    )
+    return F.flatten(
+        F.transform(
+            nibbles,
+            lambda nb: F.array(
+                F.shiftright(nb, 3).bitwiseAND(F.lit(1)),
+                F.shiftright(nb, 2).bitwiseAND(F.lit(1)),
+                F.shiftright(nb, 1).bitwiseAND(F.lit(1)),
+                nb.bitwiseAND(F.lit(1)),
+            ),
+        )
+    )
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 48,
+) -> DataFrame:
+    """Hamming-close pairs by block probing: split the simhash into
+    ``blocks`` chunks; pairs within ``max_hamming < blocks`` bits must
+    share at least one exact chunk (pigeonhole), so an equi-join per
+    chunk finds all of them without O(n²)."""
+    width = bits // blocks
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    chunked = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sh", F.col("c.block").alias("block"), F.col("c.chunk").alias("chunk"))
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.sh").alias("ha"),
+            F.col("r.sh").alias("hb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    block_tokens: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from a cheap blocking
+    key (first ``block_tokens`` tokens). The SQL-oracle-friendly tier:
+    everything is array ops + one equi-join."""
+    toks = tokens(F.col(text_col))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
+    union = F.size(F.array_union("l.sh", "r.sh")).cast("double")
+    return (
+        l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

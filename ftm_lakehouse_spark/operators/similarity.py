@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Tiers:
+  * **brute-force top-k vs a query vector** — JVM fold dot products +
+    TakeOrderedAndProject. The correctness baseline.
+  * **brute-force k-NN join (batch)** — vectorized numpy matmul via
+    ``mapInPandas``: queries broadcast as a matrix, each partition of
+    the corpus scores against all queries in one BLAS call. This is the
+    Arrow/pandas "slow path done right": one matmul per batch instead
+    of |corpus|×|queries| folds.
+  * **LSH-bucketed ANN (scale path)** — deterministic random-hyperplane
+    signatures: sign of <v, h_i> for ``num_bits`` hashed hyperplanes →
+    bucket join on signature prefix → exact re-rank inside buckets.
+    At 100 TB the corpus never self-joins; candidates are bucket-local.
+  * **IVF (coarse quantizer)** — k-means-lite centroids (sampled,
+    driver-side, deterministic seed) → assign each vector to nearest
+    centroid (broadcast) → probe the top ``nprobe`` centroids per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.functions.vectors import cosine_similarity
+
+__all__ = ["topk_vs_query", "knn_join", "hyperplane_signature", "ann_lsh_topk", "ivf_assign"]
+
+
+def topk_vs_query(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.select(
+            id_col, cosine_similarity(F.col(vec_col), q).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN join: for every query vector, its top-k corpus
+    neighbors by cosine. Queries are collected to a broadcast matrix
+    (the small side — same regime as a broadcast hash join); the corpus
+    streams through ``mapInPandas`` doing one normalized matmul per
+    Arrow batch, then a global per-query top-k window collapses the
+    per-partition candidates.
+
+    Returns (query_id, neighbor_id, cosine) — k rows per query.
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+
+    def score(batches):
+        ids, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+            sims = cnorm @ qn.T  # |batch| x |queries|
+            kk = min(k, sims.shape[0])
+            # per query: local top-k within this batch
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out = {
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": pdf.iloc[top.T.ravel()][id_col].to_numpy(),
+                "cosine": np.take_along_axis(sims, top, 0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_signature(vec_col, num_bits: int = 16, dim: int = 64, seed: int = 7):
+    """Deterministic random-hyperplane LSH signature (bigint).
+
+    Hyperplane components derive from a hash of (seed, bit, dim index)
+    — reproducible anywhere, no stored model. Sign of the dot product
+    sets each bit. Cosine-similar vectors share signature prefixes."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    bits = []
+    for b in range(num_bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, h, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query's, re-ranked
+    by exact cosine. The signature join uses multi-probe on exact
+    signature equality after masking each possible differing bit pair —
+    here simplified to a hamming filter on a broadcast of query sigs
+    (queries are the small side)."""
+    sig = hyperplane_signature(F.col(vec_col), num_bits, dim)
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), sig.alias("csig"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), sig.alias("qsig")
+    )
+    from pyspark.sql import Window as W
+
+    cand = c.join(
+        F.broadcast(q),
+        F.bit_count(F.col("csig").bitwiseXOR(F.col("qsig"))) <= max_hamming,
+    )
+    scored = cand.select(
+        "qid",
+        "cid",
+        cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    iters: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantization: deterministic mini k-means on a sample
+    (driver-side numpy — the centroid table is broadcast-size by
+    construction), then nearest-centroid assignment as a JVM-side
+    argmin over the broadcast centroid array.
+
+    Returns (corpus + ``centroid`` column, centroids ndarray)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+
+    # JVM-side argmin: distance to each centroid via fold, pick min index
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in C[j]]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_d{j}")
+        for j in range(len(C))
+    ]
+    with_d = corpus.select("*", *dists)
+    arr = F.array(*[F.col(f"_d{j}") for j in range(len(C))])
+    assigned = with_d.withColumn(
+        "centroid", F.expr(f"array_position({_arr_sql(len(C))}, array_min({_arr_sql(len(C))})) - 1")
+    )
+    return (
+        assigned.select(*corpus.columns, F.col("centroid").cast("int").alias("centroid")),
+        C,
+    )
+
+
+def _arr_sql(n: int) -> str:
+    return "array(" + ",".join(f"_d{j}" for j in range(n)) + ")"

@@ -856,3 +856,221 @@ def sim_cosine_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("cos", 4).alias("cosine"))
     )
+
+
+# =====================================================================
+# D2 — near-dup suite (MinHash LSH, n-gram Jaccard, SimHash)
+# =====================================================================
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+    " i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mh = [
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS h{i}"
+        for i in range(num_hashes)
+    ]
+    band_keys = [
+        "md5(" + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS k{b}"
+        for b in range(bands)
+    ]
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, shingles, {b} AS band, k{b} AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sig AS (
+        SELECT doc_id, shingles, {", ".join(mh)} FROM sh
+    ), sig2 AS (
+        SELECT doc_id, shingles, {", ".join(band_keys)} FROM sig
+    ), bands AS (
+{band_union.replace('FROM sig', 'FROM sig2')}
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               l.shingles AS sa, r.shingles AS sb
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT a, b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+    FROM cand
+    WHERE round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) >= {threshold}
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup pairs, Jaccard-verified — the 100 TB
+    dedup path (pair space collapses to band-bucket collisions). The
+    oracle recomputes the identical md5-string minhash in DuckDB."""
+    from ftm_lakehouse_spark.operators.dedupe import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), base AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh,
+               md5(array_to_string(t[1:4], ' ')) AS block
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) AS jaccard
+    FROM base l JOIN base r ON l.block = r.block AND l.doc_id < r.doc_id
+    WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over block-keyed candidate pairs."""
+    from ftm_lakehouse_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.3, block_tokens=4)
+
+
+@_register("dedup_simhash", None)  # bit-level ops: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash hamming-close pairs via pigeonhole block probing
+    (non-SQL-expressible tier: 48-bit vote-fold signatures)."""
+    from ftm_lakehouse_spark.operators.dedupe import simhash_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_duplicates(d, max_hamming=3)
+
+
+# =====================================================================
+# V2 — similarity search (k-NN join + ANN)
+# =====================================================================
+
+@_register(
+    "sim_knn_join",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) <= 5
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Exact k-NN join: numpy-matmul mapInPandas (one BLAS call per
+    Arrow batch) + per-query top-k window. The oracle is the brute-force
+    SQL cross join — proving the vectorized path preserves semantics."""
+    from ftm_lakehouse_spark.operators.similarity import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    out = knn_join(e, queries, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
+@_register("sim_ann_lsh", None)  # approximate by construction: rows-only
+def sim_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k (deterministic seeded planes) —
+    the scale path where the corpus never self-joins."""
+    from ftm_lakehouse_spark.operators.similarity import ann_lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_lsh_topk(e, queries, k=5, num_bits=16, dim=dim, max_hamming=4)
+
+
+# =====================================================================
+# W2 — sessionization + pivot (stream-table analytics)
+# =====================================================================
+
+@_register(
+    "w_sessionize",
+    """
+    WITH gaps AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 * 1000000
+                    OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM gaps
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap detection + running count — the batch
+    form of session_window (streaming form in streaming/journal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select("event_id", "user_id", "ts", "session_id")
+    )
+
+
+@_register(
+    "a_pivot_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_pivot_status(spark, sf_dir):
+    """Pivot as conditional aggregation (explicit columns keep names
+    deterministic across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(st == "O", 1)).alias("n_open"),
+        F.count(F.when(st == "F", 1)).alias("n_finished"),
+        F.count(F.when(st == "P", 1)).alias("n_pending"),
+        F.sum(F.when(st == "O", _dec("o_totalprice"))).cast("double").alias("open_total"),
+    )

@@ -1,0 +1,152 @@
+"""Tests for the training-data pipeline operators: dedup tiers,
+similarity search, multimodal plumbing, streaming journal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.operators.dedupe import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from ftm_lakehouse_spark.operators.similarity import (
+    ann_lsh_topk,
+    ivf_assign,
+    knn_join,
+    topk_vs_query,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away home"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog and runs far away now"),  # near dup of 1
+    (4, "completely different text about spark engines and parquet files here"),
+    (5, "home away far runs and dog lazy the over jumps fox brown quick the"),  # perm of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: r for r in exact_duplicates(docs).collect()}
+    assert out[2]["is_duplicate"] and out[2]["keeper_id"] == 1
+    assert not out[1]["is_duplicate"]
+    assert not out[3]["is_duplicate"]
+
+
+def test_fingerprint_duplicates(docs):
+    # token-set fingerprint catches the permuted doc 5 too
+    groups = fingerprint_duplicates(docs).collect()
+    members = {tuple(g["members"]) for g in groups}
+    assert (1, 2, 5) in members
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup caught by LSH
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_simhash_duplicates(docs):
+    pairs = {(r["a"], r["b"]) for r in simhash_duplicates(docs, max_hamming=3).collect()}
+    assert (1, 2) in pairs  # identical text → hamming 0
+    # permutation has identical token set → same simhash
+    assert (1, 5) in pairs or (2, 5) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # vec 19 = near-copy of vec 0
+    rows[19] = (19, [float(x + 0.01) for x in base[0]])
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_topk_vs_query(vectors):
+    qv = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = topk_vs_query(vectors.filter(F.col("vec_id") != 0), qv, k=3).collect()
+    assert out[0]["vec_id"] == 19  # the near-copy ranks first
+    assert out[0]["cosine"] > 0.99
+
+
+def test_knn_join(vectors):
+    queries = vectors.filter(F.col("vec_id").isin(0, 5))
+    out = knn_join(vectors, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 queries × k
+    by_q = {r["query_id"]: r for r in rows if r["rn" if "rn" in r else "neighbor_id"] is not None}
+    top0 = [r for r in rows if r["query_id"] == 0][0]
+    assert top0["neighbor_id"] == 0 and top0["cosine"] == 1.0
+
+
+def test_ann_lsh_recalls_near_copy(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = ann_lsh_topk(vectors.filter(F.col("vec_id") != 0), queries,
+                       k=3, num_bits=8, dim=8, max_hamming=1).collect()
+    assert any(r["cid"] == 19 for r in out)  # near-copy lands in probe set
+
+
+def test_ivf_assign(vectors):
+    assigned, centroids = ivf_assign(vectors, num_centroids=4, sample=20, iters=3)
+    rows = assigned.collect()
+    assert len(rows) == 20
+    assert all(0 <= r["centroid"] < len(centroids) for r in rows)
+    # near-copies land in the same cell
+    cells = {r["vec_id"]: r["centroid"] for r in rows}
+    assert cells[0] == cells[19]
+
+
+def test_multimodal_plumbing(spark, docs):
+    from ftm_lakehouse_spark.operators.multimodal import (
+        attach_media,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    media = attach_media(docs, "text", kind="image", mime="image/fake")
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 5
+    assert all(len(r["features"]) == 16 for r in feats)
+    frames = sample_video_frames(media).collect()
+    assert len(frames) > 5  # 1 row in → N frame rows out
+    assert all(isinstance(bytes(r["frame_blob"]), bytes) for r in frames)
+
+
+def test_streaming_journal(spark, tmp_path):
+    from ftm_lakehouse_spark.model.dataset import DatasetConfig
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+    from ftm_lakehouse_spark.streaming.journal import StreamingJournal
+
+    from .helpers import make_df, stmt
+
+    src = str(tmp_path / "journal-in")
+    store = StatementStore(spark, str(tmp_path / "store"), DatasetConfig(name="s1"))
+    rows = [
+        stmt(id="a", value="v1"),
+        stmt(id="a", value="v1"),  # in-window duplicate
+        stmt(id="b", entity_id="e2", value="v2"),
+    ]
+    make_df(spark, rows).write.parquet(src)
+
+    j = StreamingJournal(spark, store, src, str(tmp_path / "ckpt"))
+    q = j.start(trigger_once=True)
+    q.awaitTermination(120)
+    out = store.raw().collect()
+    assert {r["id"] for r in out} == {"a", "b"}
+    assert len(out) == 2  # the duplicate was dropped in-window
