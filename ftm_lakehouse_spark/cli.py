@@ -1,0 +1,112 @@
+"""Command-line surface (reference P6: cli/* — Typer there, argparse
+here to stay dependency-free).
+
+    python -m ftm_lakehouse_spark --root /data/lake list
+    python -m ftm_lakehouse_spark --root /data/lake import-json DS entities.ftm.json --origin bulk
+    python -m ftm_lakehouse_spark --root /data/lake import-csv DS statements.csv
+    python -m ftm_lakehouse_spark --root /data/lake optimize DS
+    python -m ftm_lakehouse_spark --root /data/lake stats DS
+    python -m ftm_lakehouse_spark --root /data/lake export-csv DS out/
+    python -m ftm_lakehouse_spark --root /data/lake export-json DS out/
+    python -m ftm_lakehouse_spark --root /data/lake sql "SELECT ... FROM statements"
+    python -m ftm_lakehouse_spark --root /data/lake get DS entity-id
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ftm-lakehouse-spark")
+    p.add_argument("--root", required=True, help="lakehouse root directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list")
+
+    for name in ("import-json", "import-csv"):
+        s = sub.add_parser(name)
+        s.add_argument("dataset")
+        s.add_argument("path")
+        s.add_argument("--origin", default="default")
+
+    for name in ("optimize", "stats"):
+        s = sub.add_parser(name)
+        s.add_argument("dataset")
+        if name == "optimize":
+            s.add_argument("--grace-days", type=int, default=30)
+            s.add_argument("--force", action="store_true")
+
+    for name in ("export-csv", "export-json"):
+        s = sub.add_parser(name)
+        s.add_argument("dataset")
+        s.add_argument("out_dir")
+        s.add_argument("--compression", default=None)
+
+    s = sub.add_parser("sql")
+    s.add_argument("query")
+    s.add_argument("--dataset", default=None, help="register this dataset's views")
+
+    s = sub.add_parser("get")
+    s.add_argument("dataset")
+    s.add_argument("entity_id")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.session import get_spark
+
+    spark = get_spark("ftm-lakehouse-cli")
+    lake = Lakehouse(spark, args.root)
+
+    if args.cmd == "list":
+        for name in lake.list_datasets():
+            print(name)
+    elif args.cmd == "import-json":
+        lake.dataset(args.dataset).write_entities_json(args.path, origin=args.origin)
+    elif args.cmd == "import-csv":
+        from ftm_lakehouse_spark.sources.statements_csv import read_statements_csv
+
+        ds = lake.dataset(args.dataset)
+        ds.write_statements(
+            read_statements_csv(
+                spark, args.path, args.dataset, args.origin, ds.config.shards
+            )
+        )
+    elif args.cmd == "optimize":
+        changed = lake.dataset(args.dataset).merge(
+            grace_days=args.grace_days, force=args.force
+        )
+        print("merged" if changed else "fresh — skipped")
+    elif args.cmd == "stats":
+        print(json.dumps(lake.dataset(args.dataset).stats(), indent=2))
+    elif args.cmd == "export-csv":
+        lake.dataset(args.dataset).export_statements_csv(
+            args.out_dir, compression=args.compression
+        )
+    elif args.cmd == "export-json":
+        lake.dataset(args.dataset).export_entities_json(
+            args.out_dir, compression=args.compression
+        )
+    elif args.cmd == "sql":
+        # S14: raw SQL against registered views — spark.sql for free
+        if args.dataset:
+            ds = lake.dataset(args.dataset)
+            ds.store.live().createOrReplaceTempView("statements")
+            ds.store.raw().createOrReplaceTempView("statements_raw")
+        for row in spark.sql(args.query).toJSON().toLocalIterator():
+            print(row)
+    elif args.cmd == "get":
+        ent = lake.dataset(args.dataset).get(args.entity_id)
+        print(json.dumps(ent, default=str) if ent else "null")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""CSV round-trip, parent-chain resolution, CLI smoke."""
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+
+def test_statements_csv_roundtrip(spark, lake_root, tmp_path):
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.sources.statements_csv import read_statements_csv
+
+    from .test_lakehouse import JANE, entities_df
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("csv1")
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+
+    out = str(tmp_path / "csv")
+    ds.export_statements_csv(out, compression="none")
+
+    back = read_statements_csv(spark, out, dataset="csv1", origin="bulk")
+    orig = ds.statements()
+    # identical ids + values after a full round trip
+    a = sorted((r["id"], r["prop"], r["value"]) for r in orig.collect())
+    b = sorted((r["id"], r["prop"], r["value"]) for r in back.collect())
+    assert a == b
+    # lang nulling: no non-linguistic prop carries lang
+    assert back.filter(
+        F.col("lang").isNotNull() & (F.col("prop_type") == "country")
+    ).count() == 0
+
+
+def test_parent_chain_resolution(spark):
+    from ftm_lakehouse_spark.operators.graph import resolve_parent_chains
+
+    nodes = spark.createDataFrame(
+        [
+            ("a", None, "root"),
+            ("b", "a", "sub"),
+            ("c", "b", "leaf"),
+            ("x", "y", "cyc1"),
+            ("y", "x", "cyc2"),
+        ],
+        ["id", "parent", "name"],
+    )
+    out = {r["id"]: r for r in resolve_parent_chains(nodes, max_depth=8).collect()}
+    assert out["a"]["path"] == "root"
+    assert out["b"]["path"] == "root/sub"
+    assert out["c"]["path"] == "root/sub/leaf"
+    assert out["c"]["depth"] == 2
+    assert out["x"]["is_cycle"] and out["y"]["is_cycle"]
+
+
+def test_cli_smoke(tmp_path):
+    root = str(tmp_path / "lake")
+    src = tmp_path / "ents.json"
+    src.write_text(
+        '{"id": "jane", "schema": "Person", "properties": {"name": ["Jane Doe"]}}\n'
+        '{"id": "acme", "schema": "Company", "properties": {"name": ["ACME"]}}\n'
+    )
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "ftm_lakehouse_spark", "--root", root, *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+
+    r = run("import-json", "demo", str(src), "--origin", "bulk")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run("list")
+    assert "demo" in r.stdout
+    r = run("stats", "demo")
+    assert '"entity_count": 2' in r.stdout
+    r = run("get", "demo", "jane")
+    assert "Jane Doe" in r.stdout
+    r = run("optimize", "demo", "--force")
+    assert "merged" in r.stdout
+    r = run("sql", "SELECT count(*) AS n FROM statements", "--dataset", "demo")
+    assert '"n":' in r.stdout
