@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_knn_join",
     "w_sessionize",
+    "x_asof_join",
+    "a_cube_stats",
 ]
 
 

@@ -39,10 +39,13 @@ __all__ = ["Lakehouse", "Dataset"]
 
 class Dataset:
     def __init__(self, spark: SparkSession, root: str, config: DatasetConfig):
+        from ftm_lakehouse_spark.sources.versions import VersionStore
+
         self.spark = spark
         self.config = config
         self.path = os.path.join(root, config.name)
         self.store = StatementStore(spark, self.path, config)
+        self.versions = VersionStore(os.path.join(self.path, "_meta", "versions"))
 
     # --------------------------------------------------------- writes
     def write_statements(self, df: DataFrame) -> None:
@@ -127,10 +130,13 @@ class Dataset:
         return self.store.merge(grace_days=grace_days, force=force)
 
     def optimize(self, grace_days: int = 30, force: bool = False) -> None:
-        """merge → compact (reference OptimizeOperation,
-        operation/maintenance.py:28-49; vacuum is a no-op here because
-        the partition swap already removes replaced files)."""
+        """merge → compact → publish a statistics snapshot (reference
+        OptimizeOperation, operation/maintenance.py:28-49; vacuum is a
+        no-op here because the partition swap already removes replaced
+        files). The snapshot is checksum-deduped, so an optimize that
+        changes nothing publishes nothing (reference versions store)."""
         self.merge(grace_days=grace_days, force=force)
+        self.versions.put("statistics", self.stats())
 
     # ----------------------------------------------------------- diffs
     def diff(self, since: datetime) -> DataFrame:

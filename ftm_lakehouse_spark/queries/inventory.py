@@ -1074,3 +1074,96 @@ def a_pivot_status(spark, sf_dir):
         F.count(F.when(st == "P", 1)).alias("n_pending"),
         F.sum(F.when(st == "O", _dec("o_totalprice"))).cast("double").alias("open_total"),
     )
+
+
+# =====================================================================
+# X — as-of join, cube, except (beyond-reference OLAP surface)
+# =====================================================================
+
+@_register(
+    "x_asof_join",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id AS click_id_right, c.ts AS click_ts_right
+    FROM purchases p
+    ASOF LEFT JOIN (SELECT user_id, ts, click_id, ts AS click_ts FROM clicks) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks it natively): each purchase joined to the
+    user's latest click at-or-before it. Implemented as the union+window
+    carry-forward — ONE shuffle, no join operator. Oracle: DuckDB's
+    native ASOF JOIN."""
+    from ftm_lakehouse_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return asof_join(purchases, clicks, on="user_id", ts="ts",
+                     right_payload=["click_id", "click_ts"])
+
+
+@_register(
+    "a_cube_stats",
+    """
+    SELECT event_type, date_part('dow', CAST(ts AS TIMESTAMP)) AS dow,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def a_cube_stats(spark, sf_dir):
+    """CUBE over (event_type, day-of-week) — the facet-matrix scale path
+    for the stats export (SURVEY §2.4 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.dayofweek("ts").cast("long") - 1)
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
+    "u_except_ids",
+    """
+    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def u_except_ids(spark, sf_dir):
+    """EXCEPT: user-days with clicks but no purchase (U2's set
+    difference done engine-side instead of in Python sets)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    # subtract = EXCEPT (set semantics); exceptAll would keep leftover
+    # multiplicities and diverge from SQL EXCEPT
+    return a.subtract(b)
+
+
+@_register("x_approx_stats", None)  # approximate by design: rows-only
+def x_approx_stats(spark, sf_dir):
+    """Sketch aggregates for 100 TB interactive stats:
+    approx_count_distinct (HLL) + approx percentiles in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count("*").alias("n"),
+    )
