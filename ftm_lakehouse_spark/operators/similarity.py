@@ -92,8 +92,11 @@ def knn_join(
             }
             yield pd.DataFrame(out)
 
-    local = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
+    par = spark.sparkContext.defaultParallelism
+    local = (
+        corpus.select(id_col, vec_col)
+        .repartition(par)  # single-file corpora otherwise run one task
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -46,6 +46,14 @@ def oracle_map() -> dict[str, str]:
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
 
 
+def _spread(df):
+    """Repartition a small single-file table before a CPU-bound
+    projection: one parquet file = one task otherwise, leaving 31 of 32
+    cores idle. On a real corpus (many files) this is a no-op decision
+    made by the scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dec(col, scale=4):
     """Exact-sum helper: double → decimal (deterministic round-to-nearest
     in both engines, no float-order sensitivity in the aggregate)."""
@@ -700,7 +708,7 @@ def dedup_exact(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint: hash of the sorted distinct normalized token
     set (near-dup blocking key; word-order / duplication invariant)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
     return d.select(
         "doc_id",
@@ -752,7 +760,7 @@ def text_token_stats(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     """Quality heuristics: punctuation / digit / stopword ratios
     (C4-quality-filter style), pure column expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     n = F.greatest(F.length("text"), F.lit(1))
     words = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z]+"), "")
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "that")])
@@ -795,7 +803,7 @@ def text_quality_score(spark, sf_dir):
 def text_lang_id(spark, sf_dir):
     """Language-ID by marker-word voting (n-gram-heuristic family),
     deterministic tiebreak order en > de > fr."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
 
     def hits(pattern, markers):
         words = F.array_remove(F.split(F.lower(F.col("text")), pattern), "")
