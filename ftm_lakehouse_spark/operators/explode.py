@@ -143,10 +143,14 @@ def explode_entities(
     * one pinned ``last_seen``/``first_seen`` per call (producer
       contract: all rows of one emission share one last_seen).
     """
+    from ftm_lakehouse_spark.functions.codec import namespace_strip
+
     now = F.date_trunc("second", seen if seen is not None else F.current_timestamp())
 
     base = entities.select(
-        F.col("id").alias("entity_id"),
+        # namespace signatures are stripped from ids on ingest (C6,
+        # reference explode.py:37-39,89,125-128)
+        namespace_strip(F.col("id")).alias("entity_id"),
         F.col("schema"),
         F.explode("properties").alias("prop", "values"),
     )
@@ -162,7 +166,10 @@ def explode_entities(
         F.col("schema"),
         F.col("prop"),
         pt.alias("prop_type"),
-        F.col("value"),
+        # entity-reference values are ids too — strip them the same way
+        F.when(pt == "entity", namespace_strip(F.col("value")))
+        .otherwise(F.col("value"))
+        .alias("value"),
     )
 
     # BASE_ID row: value = fold of the entity's sorted statement ids

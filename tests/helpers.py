@@ -26,6 +26,7 @@ def stmt(
     schema="Person",
     prop_type="name",
     dataset="test",
+    lang=None,
 ):
     return {
         "shard": shard,
@@ -40,7 +41,7 @@ def stmt(
         "prop_type": prop_type,
         "value": value,
         "original_value": None,
-        "lang": None,
+        "lang": lang,
         "external": False,
         "first_seen": ts(first_seen),
         "last_seen": ts(last_seen),
