@@ -117,10 +117,23 @@ class StatementStore:
         return with_canonical_id(self.raw().filter(live_filter()))
 
     # --------------------------------------------------------- writes
+    @staticmethod
+    def _partition_tag(shard: str, bucket: str, origin: str) -> str:
+        return f"updated:{shard}/{bucket}/{origin}"
+
     def append(self, df: DataFrame) -> None:
+        df = df.select(*STATEMENT_SCHEMA.fieldNames())
+        # stamp per-partition freshness BEFORE data lands (crash-safe
+        # ordering, reference storage/parquet.py:545-569) — a crash
+        # between stamp and write leaves a partition marked dirty, which
+        # merge treats as "re-check", never "skip"
+        touched = (
+            df.select(*PARTITION_COLUMNS).distinct().collect()
+        )
+        for r in touched:
+            self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
         (
-            df.select(*STATEMENT_SCHEMA.fieldNames())
-            .repartition(*PARTITION_COLUMNS)
+            df.repartition(*PARTITION_COLUMNS)
             .sortWithinPartitions(*WRITE_SORT_COLUMNS)
             .write.mode("append")
             .partitionBy(*PARTITION_COLUMNS)
@@ -165,23 +178,54 @@ class StatementStore:
         shutil.rmtree(stage, ignore_errors=True)
 
     # ---------------------------------------------------- maintenance
-    def merge(self, grace_days: int = 30, force: bool = False) -> bool:
-        """Canonicalize dirty partitions in place.
+    def dirty_partitions(self) -> list[tuple[str, str, str]]:
+        """Partitions written since their last merge (per-partition
+        ``updated:*`` vs ``optimized:*`` tags, reference
+        storage/parquet.py:571-641)."""
+        out = []
+        for key in self.tags._load():
+            if not key.startswith("updated:"):
+                continue
+            part = key.split(":", 1)[1]
+            if not self.tags.is_latest(f"optimized:{part}", [key]):
+                out.append(tuple(part.split("/")))
+        return sorted(out)
 
-        Freshness skip: if ``last_optimized`` is newer than
-        ``last_updated``, the whole merge is a no-op (reference
-        per-partition tags, storage/parquet.py:571-641; this engine
-        tracks at table grain — partition grain is a cheap refinement
-        once datasets carry many origins).
-        """
+    def merge(self, grace_days: int = 30, force: bool = False) -> bool:
+        """Canonicalize dirty partitions in place — partition-scoped:
+        clean partitions are neither read nor rewritten. At 100 TB this
+        bounds a merge to the partitions actually appended to since the
+        last one (the reference's per-partition loop, here one Spark job
+        over the union of dirty partitions — merge windows are keyed on
+        the partition prefix, so each partition still merges locally
+        within the shared shuffle)."""
         if not self.exists():
             return False
-        if not force and self.tags.is_latest("last_optimized", ["last_updated"]):
+        dirty = self.dirty_partitions()
+        if force:
+            dirty = [
+                (r["shard"], r["bucket"], r["origin"])
+                for r in self.raw().select(*PARTITION_COLUMNS).distinct().collect()
+            ]
+        if not dirty:
             return False
         cutoff = datetime.now(timezone.utc) - timedelta(days=grace_days)
-        canonical = canonicalize(self.raw(), grace_cutoff=cutoff)
+        raw = self.raw()
+        # disjunction of per-partition conjunctions — unlike a concat-key
+        # isin, this shape survives Catalyst's partition pruning, so the
+        # scan literally never opens clean partitions
+        pred = None
+        for s, b, o in dirty:
+            clause = (
+                (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+            )
+            pred = clause if pred is None else (pred | clause)
+        canonical = canonicalize(raw.filter(pred), grace_cutoff=cutoff)
         self.overwrite_partitions(canonical)
-        self.tags.touch("last_optimized")
+        now = datetime.now(timezone.utc)
+        for p in dirty:
+            self.tags.touch(f"optimized:{'/'.join(p)}", now)
+        self.tags.touch("last_optimized", now)
         return True
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> None:

@@ -1,0 +1,52 @@
+"""Partition-scoped merge: clean partitions are neither read nor
+rewritten; dirty tracking survives appends and deletes."""
+
+import os
+
+from ftm_lakehouse_spark.lakehouse import Lakehouse
+
+from .test_lakehouse import ACME, JANE, entities_df
+
+
+def _partition_files(path, origin):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        if f"origin={origin}" in root:
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_merge_touches_only_dirty_partitions(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("pm")
+    ds.write_entities(entities_df(spark, JANE), origin="stable")
+    ds.write_entities(entities_df(spark, JANE), origin="stable")  # dup → dirty
+    assert ds.merge()  # merges 'stable'
+
+    before = _partition_files(ds.path, "stable")
+    assert before
+
+    # a new append under a DIFFERENT origin must not rewrite 'stable'
+    ds.write_entities(entities_df(spark, ACME), origin="hot")
+    dirty = ds.store.dirty_partitions()
+    assert all(p[2] == "hot" for p in dirty)
+    assert ds.merge()
+    after = _partition_files(ds.path, "stable")
+    assert before == after  # byte-identical: same files, same mtimes
+
+    # nothing dirty → merge is a no-op
+    assert not ds.merge()
+
+
+def test_force_merge_rewrites_everything(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("pm2")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    ds.write_entities(entities_df(spark, ACME), origin="b")
+    assert ds.merge()
+    assert not ds.merge()
+    assert ds.merge(force=True)  # force overrides freshness
+    assert ds.count() == 2
