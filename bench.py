@@ -42,6 +42,7 @@ HEADLINE = [
     "w_sessionize",
     "x_asof_join",
     "a_cube_stats",
+    "ftm_canonicalize",
 ]
 
 

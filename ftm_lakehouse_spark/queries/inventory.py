@@ -1175,3 +1175,94 @@ def x_approx_stats(spark, sf_dir):
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.count("*").alias("n"),
     )
+
+
+# =====================================================================
+# M — the engine's own merge, oracle-checked (SURVEY §2.4 A1-A4 on the
+# real operator, not a lookalike)
+# =====================================================================
+
+@_register(
+    "ftm_canonicalize",
+    """
+    WITH stmts AS (
+        SELECT CAST(user_id AS VARCHAR) || ':' || event_type || ':' ||
+                   strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)), '%Y%m%d%H%M')
+                   AS id,
+               CAST(user_id AS VARCHAR) AS entity_id,
+               event_type AS prop,
+               CASE WHEN event_type IN ('view', 'click') THEN 'f' ELSE '' END AS fragment,
+               'events' AS origin,
+               CAST(ts AS TIMESTAMP) AS first_seen,
+               date_trunc('minute', CAST(ts AS TIMESTAMP)) AS last_seen,
+               CASE WHEN event_type = 'error'
+                    THEN date_trunc('minute', CAST(ts AS TIMESTAMP)) END AS deleted_at
+        FROM events
+    ),
+    nonfrag AS (
+        SELECT * REPLACE (min(first_seen) OVER (PARTITION BY origin, id) AS first_seen)
+        FROM stmts WHERE fragment = ''
+        QUALIFY row_number() OVER (
+            PARTITION BY origin, id
+            ORDER BY last_seen DESC, deleted_at DESC NULLS LAST
+        ) = 1
+    ),
+    frag AS (
+        SELECT * REPLACE (
+            min(first_seen) OVER (PARTITION BY origin, entity_id, prop, fragment) AS first_seen)
+        FROM stmts WHERE fragment <> ''
+        QUALIFY last_seen = max(last_seen) OVER (
+                     PARTITION BY origin, entity_id, prop, fragment)
+            AND row_number() OVER (
+                     PARTITION BY origin, entity_id, prop, fragment, id
+                     ORDER BY last_seen DESC, deleted_at DESC NULLS LAST) = 1
+    )
+    SELECT id, entity_id, prop, fragment, first_seen, last_seen, deleted_at
+    FROM nonfrag
+    UNION ALL
+    SELECT id, entity_id, prop, fragment, first_seen, last_seen, deleted_at
+    FROM frag
+    """,
+)
+def ftm_canonicalize(spark, sf_dir):
+    """The engine's merge operator itself, hash-checked against the
+    reference's two-branch dedupe SQL (logic/parquet.py:72-162)
+    re-expressed in DuckDB. Events map to statement rows: minute-
+    truncated last_seen creates real ties, view/click become a
+    supersession fragment scope, errors become tombstones — exercising
+    content dedupe, tie survival, tombstone tiebreak, and the
+    first_seen fold in one query."""
+    from ftm_lakehouse_spark.operators.merge import canonicalize
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    stmts = ev.select(
+        F.lit("0").alias("shard"),
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.date_format(minute, "yyyyMMddHHmm"),
+        ).alias("id"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.lit("testdata").alias("dataset"),
+        F.lit("thing").alias("bucket"),
+        F.lit("events").alias("origin"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("Event").alias("schema"),
+        F.col("event_type").alias("prop"),
+        F.lit("string").alias("prop_type"),
+        F.col("props").alias("value"),
+        F.lit(None).cast("string").alias("original_value"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(False).alias("external"),
+        F.col("ts").alias("first_seen"),
+        minute.alias("last_seen"),
+        F.when(F.col("event_type").isin("view", "click"), F.lit("f"))
+        .otherwise(F.lit(""))
+        .alias("fragment"),
+        F.when(F.col("event_type") == "error", minute).alias("deleted_at"),
+    )
+    return canonicalize(stmts).select(
+        "id", "entity_id", "prop", "fragment", "first_seen", "last_seen", "deleted_at"
+    )
