@@ -92,10 +92,13 @@ def knn_join(
             }
             yield pd.DataFrame(out)
 
-    par = spark.sparkContext.defaultParallelism
+    # spread a single-file corpus, but cap the fan-out: each partition
+    # costs a Python-worker spin-up, and the matmul amortizes only over
+    # reasonably large Arrow batches
+    par = min(8, spark.sparkContext.defaultParallelism)
     local = (
         corpus.select(id_col, vec_col)
-        .repartition(par)  # single-file corpora otherwise run one task
+        .repartition(par)
         .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
