@@ -1,0 +1,85 @@
+"""Salted aggregation exactness + streaming windowed stats."""
+
+from pyspark.sql import functions as F
+
+
+def test_salted_count_distinct_exact(spark):
+    from ftm_lakehouse_spark.operators.skew import salted_count_distinct
+
+    # hot key: one key owns 90% of rows
+    rows = [("hot", f"v{i % 37}") for i in range(900)] + [
+        (f"k{i}", f"v{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["k"], "v", num_salts=8).collect()
+    }
+    assert got["hot"] == 37
+    assert got["k5"] == 1
+    # cross-check vs the unsalted plan
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_salted_agg_matches_plain(spark):
+    from ftm_lakehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(500)] + [("b", i) for i in range(50)],
+        ["k", "v"],
+    )
+    got = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (F.sum("v"), F.sum("total")),
+                "mx": (F.max("v"), F.max("mx")),
+            },
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == plain
+
+
+def test_streaming_windowed_stats(spark, tmp_path):
+    from ftm_lakehouse_spark.model.dataset import DatasetConfig
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+    from ftm_lakehouse_spark.streaming.journal import StreamingJournal
+
+    from .helpers import make_df, stmt
+
+    src = str(tmp_path / "in")
+    rows = [
+        stmt(id=f"s{i}", entity_id=f"e{i % 3}", last_seen="2024-01-01T00:00:30")
+        for i in range(6)
+    ] + [stmt(id="late", entity_id="e9", schema="Company", last_seen="2024-01-01T00:07:00")]
+    make_df(spark, rows).write.parquet(src)
+
+    store = StatementStore(spark, str(tmp_path / "store"), DatasetConfig(name="w"))
+    j = StreamingJournal(spark, store, src, str(tmp_path / "ckpt"))
+    q = (
+        j.windowed_stats(window="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM win_stats").collect()
+    assert len(out) == 2  # two 5-minute windows
+    by_schema = {(r["schema"], r["window"]["start"].minute): r["n_statements"] for r in out}
+    assert by_schema[("Person", 0)] == 6
+    assert by_schema[("Company", 5)] == 1
