@@ -137,9 +137,17 @@ class Query:
             (F.asc_nulls_last(f"_k{i}") if asc else F.desc_nulls_last(f"_k{i}"))
             for i, (_, asc) in enumerate(self.sort)
         ] + [F.asc("entity_id")]
-        ranked = keyed.withColumn("_rank", F.row_number().over(W.orderBy(*order)))
         if self.stop is not None:
-            ranked = ranked.filter(F.col("_rank") <= self.stop)
+            # top-`stop` first (TakeOrderedAndProject — per-partition
+            # heaps, never a global sort or single-partition window),
+            # THEN rank the k survivors for the offset
+            top = keyed.orderBy(*order).limit(self.stop)
+            ranked = top.withColumn("_rank", F.row_number().over(W.orderBy(*order)))
+            if self.start:
+                ranked = ranked.filter(F.col("_rank") > self.start)
+            return ranked.select("entity_id")
+        # offset without limit: a global rank is unavoidable (rare path)
+        ranked = keyed.withColumn("_rank", F.row_number().over(W.orderBy(*order)))
         if self.start:
             ranked = ranked.filter(F.col("_rank") > self.start)
         return ranked.select("entity_id")

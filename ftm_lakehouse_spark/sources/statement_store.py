@@ -133,13 +133,30 @@ class StatementStore:
         for r in touched:
             self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
         (
-            df.repartition(*PARTITION_COLUMNS)
-            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+            self._cluster_for_write(df)
             .write.mode("append")
             .partitionBy(*PARTITION_COLUMNS)
             .parquet(self._data_path())
         )
         self.tags.touch("last_updated")
+
+    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+        """Distribute rows for writing: partition columns + an
+        entity-keyed salt. Hashing only the 3 partition columns would
+        collapse a 1.8M-row write onto <#partitions> tasks; the salt
+        multiplies fan-out while keeping every entity wholly inside one
+        task, so the entity_id clustering sort still yields contiguous
+        entities and tight min/max file stats."""
+        import pyspark.sql.functions as _F
+
+        fanout = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        salt = _F.pmod(_F.xxhash64("entity_id"), _F.lit(max(1, fanout // 4)))
+        return (
+            df.withColumn("_wsalt", salt)
+            .repartition(fanout, *PARTITION_COLUMNS, "_wsalt")
+            .drop("_wsalt")
+            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+        )
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         """Partition-scoped overwrite: only partitions present in ``df``
@@ -157,9 +174,7 @@ class StatementStore:
 
         stage = os.path.join(self.path, f"_stage-{time.monotonic_ns()}")
         (
-            df.select(*STATEMENT_SCHEMA.fieldNames())
-            .repartition(*PARTITION_COLUMNS)
-            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+            self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
             .write.mode("overwrite")
             .partitionBy(*PARTITION_COLUMNS)
             .parquet(stage)
