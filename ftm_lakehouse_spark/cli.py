@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("get")
     s.add_argument("dataset")
     s.add_argument("entity_id")
+
+    s = sub.add_parser("iterate")
+    s.add_argument("dataset")
+    s.add_argument("--schema", default=None)
     return p
 
 
@@ -101,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
             ds.store.raw().createOrReplaceTempView("statements_raw")
         for row in spark.sql(args.query).toJSON().toLocalIterator():
             print(row)
+    elif args.cmd == "iterate":
+        # stream assembled entities as JSON lines (reference `iterate`):
+        # toLocalIterator keeps only one partition on the driver at a time
+        from ftm_lakehouse_spark.plans.query import Query
+
+        q = Query().where(schema=args.schema) if args.schema else None
+        for line in lake.dataset(args.dataset).entities(q).toJSON().toLocalIterator():
+            print(line)
     elif args.cmd == "get":
         ent = lake.dataset(args.dataset).get(args.entity_id)
         print(json.dumps(ent, default=str) if ent else "null")

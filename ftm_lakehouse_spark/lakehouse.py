@@ -136,6 +136,7 @@ class Dataset:
         files). The snapshot is checksum-deduped, so an optimize that
         changes nothing publishes nothing (reference versions store)."""
         self.merge(grace_days=grace_days, force=force)
+        self.store.compact()
         self.versions.put("statistics", self.stats())
 
     # ----------------------------------------------------------- diffs

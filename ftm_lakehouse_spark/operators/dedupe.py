@@ -258,3 +258,71 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    num_bits: int = 16,
+    max_hamming: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
+    (cosine-close vectors share signature bits) + exact cosine verify.
+
+    The candidate stage is the SimHash pigeonhole pattern applied to
+    hyperplane signatures: pairs within ``max_hamming`` differing bits
+    must share one of ``max_hamming + 1`` signature chunks, so an
+    equi-join per chunk finds them without an O(n²) cross join. Exact
+    cosine then filters to ``>= threshold``. Returns (a, b, cosine).
+    """
+    from ftm_lakehouse_spark.functions.vectors import cosine_similarity
+    from ftm_lakehouse_spark.operators.similarity import hyperplane_signature
+
+    blocks = max_hamming + 1
+    width = num_bits // blocks
+    sig = hyperplane_signature(F.col(vec_col), num_bits, dim)
+    base = vectors.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), sig.alias("sig")
+    )
+    chunked = base.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftrightunsigned(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", F.col("c.block").alias("block"), F.col("c.chunk").alias("chunk"))
+    cand = (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    hydrated = (
+        cand.join(base.select(F.col("doc").alias("a"), F.col("vec").alias("va")), "a")
+        .join(base.select(F.col("doc").alias("b"), F.col("vec").alias("vb")), "b")
+    )
+    return (
+        hydrated.withColumn(
+            "cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

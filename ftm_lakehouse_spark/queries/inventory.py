@@ -1266,3 +1266,15 @@ def ftm_canonicalize(spark, sf_dir):
     return canonicalize(stmts).select(
         "id", "entity_id", "prop", "fragment", "first_seen", "last_seen", "deleted_at"
     )
+
+
+@_register("dedup_embedding_cosine", None)  # LSH-blocked: rows-only
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH pigeonhole
+    blocking + exact cosine >= 0.9 verify (the vector tier of the dedup
+    suite — no O(n²) stage)."""
+    from ftm_lakehouse_spark.operators.dedupe import embedding_near_dups
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_dups(e, threshold=0.9, dim=dim)

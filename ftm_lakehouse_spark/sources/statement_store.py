@@ -243,14 +243,33 @@ class StatementStore:
         self.tags.touch("last_optimized", now)
         return True
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> None:
-        """Bin-pack small files per partition (reference S3 writer
-        profiles / OPTIMIZE). Implemented as a rewrite of the canonical
-        data with per-partition coalescing via repartition on the
-        partition keys."""
+    def compact(self, max_files_per_partition: int = 8) -> list[tuple[str, str, str]]:
+        """Bin-pack partitions that have accumulated too many small
+        files (reference compact, storage/parquet.py:683-706 / Delta
+        OPTIMIZE). Only offending partitions are read and rewritten —
+        the same scoped-overwrite machinery the merge uses. Returns the
+        partitions compacted."""
         if not self.exists():
-            return
-        self.overwrite_partitions(self.raw())
+            return []
+        crowded: list[tuple[str, str, str]] = []
+        data = self._data_path()
+        for root, _dirs, files in os.walk(data):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n > max_files_per_partition:
+                rel = os.path.relpath(root, data)
+                parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                if len(parts) == len(PARTITION_COLUMNS):
+                    crowded.append(tuple(parts[c] for c in PARTITION_COLUMNS))
+        if not crowded:
+            return []
+        pred = None
+        for s, b, o in crowded:
+            clause = (
+                (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+            )
+            pred = clause if pred is None else (pred | clause)
+        self.overwrite_partitions(self.raw().filter(pred))
+        return crowded
 
     # --------------------------------------------------------- queries
     def count_entities(self) -> int:

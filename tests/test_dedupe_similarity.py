@@ -150,3 +150,14 @@ def test_streaming_journal(spark, tmp_path):
     out = store.raw().collect()
     assert {r["id"] for r in out} == {"a", "b"}
     assert len(out) == 2  # the duplicate was dropped in-window
+
+
+def test_embedding_near_dups(vectors):
+    from ftm_lakehouse_spark.operators.dedupe import embedding_near_dups
+
+    pairs = embedding_near_dups(vectors, threshold=0.99, dim=8,
+                                num_bits=16, max_hamming=3).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 19) in found  # the planted near-copy
+    # high threshold: no random pair sneaks in
+    assert all({a, b} == {0, 19} for a, b in found)

@@ -50,3 +50,20 @@ def test_force_merge_rewrites_everything(spark, lake_root):
     assert not ds.merge()
     assert ds.merge(force=True)  # force overrides freshness
     assert ds.count() == 2
+
+
+def test_compact_bin_packs_crowded_partitions(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("pm3")
+    for _ in range(4):
+        ds.write_entities(entities_df(spark, JANE), origin="a")
+    n_rows = ds.store.raw().count()
+    files_before = _partition_files(ds.path, "a")
+    compacted = ds.store.compact(max_files_per_partition=3)
+    assert compacted  # the crowded partition was selected
+    files_after = _partition_files(ds.path, "a")
+    assert len(files_after) < len(files_before)
+    assert ds.store.raw().count() == n_rows  # rewrite, not a merge
+
+    # under the threshold → no-op
+    assert ds.store.compact(max_files_per_partition=64) == []
