@@ -1278,3 +1278,35 @@ def dedup_embedding_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return embedding_near_dups(e, threshold=0.9, dim=dim)
+
+
+@_register(
+    "x_range_join",
+    """
+    SELECT e1.event_id AS error_id, e2.event_id AS click_id_right,
+           e1.user_id
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.event_type = 'click'
+     AND abs(epoch_us(CAST(e1.ts AS TIMESTAMP))
+             - epoch_us(CAST(e2.ts AS TIMESTAMP))) <= 600 * 1000000
+    WHERE e1.event_type = 'error'
+    """,
+)
+def x_range_join(spark, sf_dir):
+    """Range/proximity join (Spark has no native one): every error event
+    paired with same-user clicks within ±10 minutes. Bucketized
+    equi-join + residual filter — shuffles on (user, bucket) instead of
+    a BroadcastNestedLoopJoin. Oracle: DuckDB inequality join."""
+    from ftm_lakehouse_spark.operators.range_join import proximity_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = proximity_join(errors, clicks, on="user_id", ts="ts", max_delta_s=600)
+    return out.select("error_id", "click_id_right", "user_id")

@@ -74,3 +74,43 @@ def test_version_store(tmp_path):
     assert latest["artifact"] == {"n": 2}
     assert vs.history("stats") == sorted([v1, v2])
     assert vs.latest("missing") is None
+
+
+def test_proximity_join_exact(spark):
+    from ftm_lakehouse_spark.operators.range_join import proximity_join
+
+    l = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01T10:00:00")), (2, "u", ts("2024-01-01T12:00:00"))],
+        ["lid", "k", "ts"],
+    )
+    r = spark.createDataFrame(
+        [
+            ("u", ts("2024-01-01T10:04:59"), "near"),
+            ("u", ts("2024-01-01T10:05:01"), "far"),   # 301s > 300s
+            ("u", ts("2024-01-01T09:55:30"), "before"),
+            ("v", ts("2024-01-01T10:00:00"), "otherkey"),
+        ],
+        ["k", "ts", "tag"],
+    )
+    out = proximity_join(l, r, on="k", ts="ts", max_delta_s=300).collect()
+    tags = sorted(x["tag_right"] for x in out)
+    assert tags == ["before", "near"]
+
+
+def test_point_in_interval_join(spark):
+    from ftm_lakehouse_spark.operators.range_join import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:30:00")), (2, ts("2024-01-01T13:00:00"))],
+        ["pid", "t"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("morning", ts("2024-01-01T09:00:00"), ts("2024-01-01T12:00:00")),
+            ("noonish", ts("2024-01-01T10:00:00"), ts("2024-01-01T11:00:00")),
+        ],
+        ["name", "s", "e"],
+    )
+    out = point_in_interval_join(pts, ivs, "t", "s", "e", bucket_s=3600).collect()
+    got = sorted((r["pid"], r["name_iv"]) for r in out)
+    assert got == [(1, "morning"), (1, "noonish")]
