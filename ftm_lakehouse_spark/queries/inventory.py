@@ -1310,3 +1310,47 @@ def x_range_join(spark, sf_dir):
     )
     out = proximity_join(errors, clicks, on="user_id", ts="ts", max_delta_s=600)
     return out.select("error_id", "click_id_right", "user_id")
+
+
+@_register(
+    "a_exact_percentiles",
+    """
+    SELECT event_type,
+           round(median(value), 6) AS median_value,
+           round(quantile_cont(value, 0.95), 6) AS p95_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (the non-sketch tier; the sketch
+    tier is x_approx_stats). Both engines do linear interpolation over
+    the sorted group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@_register(
+    "text_edit_distance",
+    """
+    SELECT doc_id,
+           levenshtein(substring(lower(text), 1, 16), 'data processing') AS edit_dist
+    FROM documents
+    """,
+)
+def text_edit_distance(spark, sf_dir):
+    """Levenshtein distance (fuzzy-match scalar, integer-exact across
+    engines) — the cheap pre-filter for fuzzy entity-name matching."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring(F.lower("text"), 1, 16), F.lit("data processing")
+        ).alias("edit_dist"),
+    )
