@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("iterate")
     s.add_argument("dataset")
     s.add_argument("--schema", default=None)
+
+    s = sub.add_parser("diff")
+    s.add_argument("dataset")
+    s.add_argument("--since", default=None,
+                   help="ISO timestamp; default: the stored diff cursor")
     return p
 
 
@@ -113,6 +118,24 @@ def main(argv: list[str] | None = None) -> int:
         q = Query().where(schema=args.schema) if args.schema else None
         for line in lake.dataset(args.dataset).entities(q).toJSON().toLocalIterator():
             print(line)
+    elif args.cmd == "diff":
+        # I6: cursor stored as a deduped version artifact
+        from datetime import datetime, timezone
+
+        ds = lake.dataset(args.dataset)
+        if args.since:
+            since = datetime.fromisoformat(args.since)
+        else:
+            cur = ds.versions.latest("diff-cursor")
+            since = (
+                datetime.fromisoformat(cur["artifact"]["since"])
+                if cur
+                else datetime.fromtimestamp(0, tz=timezone.utc)
+            )
+        now = datetime.now(timezone.utc)
+        for line in ds.diff(since).toJSON().toLocalIterator():
+            print(line)
+        ds.versions.put("diff-cursor", {"since": now.isoformat()})
     elif args.cmd == "get":
         ent = lake.dataset(args.dataset).get(args.entity_id)
         print(json.dumps(ent, default=str) if ent else "null")

@@ -518,11 +518,12 @@ def o_entity_slice(spark, sf_dir):
     ranked = (
         ev.groupBy("user_id")
         .agg(F.min("ts").alias("first_seen"))
-        .withColumn(
-            "_rank",
-            F.row_number().over(W.orderBy("first_seen", "user_id")),
-        )
-        .filter((F.col("_rank") > 5) & (F.col("_rank") <= 15))
+        # top-15 via TakeOrderedAndProject first, THEN rank the 15
+        # survivors for the offset — no global single-partition window
+        .orderBy("first_seen", "user_id")
+        .limit(15)
+        .withColumn("_rank", F.row_number().over(W.orderBy("first_seen", "user_id")))
+        .filter(F.col("_rank") > 5)
         .select("user_id")
     )
     return ev.join(F.broadcast(ranked), "user_id", "inner").select(

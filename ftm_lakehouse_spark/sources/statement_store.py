@@ -135,10 +135,23 @@ class StatementStore:
         (
             self._cluster_for_write(df)
             .write.mode("append")
+            .options(**self._write_options())
             .partitionBy(*PARTITION_COLUMNS)
             .parquet(self._data_path())
         )
         self.tags.touch("last_updated")
+
+    @staticmethod
+    def _write_options() -> dict[str, str]:
+        """Parquet bloom filters on the point-lookup keys: with files
+        clustered by entity_id, min/max stats skip most files and the
+        bloom filter kills the rest without decoding pages (the engine's
+        substitute for Delta ZORDER on lookups)."""
+        return {
+            "parquet.bloom.filter.enabled#entity_id": "true",
+            "parquet.bloom.filter.expected.ndv#entity_id": "1000000",
+            "parquet.bloom.filter.enabled#id": "true",
+        }
 
     def _cluster_for_write(self, df: DataFrame) -> DataFrame:
         """Distribute rows for writing: partition columns + an
@@ -176,6 +189,7 @@ class StatementStore:
         (
             self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
             .write.mode("overwrite")
+            .options(**self._write_options())
             .partitionBy(*PARTITION_COLUMNS)
             .parquet(stage)
         )
