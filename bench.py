@@ -43,6 +43,7 @@ HEADLINE = [
     "x_asof_join",
     "a_cube_stats",
     "ftm_canonicalize",
+    "text_tfidf_top_terms",
 ]
 
 

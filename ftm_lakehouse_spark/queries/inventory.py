@@ -1355,3 +1355,120 @@ def text_edit_distance(spark, sf_dir):
             F.substring(F.lower("text"), 1, 16), F.lit("data processing")
         ).alias("edit_dist"),
     )
+
+
+# =====================================================================
+# T2 — corpus analytics / pipeline plumbing
+# =====================================================================
+
+@_register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks, unnest(t) AS u(term)
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: term frequency × inverse document frequency, top-3 terms
+    per document. Two aggregations + a broadcast join on the term
+    dimension + a per-doc top-k window — the classic corpus-statistics
+    shape, all JVM-side."""
+    from ftm_lakehouse_spark.functions.text import tokens
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@_register(
+    "sample_hash_based",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5('salt1:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash_based(spark, sf_dir):
+    """Deterministic ~10% sample via content hashing — reproducible on
+    any engine and stable under reruns/repartitioning, unlike RNG-based
+    sampling (the right tool for carving eval sets out of a 100 TB
+    corpus). '1a' hex ≈ 26/256 ≈ 10.2% expected rate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("salt1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.filter(bucket < "1a").select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "split_train_val_test",
+    """
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 split by hashed id — membership is a pure
+    function of the id, so incremental corpus additions never reshuffle
+    existing examples across splits."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
