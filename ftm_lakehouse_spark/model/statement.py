@@ -94,9 +94,22 @@ WRITE_SORT_COLUMNS = ["entity_id", "fragment", "prop", "id"]
 #: FtM schema → coarse storage bucket (reference: docs/architecture.md:99
 #: via ftmq get_schema_bucket; usage at logic/entities/explode.py:100).
 #: Kept as a plain dict — it is applied as a literal map expression, not
-#: a join.
+#: a join. Schema names are the public FollowTheMoney ontology
+#: (followthemoney.tech/explorer); anything unlisted defaults to the
+#: ``thing`` bucket, matching the reference's fallback.
 SCHEMA_BUCKETS = {
+    # document-family
     "Document": "document",
+    "Folder": "document",
+    "Package": "document",
+    "Workbook": "document",
+    "Email": "document",
+    "HyperText": "document",
+    "Table": "document",
+    "PlainText": "document",
+    "Image": "document",
+    "Audio": "document",
+    "Video": "document",
     "Page": "page",
     "Pages": "pages",
     "Mention": "mention",
@@ -119,6 +132,9 @@ SCHEMA_BUCKETS = {
     "Contract": "interval",
     "ContractAward": "interval",
     "EconomicActivity": "interval",
+    "Identification": "interval",
+    "CourtCaseParty": "interval",
+    "Similar": "interval",
 }
 
 BUCKETS = ("thing", "interval", "document", "page", "pages", "mention")

@@ -40,23 +40,54 @@ __all__ = ["assemble_entities", "SCHEMA_SPECIFICITY"]
 #: only by being the sole claim.
 SCHEMA_SPECIFICITY = {
     "Thing": 0,
+    # legal-entity chain: Thing < LegalEntity < {Person, Company, ...}
     "LegalEntity": 1,
     "Person": 2,
     "Company": 2,
     "Organization": 2,
-    "PublicBody": 3,
+    "PublicBody": 3,  # PublicBody extends Organization
+    # assets: Thing < Asset < concrete asset kinds
     "Asset": 1,
+    "RealEstate": 2,
+    "Vehicle": 2,
+    "Airplane": 3,
+    "Vessel": 3,
+    "Security": 2,
+    "BankAccount": 2,
+    "CryptoWallet": 2,
     "Address": 1,
+    "Event": 1,
+    "CourtCase": 1,
+    "Project": 1,
+    "License": 1,
+    "Position": 1,
+    # interval/edge family
     "Interval": 0,
     "Payment": 2,
     "Ownership": 2,
     "Directorship": 2,
     "Membership": 2,
+    "Employment": 2,
+    "Representation": 2,
+    "Succession": 2,
+    "Family": 2,
+    "Associate": 2,
+    "Occupancy": 2,
+    "Sanction": 2,
+    "Debt": 2,
+    "Contract": 2,
+    "ContractAward": 3,
+    "Documentation": 2,
+    "Identification": 2,
+    "UnknownLink": 1,
+    # document chain: Thing < Document < concrete formats
     "Document": 1,
     "Folder": 2,
+    "Package": 2,
+    "Workbook": 2,
     "Pages": 2,
     "Page": 2,
-    "Email": 2,
+    "Email": 3,  # Email extends PlainText
     "Table": 2,
     "PlainText": 2,
     "HyperText": 2,
@@ -76,7 +107,9 @@ def _schema_rank():
     return F.coalesce(m[F.col("schema")], F.lit(0))
 
 
-def assemble_entities(statements: DataFrame) -> DataFrame:
+def assemble_entities(
+    statements: DataFrame, max_values_per_prop: int | None = None
+) -> DataFrame:
     """statements (live view) → one row per entity.
 
     Output schema:
@@ -84,6 +117,11 @@ def assemble_entities(statements: DataFrame) -> DataFrame:
       properties map<string, array<string>>,
       first_seen, last_seen, last_change,
       origins array<string>, n_statements
+
+    ``max_values_per_prop`` bounds per-group state for pathological
+    entities (an entity with millions of values of one prop would
+    otherwise blow the collect buffer at export time); values are kept
+    in sorted order so the cap is deterministic.
     """
     is_checksum = (F.col("prop") == BASE_ID_PROP) & (
         F.col("prop_type") == BASE_ID_PROP_TYPE
@@ -96,11 +134,14 @@ def assemble_entities(statements: DataFrame) -> DataFrame:
     # per-(entity, prop) value arrays first: two-level fold keeps the
     # per-group state bounded (values of one prop), and the second
     # groupBy reuses the same entity_id hash partitioning.
+    values_expr = F.array_sort(F.collect_set("value"))
+    if max_values_per_prop is not None:
+        values_expr = F.slice(values_expr, 1, max_values_per_prop)
     per_prop = (
         statements.filter(~is_checksum)
         .groupBy("entity_id", "prop")
         .agg(
-            F.array_sort(F.collect_set("value")).alias("values"),
+            values_expr.alias("values"),
             # struct ordering makes ties deterministic (rank, then name)
             F.max(F.struct(_schema_rank().alias("r"), F.col("schema").alias("s"))).alias(
                 "schema_rank"

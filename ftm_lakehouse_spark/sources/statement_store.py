@@ -171,7 +171,9 @@ class StatementStore:
             .sortWithinPartitions(*WRITE_SORT_COLUMNS)
         )
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(
+        self, df: DataFrame, expected: list[tuple[str, str, str]] | None = None
+    ) -> None:
         """Partition-scoped overwrite: only partitions present in ``df``
         are replaced (merge rewrite / Delta ``replaceWhere`` analog).
 
@@ -179,10 +181,12 @@ class StatementStore:
         rewrite stages to a sibling directory and swaps partition
         directories in. On a cluster this staging/commit is a table
         format's job (Delta/Iceberg); the local swap keeps identical
-        semantics: untouched partitions stay byte-identical. A partition
-        whose rows are ALL reaped keeps its old files until a later
-        merge emits rows for it — same as the reference's per-partition
-        rewrite loop."""
+        semantics: untouched partitions stay byte-identical.
+
+        ``expected``: partitions the caller rewrote. Any expected
+        partition that produced NO output (every row reaped) has its
+        live directory removed — without this, a fully-tombstoned
+        partition would keep stale files forever."""
         import shutil
 
         stage = os.path.join(self.path, f"_stage-{time.monotonic_ns()}")
@@ -195,16 +199,27 @@ class StatementStore:
         )
         data = self._data_path()
         os.makedirs(data, exist_ok=True)
+        written: set[tuple[str, ...]] = set()
         for root, _dirs, files in os.walk(stage):
             if not any(f.endswith(".parquet") for f in files):
                 continue
             rel = os.path.relpath(root, stage)
+            parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+            if len(parts) == len(PARTITION_COLUMNS):
+                written.add(tuple(parts[c] for c in PARTITION_COLUMNS))
             target = os.path.join(data, rel)
             if os.path.isdir(target):
                 shutil.rmtree(target)
             os.makedirs(os.path.dirname(target), exist_ok=True)
             shutil.move(root, target)
         shutil.rmtree(stage, ignore_errors=True)
+        for part in expected or []:
+            if tuple(part) not in written:
+                s, b, o = part
+                shutil.rmtree(
+                    os.path.join(data, f"shard={s}", f"bucket={b}", f"origin={o}"),
+                    ignore_errors=True,
+                )
 
     # ---------------------------------------------------- maintenance
     def dirty_partitions(self) -> list[tuple[str, str, str]]:
@@ -250,7 +265,7 @@ class StatementStore:
             )
             pred = clause if pred is None else (pred | clause)
         canonical = canonicalize(raw.filter(pred), grace_cutoff=cutoff)
-        self.overwrite_partitions(canonical)
+        self.overwrite_partitions(canonical, expected=dirty)
         now = datetime.now(timezone.utc)
         for p in dirty:
             self.tags.touch(f"optimized:{'/'.join(p)}", now)

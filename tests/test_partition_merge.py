@@ -67,3 +67,16 @@ def test_compact_bin_packs_crowded_partitions(spark, lake_root):
 
     # under the threshold → no-op
     assert ds.store.compact(max_files_per_partition=64) == []
+
+
+def test_merge_removes_fully_reaped_partitions(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("pm4")
+    ds.write_entities(entities_df(spark, JANE), origin="gone")
+    ds.write_entities(entities_df(spark, ACME), origin="kept")
+    ds.delete_entity("jane", origin="gone")
+    # grace 0: the tombstones themselves are reaped -> partition empty
+    assert ds.merge(grace_days=0, force=True)
+    assert _partition_files(ds.path, "gone") == {}  # directory removed
+    assert _partition_files(ds.path, "kept")        # untouched survivor
+    assert ds.count() == 1
