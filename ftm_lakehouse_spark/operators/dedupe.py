@@ -90,6 +90,10 @@ def minhash_lsh_pairs(
             word_shingles(F.col(text_col), shingle_words).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
+        # base feeds three plan branches (band keys + two candidate
+        # re-hydrations); cutting lineage materializes the shingle
+        # computation once instead of three times
+        .localCheckpoint(eager=False)
     )
     # band keys only — the heavy shingle arrays do NOT travel through
     # the bucket join; candidates are re-hydrated afterwards

@@ -80,3 +80,33 @@ def test_merge_removes_fully_reaped_partitions(spark, lake_root):
     assert _partition_files(ds.path, "gone") == {}  # directory removed
     assert _partition_files(ds.path, "kept")        # untouched survivor
     assert ds.count() == 1
+
+
+def test_concurrent_appends_both_land(spark, lake_root):
+    """Appends need no coordination: Spark job commits use unique file
+    names, so concurrent writers never clobber each other (the reference
+    needed a marker-file fence for this — deleted by design)."""
+    import threading
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("pm5")
+    errs = []
+
+    def writer(ent, origin):
+        try:
+            ds.write_entities(entities_df(spark, ent), origin=origin)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(JANE, "t1")),
+        threading.Thread(target=writer, args=(ACME, "t2")),
+        threading.Thread(target=writer, args=(JANE, "t3")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs
+    assert ds.count() == 2
+    assert len(ds.store.dirty_partitions()) == 3
