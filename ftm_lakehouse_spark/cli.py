@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("path")
         s.add_argument("--origin", default="default")
 
+    s = sub.add_parser("make")
+    s.add_argument("dataset")
+    s.add_argument("--out", default=None)
+    s.add_argument("--force", action="store_true")
+
     for name in ("optimize", "stats"):
         s = sub.add_parser(name)
         s.add_argument("dataset")
@@ -87,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.path, args.dataset, args.origin, ds.config.shards
             )
         )
+    elif args.cmd == "make":
+        print(json.dumps(lake.dataset(args.dataset).make(args.out, force=args.force),
+                         default=str))
     elif args.cmd == "optimize":
         changed = lake.dataset(args.dataset).merge(
             grace_days=args.grace_days, force=args.force

@@ -21,6 +21,7 @@ worth keeping). A streaming ingest mode lives in
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import datetime, timezone
 
@@ -176,6 +177,46 @@ class Dataset:
         )
         return added_or_mod.unionByName(dels)
 
+    def export_diff(self, out_dir: str, since: datetime) -> None:
+        """Write ADD/MOD/DEL envelopes as JSON lines (FIXTURES.md F6;
+        reference repository/diff.py:16-21)."""
+        (
+            self.diff(since)
+            .select(F.to_json(F.struct("op", "entity")).alias("line"))
+            .write.mode("overwrite")
+            .text(out_dir)
+        )
+
+    def make(self, out_root: str | None = None, force: bool = False) -> dict:
+        """The full publish workflow (reference MakeOperation,
+        operation/make.py:14-25): optimize, then regenerate every export
+        artifact — statements.csv, entities.ftm.json, statistics.json,
+        index.json — skipping everything if no write happened since the
+        last make (freshness tags, reference operation/base.py:56-70)."""
+        out_root = out_root or os.path.join(self.path, "exports")
+        if not force and self.store.tags.is_latest("last_made", ["last_updated"]):
+            return {"skipped": True}
+        self.optimize(force=force)
+        self.export_statements_csv(os.path.join(out_root, "statements.csv"))
+        self.export_entities_json(os.path.join(out_root, "entities.ftm.json"))
+        stats = self.stats()
+        os.makedirs(out_root, exist_ok=True)
+        with open(os.path.join(out_root, "statistics.json"), "w") as fh:
+            json.dump(stats, fh, default=str)
+        index = {
+            "name": self.config.name,
+            "title": self.config.title,
+            "entity_count": stats["entity_count"],
+            "schemata": stats["things"]["schemata"],
+            "updated_at": datetime.now(timezone.utc).isoformat(),
+            "resources": ["statements.csv", "entities.ftm.json", "statistics.json"],
+        }
+        with open(os.path.join(out_root, "index.json"), "w") as fh:
+            json.dump(index, fh, default=str)
+        self.versions.put("index", index)
+        self.store.tags.touch("last_made")
+        return {"skipped": False, "exports": out_root, **index}
+
     # --------------------------------------------------------- exports
     def export_statements_csv(self, out_dir: str, compression: str | None = None) -> None:
         """statements.csv export: 15 canonical columns ordered by
@@ -187,7 +228,10 @@ class Dataset:
             .sort("entity_id")
         )
         codec = compression or self.config.compression or "none"
-        codec = {"zst": "zstd", "gz": "gzip"}.get(codec, codec)
+        # text-format codecs go through Hadoop: zstd needs the native
+        # lib (absent here), so gz is the text-side realization of a
+        # zst dataset config; parquet writes keep real zstd
+        codec = {"zst": "gzip", "zstd": "gzip", "gz": "gzip"}.get(codec, codec)
         df.write.mode("overwrite").option("header", True).option(
             "compression", codec
         ).csv(out_dir)
@@ -197,7 +241,10 @@ class Dataset:
         line, properties as map<string, array<string>>."""
         ent = assemble_entities(self.store.live())
         codec = compression or self.config.compression or "none"
-        codec = {"zst": "zstd", "gz": "gzip"}.get(codec, codec)
+        # text-format codecs go through Hadoop: zstd needs the native
+        # lib (absent here), so gz is the text-side realization of a
+        # zst dataset config; parquet writes keep real zstd
+        codec = {"zst": "gzip", "zstd": "gzip", "gz": "gzip"}.get(codec, codec)
         (
             ent.select(
                 F.col("entity_id").alias("id"),

@@ -193,3 +193,51 @@ def test_entity_slice_and_order(spark, lake_root):
     out = ds.entities(q).collect()
     names = sorted(e["properties"]["name"][0] for e in out)
     assert names == ["Name02", "Name03", "Name04"]
+
+
+def test_make_workflow_and_freshness(spark, lake_root, tmp_path):
+    import json
+    import os
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mk")
+    ds.write_entities(entities_df(spark, JANE, ACME))
+    out = str(tmp_path / "exports")
+
+    res = ds.make(out, force=True)
+    assert not res["skipped"]
+    assert sorted(os.listdir(out)) == [
+        "entities.ftm.json", "index.json", "statements.csv", "statistics.json",
+    ]
+    index = json.load(open(os.path.join(out, "index.json")))
+    assert index["entity_count"] == 2
+    assert index["schemata"] == {"Person": 1, "Company": 1}
+
+    # nothing written since → make skips entirely
+    assert ds.make(out)["skipped"]
+    # a new write re-arms it
+    ds.write_entities(entities_df(spark, PAY))
+    assert not ds.make(out)["skipped"]
+
+
+def test_export_diff_envelopes(spark, lake_root, tmp_path):
+    import json
+    from datetime import datetime, timedelta, timezone
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("df1")
+    t0 = datetime.now(timezone.utc) - timedelta(seconds=5)
+    ds.write_entities(entities_df(spark, JANE))
+    ds.delete_entity("jane")
+    ds.write_entities(entities_df(spark, ACME))
+
+    out = str(tmp_path / "diff")
+    ds.export_diff(out, t0)
+    lines = [
+        json.loads(line)
+        for f in sorted(os.listdir(out)) if f.startswith("part")
+        for line in open(os.path.join(out, f))
+    ]
+    ops = {(l["op"], l["entity"]["entity_id"] if l.get("entity") else None) for l in lines}
+    assert ("ADD", "acme") in ops
+    assert ("DEL", None) in ops  # DEL envelope carries a null entity
