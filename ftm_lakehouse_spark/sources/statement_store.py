@@ -5,9 +5,14 @@ One table per dataset, hive-partitioned by ``(shard, bucket, origin)``
 95,112-122). Storage is plain partitioned parquet driven through Spark's
 native committer:
 
-  * **append** — ``partitionBy(...).mode("append")``; concurrent appends
-    are safe (each job writes unique part files; the reference needed a
-    marker-file fence for this, storage/parquet.py:326-475 — deleted).
+  * **append** — ``partitionBy(...).mode("append")``. Concurrent
+    appends from ONE driver are serialized by a per-path lock: Spark's
+    default FileOutputCommitter shares ``<path>/_temporary`` across
+    jobs writing the same path, so truly simultaneous appends can
+    clobber each other's staging (the reference's marker fence,
+    storage/parquet.py:326-475, guarded the same hazard). Cross-driver
+    concurrency needs a transactional table format (Delta/Iceberg) —
+    documented, not faked.
   * **merge rewrite** — dynamic partition overwrite
     (``spark.sql.sources.partitionOverwriteMode=dynamic``) rewrites only
     the partitions present in the canonicalized frame: the parquet
@@ -27,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from datetime import datetime, timedelta, timezone
 
@@ -53,8 +59,15 @@ class TagStore:
     control file — deliberately not a Spark table: it is read per job,
     written once per job, and must be cheap."""
 
+    _locks: dict[str, threading.Lock] = {}
+    _locks_guard = threading.Lock()
+
     def __init__(self, path: str):
         self.path = path
+        with TagStore._locks_guard:
+            self._lock = TagStore._locks.setdefault(
+                os.path.abspath(path), threading.Lock()
+            )
 
     def _load(self) -> dict[str, str]:
         try:
@@ -68,13 +81,16 @@ class TagStore:
         return datetime.fromisoformat(v) if v else None
 
     def touch(self, key: str, ts: datetime | None = None) -> None:
-        tags = self._load()
-        tags[key] = (ts or datetime.now(timezone.utc)).isoformat()
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        tmp = f"{self.path}.{os.getpid()}.{time.monotonic_ns()}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(tags, fh)
-        os.replace(tmp, self.path)
+        # read-modify-write under a per-path lock: concurrent writers
+        # (threaded appends) would otherwise drop each other's tags
+        with self._lock:
+            tags = self._load()
+            tags[key] = (ts or datetime.now(timezone.utc)).isoformat()
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            tmp = f"{self.path}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(tags, fh)
+            os.replace(tmp, self.path)
 
     def is_latest(self, key: str, deps: list[str]) -> bool:
         """target newer than all deps → fresh (reference
@@ -90,11 +106,21 @@ class TagStore:
 
 
 class StatementStore:
+    #: per-table-path write locks (process-wide): the default Hadoop
+    #: committer cannot handle two simultaneous jobs appending to one
+    #: path — see class docstring
+    _write_locks: dict[str, threading.Lock] = {}
+    _write_locks_guard = threading.Lock()
+
     def __init__(self, spark: SparkSession, path: str, config: DatasetConfig):
         self.spark = spark
         self.path = path
         self.config = config
         self.tags = TagStore(os.path.join(path, "_meta", "tags.json"))
+        with StatementStore._write_locks_guard:
+            self._write_lock = StatementStore._write_locks.setdefault(
+                os.path.abspath(path), threading.Lock()
+            )
 
     # ---------------------------------------------------------- reads
     def _data_path(self) -> str:
@@ -132,13 +158,14 @@ class StatementStore:
         )
         for r in touched:
             self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
-        (
-            self._cluster_for_write(df)
-            .write.mode("append")
-            .options(**self._write_options())
-            .partitionBy(*PARTITION_COLUMNS)
-            .parquet(self._data_path())
-        )
+        with self._write_lock:
+            (
+                self._cluster_for_write(df)
+                .write.mode("append")
+                .options(**self._write_options())
+                .partitionBy(*PARTITION_COLUMNS)
+                .parquet(self._data_path())
+            )
         self.tags.touch("last_updated")
 
     @staticmethod

@@ -83,9 +83,10 @@ def test_merge_removes_fully_reaped_partitions(spark, lake_root):
 
 
 def test_concurrent_appends_both_land(spark, lake_root):
-    """Appends need no coordination: Spark job commits use unique file
-    names, so concurrent writers never clobber each other (the reference
-    needed a marker-file fence for this — deleted by design)."""
+    """Concurrent appends from one driver are serialized by the store's
+    per-path write lock (the default Hadoop committer shares _temporary
+    across jobs on one path — the hazard the reference's marker fence
+    guarded)."""
     import threading
 
     lake = Lakehouse(spark, lake_root)
