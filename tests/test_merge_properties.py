@@ -10,7 +10,7 @@ The invariants that make the lakehouse safe to operate incrementally:
 3. **Order independence** — input row order never changes the result.
 """
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -99,3 +99,53 @@ def test_order_independence(spark, rows, seed):
     shuffled = list(rows)
     seed.shuffle(shuffled)
     assert canon_set(spark, rows) == canon_set(spark, shuffled)
+
+
+# ---------------------------------------------------------------------
+# Cross-validation: the two as-of join implementations must agree
+# (window carry-forward vs cogrouped pd.merge_asof) on arbitrary inputs.
+# ---------------------------------------------------------------------
+
+@st.composite
+def asof_frames(draw):
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    keys = ["a", "b"]
+    n_l = draw(st.integers(1, 8))
+    n_r = draw(st.integers(0, 8))
+    left = [
+        (
+            i,
+            draw(st.sampled_from(keys)),
+            base + timedelta(seconds=draw(st.integers(0, 120))),
+        )
+        for i in range(n_l)
+    ]
+    right = [
+        (
+            draw(st.sampled_from(keys)),
+            base + timedelta(seconds=draw(st.integers(0, 120))),
+            float(100 + j),
+        )
+        for j in range(n_r)
+    ]
+    return left, right
+
+
+@given(frames=asof_frames())
+@SET
+def test_asof_window_matches_pandas(spark, frames):
+    from ftm_lakehouse_spark.operators.asof import asof_join, asof_join_pandas
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(left_rows, "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    # dedupe right per (k, ts): ties there are implementation-defined in
+    # BOTH engines (last-in-sort vs merge_asof's last row) — the
+    # operator contract requires a unique right key per timestamp
+    right = right.dropDuplicates(["k", "ts"])
+
+    a = {r["lid"]: r["v_right"] for r in
+         asof_join(left, right, on="k", ts="ts", right_payload=["v"]).collect()}
+    b = {r["lid"]: r["v_right"] for r in
+         asof_join_pandas(left, right, on="k", ts="ts", right_payload=["v"]).collect()}
+    assert a == b
