@@ -61,36 +61,40 @@ def canonicalize(raw: DataFrame, grace_cutoff: datetime | None = None) -> DataFr
     """
     is_fragment = F.col("fragment") != ""
 
-    # --- branch 1: non-fragment — latest row per content-addressed id.
-    nf = raw.filter(~is_fragment)
-    nf_group = W.partitionBy(*MERGE_GROUP_NONFRAGMENT)
-    nf_rank = nf_group.orderBy(
-        F.desc("last_seen"), F.desc_nulls_last("deleted_at")
-    )
-    nf = (
-        nf.withColumn("first_seen", F.min("first_seen").over(nf_group))
-        .withColumn("_rn", F.row_number().over(nf_rank))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # Single-scan form: both branches' windows are computed over ONE
+    # pass of the input (two shuffles, as in the two-branch form, but
+    # the source is read once and there is no union).
+    #
+    # Window 1 — per-statement group: on non-fragment rows ``fragment``
+    # is the constant '' so this is exactly the content-dedupe group
+    # (MERGE_GROUP_NONFRAGMENT extended by entity_id/prop, which the id
+    # determines under content addressing); on fragment rows it is the
+    # per-id idempotency group.
+    w_id = W.partitionBy(*MERGE_GROUP_FRAGMENT, "id")
+    w_id_rank = w_id.orderBy(F.desc("last_seen"), F.desc_nulls_last("deleted_at"))
+    # Window 2 — the supersession group (fragment rows only consult it).
+    w_frag = W.partitionBy(*MERGE_GROUP_FRAGMENT)
 
-    # --- branch 2: fragment — supersession, ties at group max survive.
-    fr = raw.filter(is_fragment)
-    fr_group = W.partitionBy(*MERGE_GROUP_FRAGMENT)
-    # per-id idempotency window: a re-run of merge output must be a
-    # no-op even though every surviving row ties at the group max
-    fr_id_rank = W.partitionBy(*MERGE_GROUP_FRAGMENT, "id").orderBy(
-        F.desc("last_seen"), F.desc_nulls_last("deleted_at")
+    annotated = (
+        raw.withColumn("_rn", F.row_number().over(w_id_rank))
+        .withColumn("_fs_id", F.min("first_seen").over(w_id))
+        .withColumn("_fs_frag", F.min("first_seen").over(w_frag))
+        .withColumn("_max_ls", F.max("last_seen").over(w_frag))
     )
-    fr = (
-        fr.withColumn("first_seen", F.min("first_seen").over(fr_group))
-        .withColumn("_max_seen", F.max("last_seen").over(fr_group))
-        .withColumn("_rn", F.row_number().over(fr_id_rank))
-        .filter((F.col("last_seen") == F.col("_max_seen")) & (F.col("_rn") == 1))
-        .drop("_max_seen", "_rn")
+    keep = (F.col("_rn") == 1) & (
+        ~is_fragment | (F.col("last_seen") == F.col("_max_ls"))
     )
-
-    out = nf.unionByName(fr)
+    out = (
+        annotated
+        # fold BEFORE the filter: dropped duplicates still contribute
+        # their first observation (reference SELECT * REPLACE pattern)
+        .withColumn(
+            "first_seen",
+            F.when(is_fragment, F.col("_fs_frag")).otherwise(F.col("_fs_id")),
+        )
+        .filter(keep)
+        .drop("_rn", "_fs_id", "_fs_frag", "_max_ls")
+    )
     if grace_cutoff is not None:
         out = reap_tombstones(out, grace_cutoff)
     return out.select(*STATEMENT_COLUMNS)
