@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("dataset")
     s.add_argument("--since", default=None,
                    help="ISO timestamp; default: the stored diff cursor")
+    s.add_argument("--out", default=None,
+                   help="write envelopes to this directory instead of stdout")
     return p
 
 
@@ -141,8 +143,11 @@ def main(argv: list[str] | None = None) -> int:
                 else datetime.fromtimestamp(0, tz=timezone.utc)
             )
         now = datetime.now(timezone.utc)
-        for line in ds.diff(since).toJSON().toLocalIterator():
-            print(line)
+        if args.out:
+            ds.export_diff(args.out, since)
+        else:
+            for line in ds.diff(since).toJSON().toLocalIterator():
+                print(line)
         ds.versions.put("diff-cursor", {"since": now.isoformat()})
     elif args.cmd == "get":
         ent = lake.dataset(args.dataset).get(args.entity_id)

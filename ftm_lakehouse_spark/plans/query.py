@@ -60,7 +60,7 @@ class Query:
     origins: tuple[str, ...] = ()
     entity_filters: tuple[tuple[str, str, object], ...] = ()  # meta-field filters
     prop_filters: tuple[tuple[str, str, object], ...] = ()  # EAV filters
-    sort: tuple[tuple[str, bool], ...] = ()  # (prop, ascending)
+    sort: tuple[tuple[str, bool, bool], ...] = ()  # (prop, ascending, numeric)
     start: int = 0
     stop: int | None = None
 
@@ -80,8 +80,11 @@ class Query:
                 q = replace(q, prop_filters=(*q.prop_filters, (name, op, value)))
         return q
 
-    def order_by(self, prop: str, ascending: bool = True) -> "Query":
-        return replace(self, sort=(*self.sort, (prop, ascending)))
+    def order_by(self, prop: str, ascending: bool = True, numeric: bool = False) -> "Query":
+        """Order entities by a property value (O4). ``numeric=True``
+        casts the sort key to double — FtM stores numbers as strings,
+        where lexicographic order would put "100" before "2"."""
+        return replace(self, sort=(*self.sort, (prop, ascending, numeric)))
 
     def __getitem__(self, item: slice) -> "Query":
         if not isinstance(item, slice) or item.step not in (None, 1):
@@ -127,15 +130,19 @@ class Query:
         # entity-grain sort key: min value of the sort property (O4) —
         # computed only over matching entities
         scoped = statements.join(ids, "entity_id", "left_semi")
+        def sort_value(prop: str, numeric: bool):
+            v = F.when(F.col("prop") == prop, F.col("value"))
+            return F.min(v.cast("double") if numeric else v)
+
         keyed = scoped.groupBy("entity_id").agg(
             *[
-                F.min(F.when(F.col("prop") == prop, F.col("value"))).alias(f"_k{i}")
-                for i, (prop, _) in enumerate(self.sort)
+                sort_value(prop, numeric).alias(f"_k{i}")
+                for i, (prop, _, numeric) in enumerate(self.sort)
             ]
         )
         order = [
             (F.asc_nulls_last(f"_k{i}") if asc else F.desc_nulls_last(f"_k{i}"))
-            for i, (_, asc) in enumerate(self.sort)
+            for i, (_, asc, _n) in enumerate(self.sort)
         ] + [F.asc("entity_id")]
         if self.stop is not None:
             # top-`stop` first (TakeOrderedAndProject — per-partition
