@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the efficiency properties PLANS.md
+documents, asserted so a refactor can't silently lose them.
+
+These only build plans (no job execution), so they are cheap. The
+properties mirror the reference's hand-built optimizations (SURVEY §4):
+predicate pushdown to file stats (logic/parquet.py:170-174 keeps the
+live view window-free for this), column pruning
+(model/statement.py:90-123), and semi-join shape instead of IN-literal
+batching (logic/parquet.py:195-231).
+"""
+
+from __future__ import annotations
+
+from ftm_lakehouse_spark.queries.inventory import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name][0](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate predicate reaches the parquet scan (file-stat skipping)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 7 referenced columns
+    assert "l_partkey" not in plan and "l_comment" not in plan
+    # partial aggregation: two HashAggregates around one shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multiway_star_broadcasts_dims(spark):
+    plan = plan_of(spark, "j_multiway_star")
+    # all dim joins broadcast — the fact table is never shuffled on a
+    # dim key (the reference's 5k-row IN-batching has no analog here)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # orders' date predicate is pushed, and each scan is pruned to its
+    # join/agg columns only
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "c_name" not in plan  # customer contributes only c_custkey
+    assert "o_totalprice" not in plan
+
+
+def test_semi_join_is_broadcast_left_semi(spark):
+    plan = plan_of(spark, "j_semi_join_changed")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_merge_dedupe_single_shuffle(spark):
+    plan = plan_of(spark, "a_merge_dedupe_latest")
+    # the windowed dedupe shuffles ONCE on the window keys; rank filter
+    # and projection stay in the same stage. formatted-mode lists each
+    # node twice (tree + detail), so 1 physical Exchange == 2 mentions.
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
+def test_topk_never_global_sorts(spark):
+    plan = plan_of(spark, "o_topk_global")
+    # per-partition top-k + driver heap merge; no shuffle, no full Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_point_lookup_prunes_partitions(spark, tmp_path):
+    """F7: get(entity_id) must hit one hive partition, not scan the
+    table (reference: storage/parquet.py:276-292 hand-iterates shards;
+    Spark partition pruning does it from the literal predicate)."""
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from tests.test_lakehouse import entities_df
+
+    import pyspark.sql.functions as F
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.model.statement import entity_shard
+    from tests.test_lakehouse import entities_df
+
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    ds = lake.dataset("p", shards=4)
+    ents = [
+        {"id": f"e{i}", "schema": "Person", "properties": {"name": [f"n{i}"]}}
+        for i in range(16)
+    ]
+    ds.write_entities(entities_df(spark, *ents))
+    # the same pruned scan get() builds internally
+    stmts = ds.store.live().filter(
+        (F.col("shard") == entity_shard(F.lit("e3"), ds.config.shards))
+        & (F.col("entity_id") == "e3")
+    )
+    plan = stmts._sc._jvm.PythonSQLUtils.explainString(
+        stmts._jdf.queryExecution(), "formatted"
+    )
+    # the shard equality becomes a partition filter (directory prune),
+    # and the entity_id equality is pushed to parquet row groups
+    assert "PartitionFilters" in plan
+    assert "EqualTo(entity_id,e3)" in plan
