@@ -958,10 +958,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.3, block_tokens=4)
 
 
-@_register("dedup_simhash", None)  # bit-level ops: rows-only check
+def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    """Brute-force replica of the 48-bit vote-fold SimHash: per distinct
+    token, md5 hex nibbles → sign votes per bit; signature = the
+    positive-vote bits; pairs by exact hamming distance. Valid as an
+    oracle because block probing with ``max_hamming < blocks`` is
+    exhaustive (pigeonhole), so the LSH path and the O(n²) scan must
+    produce the identical pair set."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS tok
+        FROM documents
+    ), bitv AS (
+        SELECT doc_id, j,
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                          >> (3 - CAST(j % 4 AS INT))) & 1 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM toks, (SELECT range AS j FROM range({bits})) bits
+    ), votes AS (
+        SELECT doc_id, j, sum(vote) AS v FROM bitv GROUP BY doc_id, j
+    ), sh AS (
+        SELECT d.doc_id,
+               coalesce(sum(CASE WHEN v.v > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(v.j AS INT))
+                                 ELSE 0 END), 0) AS sh
+        FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
+    """
+
+
+@_register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash hamming-close pairs via pigeonhole block probing
-    (non-SQL-expressible tier: 48-bit vote-fold signatures)."""
+    """SimHash hamming-close pairs via pigeonhole block probing. The
+    signature is engine-portable (md5 nibble votes, conv-parsed — see
+    operators/dedupe.simhash), so the oracle recomputes it brute-force
+    in DuckDB; pigeonhole exhaustiveness makes the pair sets equal."""
     from ftm_lakehouse_spark.operators.dedupe import simhash_duplicates
 
     d = load_table(spark, sf_dir, "documents")
