@@ -1044,10 +1044,62 @@ def sim_knn_join(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
-@_register("sim_ann_lsh", None)  # approximate by construction: rows-only
+def _hyperplane_sig_sql(num_bits: int, dim: int, seed: int = 7) -> str:
+    """SQL expression computing ``operators/similarity.hyperplane_signature``
+    over a DOUBLE[] column ``v``: the seeded numpy hyperplane components
+    embed as round-trippable float literals, so DuckDB reproduces the
+    identical bigint signature (only the SIGN of each plane dot product
+    matters, making the bits robust to summation-order float noise)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((num_bits, dim))
+    return " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[b])
+        + f"]) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(num_bits)
+    )
+
+
+def _ann_lsh_oracle(
+    k: int = 5,
+    num_bits: int = 16,
+    max_hamming: int = 4,
+    dim: int = 64,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+) -> str:
+    """Replica of ``ann_lsh_topk``: 'approximate' only in WHICH
+    candidates the hamming prefilter admits — and that filter is
+    deterministic (seeded planes), so the final top-k is exactly
+    reproducible. Ranks on the unrounded cosine with an id tiebreak,
+    mirroring the Spark window spec."""
+    cos = (
+        "list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, v, ({_hyperplane_sig_sql(num_bits, dim)}) AS sig FROM base
+    ), cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, {cos} AS cosine
+        FROM sig c JOIN (SELECT * FROM sig WHERE vec_id IN ({ids})) q
+          ON bit_count(xor(c.sig, q.sig)) <= {max_hamming}
+    )
+    SELECT qid, cid, round(cosine, 6) AS cosine
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) <= {k}
+    """
+
+
+@_register("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN top-k (deterministic seeded planes) —
-    the scale path where the corpus never self-joins."""
+    """Hyperplane-LSH ANN top-k (deterministic seeded planes) — the
+    scale path where the corpus never self-joins. The hamming prefilter
+    is deterministic, so the DuckDB oracle reproduces the exact top-k:
+    a full hash match despite the 'approximate' algorithm class."""
     from ftm_lakehouse_spark.operators.similarity import ann_lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1308,16 +1360,59 @@ def ftm_canonicalize(spark, sf_dir):
     )
 
 
-@_register("dedup_embedding_cosine", None)  # LSH-blocked: rows-only
+def _embedding_cosine_oracle(
+    threshold: float = 0.9,
+    num_bits: int = 16,
+    max_hamming: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """Exact replica of ``embedding_near_dups``: the candidate set is
+    "pairs sharing >= 1 hyperplane-signature chunk", then rounded exact
+    cosine >= threshold — fully deterministic because the hyperplanes
+    are seeded (numpy default_rng), so their float64 components embed
+    here as round-trippable SQL literals. Only the SIGN of each plane
+    dot product matters, so cross-engine summation-order noise (~1e-15)
+    cannot flip a bit except for dots at machine epsilon of zero."""
+    sig_terms = _hyperplane_sig_sql(num_bits, dim, seed)
+    blocks = max_hamming + 1
+    width = num_bits // blocks
+    mask = (1 << width) - 1
+    share_chunk = " OR ".join(
+        f"((l.sig >> {b * width}) & {mask}) = ((r.sig >> {b * width}) & {mask})"
+        for b in range(blocks)
+    )
+    cos = (
+        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+        " * sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sig AS (
+        SELECT vec_id, v, ({sig_terms}) AS sig FROM base
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b, {cos} AS cosine
+    FROM sig l JOIN sig r
+      ON l.vec_id < r.vec_id AND ({share_chunk})
+    WHERE {cos} >= {threshold}
+    """
+
+
+@_register("dedup_embedding_cosine", _embedding_cosine_oracle(threshold=0.4))
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: hyperplane-LSH pigeonhole
-    blocking + exact cosine >= 0.9 verify (the vector tier of the dedup
-    suite — no O(n²) stage)."""
+    blocking + exact rounded-cosine threshold verify (the vector tier
+    of the dedup suite — no O(n²) stage). Threshold 0.4 here: the
+    synthetic corpus plants no true near-dups (max pairwise cosine
+    ~0.51), and a 0-row gate would be vacuous. The oracle recomputes
+    the identical seeded signatures and the chunk-sharing candidate
+    condition in DuckDB, so the comparison is a full hash match."""
     from ftm_lakehouse_spark.operators.dedupe import embedding_near_dups
 
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return embedding_near_dups(e, threshold=0.9, dim=dim)
+    return embedding_near_dups(e, threshold=0.4, dim=dim)
 
 
 @_register(
