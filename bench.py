@@ -44,6 +44,8 @@ HEADLINE = [
     "a_cube_stats",
     "ftm_canonicalize",
     "text_tfidf_top_terms",
+    "sim_ann_lsh",
+    "dedup_embedding_cosine",
 ]
 
 

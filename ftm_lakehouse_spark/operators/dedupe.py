@@ -282,15 +282,21 @@ def embedding_near_dups(
     equi-join per chunk finds them without an O(n²) cross join. Exact
     cosine then filters to ``>= threshold``. Returns (a, b, cosine).
     """
-    from ftm_lakehouse_spark.functions.vectors import cosine_similarity
+    from ftm_lakehouse_spark.functions.vectors import dot_product, l2_norm
     from ftm_lakehouse_spark.operators.similarity import hyperplane_signature
 
     blocks = max_hamming + 1
     width = num_bits // blocks
     sig = hyperplane_signature(F.col(vec_col), num_bits, dim)
+    # norm once per VECTOR (n rows), not per candidate pair (~n²/buckets
+    # rows) — cosine(a,b) = dot(a,b)/(|a|·|b|) is float-identical either
+    # way (same ops, same order), so the oracle is unaffected
     base = vectors.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), sig.alias("sig")
-    )
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        sig.alias("sig"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    ).localCheckpoint(eager=False)
     chunked = base.select(
         "doc",
         "sig",
@@ -319,14 +325,20 @@ def embedding_near_dups(
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    hydrated = (
-        cand.join(base.select(F.col("doc").alias("a"), F.col("vec").alias("va")), "a")
-        .join(base.select(F.col("doc").alias("b"), F.col("vec").alias("vb")), "b")
+    hydrated = cand.join(
+        base.select(
+            F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+        ),
+        "a",
+    ).join(
+        base.select(
+            F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+        ),
+        "b",
     )
+    cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        hydrated.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-        )
+        hydrated.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -117,21 +117,26 @@ def hyperplane_signature(vec_col, num_bits: int = 16, dim: int = 64, seed: int =
     sets each bit. Cosine-similar vectors share signature prefixes."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bits, dim))
-    bits = []
-    for b in range(num_bits):
-        h = F.array(*[F.lit(float(x)) for x in planes[b]])
-        dot = F.aggregate(
-            F.zip_with(vec_col, h, lambda x, y: x.cast("double") * y),
+    # ONE expression tree (nested-array literal + transform fold), not
+    # num_bits separate folds: halves Catalyst analysis/codegen time,
+    # which dominates at small scale and is pure overhead at any scale.
+    # Float semantics are unchanged — same sequential per-plane fold.
+    planes_col = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in planes])
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(num_bits)])
+    bits = F.transform(
+        planes_col,
+        lambda plane: F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        > 0,
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda bt, p: F.when(bt, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ann_lsh_topk(
