@@ -87,6 +87,12 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     ``array_min`` over a transformed array stays in codegen; the whole
     signature is one projection, no shuffle.
     """
+    # Deliberately num_hashes separate exprs in a CreateArray, NOT one
+    # transform-over-seeds: lsh_band_keys extracts signature[i] with
+    # constant indices, and Catalyst collapses GetArrayItem(CreateArray)
+    # to the single needed element — a transform-built array defeats
+    # that and re-evaluates ALL hashes per extraction (~2.5x slower
+    # end-to-end, measured at sf0.1).
     def hasher(seed: int):
         # NB: the lambda must take exactly ONE arg — a two-arg lambda
         # makes transform() pass the array index, shadowing the seed
