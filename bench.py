@@ -46,6 +46,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "sim_ann_lsh",
     "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
 ]
 
 

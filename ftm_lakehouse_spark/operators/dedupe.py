@@ -342,3 +342,59 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by hash-min label propagation — the
+    scalable CC pattern (HashToMin, Rastogi et al. 2013): every node
+    repeatedly adopts the minimum label in its neighborhood, converging
+    in O(component diameter) rounds; each round is one shuffle join +
+    one min-aggregation, no driver-side graph.
+
+    Near-dup clusters have tiny diameters (pairs come from shared LSH
+    buckets), so this terminates in a handful of rounds even at 100 TB
+    — the per-round cost is bounded by |edges|, never |nodes|².
+
+    Returns (doc, cluster) where ``cluster`` is the component's minimum
+    node id — the canonical-document convention of dedup pipelines.
+    Only nodes that appear in ``edges`` are returned (singletons are
+    their own cluster trivially).
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # cut lineage once up front: the edge set feeds every iteration
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("doc")).distinct().withColumn("label", F.col("doc"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.u == labels.doc)
+            .groupBy(F.col("v").alias("doc2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        # materialize BEFORE the convergence probe so the iteration's
+        # work isn't recomputed by the count and the next round
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("doc", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster"))

@@ -932,6 +932,45 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
 
 
+def _cluster_oracle() -> str:
+    """Connected components of the minhash near-dup graph as a DuckDB
+    recursive CTE: ``reach`` closes over "label L reaches doc D", and
+    min(label) per doc is the component minimum — exactly what hash-min
+    label propagation converges to."""
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT a, b FROM ({_minhash_oracle()})
+    ), und AS (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL
+        SELECT b AS u, a AS v FROM edges
+    ), reach AS (
+        SELECT DISTINCT u AS doc, u AS label FROM und
+        UNION
+        SELECT e.v AS doc, r.label FROM reach r JOIN und e ON e.u = r.doc
+    )
+    SELECT doc, min(label) AS cluster FROM reach GROUP BY doc
+    """
+
+
+@_register("dedup_cluster_canonical", _cluster_oracle())
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    minhash-LSH pair graph by hash-min label propagation, canonical doc
+    = component-minimum id — the step that turns pairwise dedup into a
+    keep/drop decision per document. Iterative (O(diameter) rounds of
+    join + min-agg); the oracle closes the same graph with a recursive
+    CTE, so the comparison is a full hash match."""
+    from ftm_lakehouse_spark.operators.dedupe import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    return connected_components(pairs)
+
+
 @_register(
     "dedup_ngram_jaccard",
     f"""

@@ -161,3 +161,20 @@ def test_embedding_near_dups(vectors):
     assert (0, 19) in found  # the planted near-copy
     # high threshold: no random pair sneaks in
     assert all({a, b} == {0, 19} for a, b in found)
+
+
+def test_connected_components_multi_hop(spark):
+    from ftm_lakehouse_spark.operators.dedupe import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    out = {r["doc"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
