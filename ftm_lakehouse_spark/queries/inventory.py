@@ -266,6 +266,46 @@ def j_multiway_star(spark, sf_dir):
     )
 
 
+@_register(
+    "j_correlated_threshold",
+    """
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 5
+    JOIN (SELECT l_partkey,
+                 0.2 * (sum(l_quantity) / count(l_quantity)) AS thr
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.thr
+    """,
+)
+def j_correlated_threshold(spark, sf_dir):
+    """TPC-H Q17-shaped correlated scalar subquery ("rows below 20% of
+    their part's average quantity"), written in its decorrelated form —
+    the rewrite Catalyst applies to the correlated SQL: one per-key
+    aggregate, re-joined on the correlation key. The threshold is
+    sum/count of integer-valued doubles (exact at any partial-agg
+    order), so the float compare is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
 # =====================================================================
 # A — aggregations (SURVEY §2.4) + W — windows (§2.5)
 # =====================================================================
