@@ -83,3 +83,45 @@ def test_streaming_windowed_stats(spark, tmp_path):
     by_schema = {(r["schema"], r["window"]["start"].minute): r["n_statements"] for r in out}
     assert by_schema[("Person", 0)] == 6
     assert by_schema[("Company", 5)] == 1
+
+
+def test_approx_stats_error_bounds(spark):
+    """x_approx_stats is the one rows-only gate query (HLL / KLL sketch
+    internals are engine-specific, so no DuckDB value hash). Pin its
+    accuracy here instead: sketches must land within their configured
+    error bounds of the exact answers."""
+    import pyspark.sql.functions as F
+
+    from ftm_lakehouse_spark.queries.inventory import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["x_approx_stats"][0](spark, sf).collect()
+    }
+    from ftm_lakehouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        e = exact[et]
+        assert a["n"] == e["n"]  # plain count rides along exactly
+        # approx_count_distinct at rsd=0.01: allow 5% slack
+        assert abs(a["approx_users"] - e["users"]) <= max(5, 0.05 * e["users"])
+        # percentile_approx at accuracy=10000: near-exact on 60k rows;
+        # compare against the exact interpolated percentiles loosely
+        # (the sketch returns an observed value, not an interpolation)
+        spread = e["p95"] - e["p50"] or 1.0
+        assert abs(a["value_pcts"][0] - e["p50"]) <= 0.05 * spread
+        assert abs(a["value_pcts"][1] - e["p95"]) <= 0.05 * spread
