@@ -1206,10 +1206,10 @@ def sim_ann_lsh(spark, sf_dir):
         FROM events
     )
     SELECT event_id, user_id, ts,
-           sum(new_session) OVER (
+           CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM gaps
     """,
 )
@@ -1339,11 +1339,18 @@ def u_except_ids(spark, sf_dir):
 @_register("x_approx_stats", None)  # approximate by design: rows-only
 def x_approx_stats(spark, sf_dir):
     """Sketch aggregates for 100 TB interactive stats:
-    approx_count_distinct (HLL) + approx percentiles in one pass."""
+    approx_count_distinct (HLL) + approx percentiles in one pass.
+
+    Percentiles are projected as scalar columns (p50/p95/p99) — the
+    driver's rows-only canonicalization sorts over all columns and a
+    list-typed column is unhashable in pandas (round-1 red gate)."""
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
         F.count("*").alias("n"),
     )
 
