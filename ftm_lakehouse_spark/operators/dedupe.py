@@ -365,9 +365,11 @@ def connected_components(
     Only nodes that appear in ``edges`` are returned (singletons are
     their own cluster trivially).
     """
-    und = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+    # node ids keep their native type: min-label propagation only needs
+    # an ordering, which strings have too. A cast("long") here would
+    # turn string doc ids (e.g. statement-store entity ids) into NULLs
+    # and silently collapse every node into one meaningless cluster.
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # cut lineage once up front: the edge set feeds every iteration
     und = und.localCheckpoint(eager=True)

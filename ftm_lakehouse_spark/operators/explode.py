@@ -12,10 +12,13 @@ Spark realization: the whole transform is native column expressions —
 the row path. The FtM registry concerns (prop types, schema buckets)
 are broadcast-size literal maps.
 
-Statement id formula (C2): ``sha1(dataset ␟ entity_id ␟ prop ␟ value
-␟ external ␟ lang)`` with the unit separator, mirroring the shape of
-FtM's ``Statement.make_key`` (content addressing is what matters for
-idempotent re-import; see model docstring for interop caveats).
+Statement id formula (C2): byte-compatible with the public
+followthemoney ``stmt_key`` — ``sha1(f"{dataset}.{entity_id}.{prop}.
+{value}")`` with the conditional lang/original_value segment and the
+``.ext`` suffix for external statements; the BASE_ID checksum is
+``sha1(schema + "".join(sorted(set(ids))))`` exactly as
+``make_base_id_statement`` computes it. Pinned by literal-digest
+golden tests in tests/test_ftm_ids.py.
 """
 
 from __future__ import annotations
@@ -160,32 +163,53 @@ def prop_type(prop: Column) -> Column:
 
 def statement_id(
     dataset: Column, entity_id: Column, prop: Column, value: Column,
-    external: Column, lang: Column,
+    external: Column, lang: Column, original_value: Column | None = None,
 ) -> Column:
-    """Content-addressed statement id (reference Statement.make_key,
-    logic/entities/explode.py:129,196)."""
-    return F.sha1(
-        F.concat_ws(
-            "\x1f",
-            dataset,
-            entity_id,
-            prop,
-            value,
-            external.cast("string"),
-            F.coalesce(lang, F.lit("")),
-        )
+    """Content-addressed statement id — BYTE-COMPATIBLE with the public
+    followthemoney ``stmt_key`` formula (``Statement.make_key``; the
+    reference calls it at logic/entities/explode.py:129,196)::
+
+        key = f"{dataset}.{entity_id}.{prop}.{value}"
+        if lang is not None or original_value is not None:
+            key += f".{lang or ''}.{original_value or ''}"
+        if external is True:
+            key += ".ext"
+        sha1(key.encode("utf-8")).hexdigest()
+
+    The lang/original_value segment is appended per-row when either is
+    non-null, mirroring the Python-level None checks. Pinned against
+    literal digests in tests/test_ftm_ids.py."""
+    if original_value is None:
+        original_value = F.lit(None).cast("string")
+    # F.concat (not concat_ws): a NULL component nulls the whole id,
+    # matching the reference's "make_key returned None → skip row"
+    key = F.concat(
+        dataset, F.lit("."), entity_id, F.lit("."), prop, F.lit("."), value
     )
+    extra = F.when(
+        lang.isNotNull() | original_value.isNotNull(),
+        F.concat(
+            F.lit("."),
+            F.coalesce(lang, F.lit("")),
+            F.lit("."),
+            F.coalesce(original_value, F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    ext = F.when(external.cast("boolean"), F.lit(".ext")).otherwise(F.lit(""))
+    return F.sha1(F.concat(key, extra, ext))
 
 
-def base_id_checksum(schema: Column, sorted_ids: Column) -> Column:
-    """BASE_ID checksum: sha1(schema) folded over the sorted statement
-    ids (reference helpers/statements.py:102-144). A sequential fold
-    over the pre-sorted id array — deterministic under any shuffle
-    order."""
-    return F.aggregate(
-        sorted_ids,
-        F.sha1(schema),
-        lambda acc, sid: F.sha1(F.concat(acc, sid)),
+def base_id_checksum(schema: Column, ids: Column) -> Column:
+    """BASE_ID checksum — byte-compatible with the reference's
+    ``make_base_id_statement`` (helpers/statements.py:102-144): one sha1
+    digest seeded with the schema name and updated with the entity's
+    statement ids, **sorted and de-duplicated**. ``digest.update`` is
+    stream concatenation, so this is exactly
+    ``sha1(schema + "".join(sorted(set(ids))))`` — deterministic under
+    any shuffle order, and duplicate property values cannot perturb
+    ``last_change`` across a round-trip."""
+    return F.sha1(
+        F.concat(schema, F.concat_ws("", F.array_sort(F.array_distinct(ids))))
     )
 
 
@@ -207,17 +231,18 @@ def explode_entities(
     * one pinned ``last_seen``/``first_seen`` per call (producer
       contract: all rows of one emission share one last_seen).
     """
-    from ftm_lakehouse_spark.functions.codec import namespace_strip
+    from ftm_lakehouse_spark.functions.codec import clean_entity_id
 
     now = F.date_trunc("second", seen if seen is not None else F.current_timestamp())
 
     base = entities.select(
-        # namespace signatures are stripped from ids on ingest (C6,
-        # reference explode.py:37-39,89,125-128)
-        namespace_strip(F.col("id")).alias("entity_id"),
+        # ids are registry-cleaned + namespace-stripped on ingest (C6,
+        # reference explode.py:37-39,89,125-128); entities whose id
+        # fails the clean vanish entirely, like the safe path
+        clean_entity_id(F.col("id")).alias("entity_id"),
         F.col("schema"),
         F.explode("properties").alias("prop", "values"),
-    )
+    ).filter(F.col("entity_id").isNotNull())
     pairs = base.select(
         "entity_id",
         "schema",
@@ -230,11 +255,13 @@ def explode_entities(
         F.col("schema"),
         F.col("prop"),
         pt.alias("prop_type"),
-        # entity-reference values are ids too — strip them the same way
-        F.when(pt == "entity", namespace_strip(F.col("value")))
+        # entity-reference values are ids too — cleaned the same way;
+        # unclean refs are dropped, not passed through (reference
+        # explode.py:124-128)
+        F.when(pt == "entity", clean_entity_id(F.col("value")))
         .otherwise(F.col("value"))
         .alias("value"),
-    )
+    ).filter(F.col("value").isNotNull())
 
     # BASE_ID row: value = fold of the entity's sorted statement ids
     ext = F.lit(False)
@@ -243,7 +270,7 @@ def explode_entities(
     checksum = (
         stmts.select("entity_id", "schema", sid.alias("sid"))
         .groupBy("entity_id", "schema")
-        .agg(F.array_sort(F.collect_list("sid")).alias("sids"))
+        .agg(F.collect_list("sid").alias("sids"))
         .select(
             "entity_id",
             "schema",

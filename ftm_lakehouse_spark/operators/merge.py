@@ -65,12 +65,18 @@ def canonicalize(raw: DataFrame, grace_cutoff: datetime | None = None) -> DataFr
     # pass of the input (two shuffles, as in the two-branch form, but
     # the source is read once and there is no union).
     #
-    # Window 1 — per-statement group: on non-fragment rows ``fragment``
-    # is the constant '' so this is exactly the content-dedupe group
-    # (MERGE_GROUP_NONFRAGMENT extended by entity_id/prop, which the id
-    # determines under content addressing); on fragment rows it is the
+    # Window 1 — per-statement group. Non-fragment rows must dedupe on
+    # exactly MERGE_GROUP_NONFRAGMENT = (shard, bucket, origin, id):
+    # ids are *usually* content-addressed (id determines entity_id and
+    # prop) but write_statements / CSV import accept arbitrary ids, and
+    # duplicate ids with differing entity_id/prop must still collapse
+    # (reference _dedupe_sql keys only on id). So entity_id/prop are
+    # masked to '' for non-fragment rows; fragment rows keep the full
     # per-id idempotency group.
-    w_id = W.partitionBy(*MERGE_GROUP_FRAGMENT, "id")
+    ek = F.when(is_fragment, F.col("entity_id")).otherwise(F.lit(""))
+    pk = F.when(is_fragment, F.col("prop")).otherwise(F.lit(""))
+    id_group = ["shard", "bucket", "origin", ek, pk, F.col("fragment"), F.col("id")]
+    w_id = W.partitionBy(*id_group)
     w_id_rank = w_id.orderBy(F.desc("last_seen"), F.desc_nulls_last("deleted_at"))
     # Window 2 — the supersession group (fragment rows only consult it).
     w_frag = W.partitionBy(*MERGE_GROUP_FRAGMENT)

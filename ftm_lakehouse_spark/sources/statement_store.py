@@ -108,8 +108,10 @@ class TagStore:
 class StatementStore:
     #: per-table-path write locks (process-wide): the default Hadoop
     #: committer cannot handle two simultaneous jobs appending to one
-    #: path — see class docstring
-    _write_locks: dict[str, threading.Lock] = {}
+    #: path — see class docstring. Reentrant so merge()/compact() can
+    #: hold the lock across their read→canonicalize→swap span while
+    #: overwrite_partitions acquires it again internally.
+    _write_locks: dict[str, threading.RLock] = {}
     _write_locks_guard = threading.Lock()
 
     def __init__(self, spark: SparkSession, path: str, config: DatasetConfig):
@@ -119,7 +121,7 @@ class StatementStore:
         self.tags = TagStore(os.path.join(path, "_meta", "tags.json"))
         with StatementStore._write_locks_guard:
             self._write_lock = StatementStore._write_locks.setdefault(
-                os.path.abspath(path), threading.Lock()
+                os.path.abspath(path), threading.RLock()
             )
 
     # ---------------------------------------------------------- reads
@@ -149,16 +151,18 @@ class StatementStore:
 
     def append(self, df: DataFrame) -> None:
         df = df.select(*STATEMENT_SCHEMA.fieldNames())
-        # stamp per-partition freshness BEFORE data lands (crash-safe
-        # ordering, reference storage/parquet.py:545-569) — a crash
-        # between stamp and write leaves a partition marked dirty, which
-        # merge treats as "re-check", never "skip"
         touched = (
             df.select(*PARTITION_COLUMNS).distinct().collect()
         )
-        for r in touched:
-            self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
         with self._write_lock:
+            # stamp per-partition freshness BEFORE data lands (crash-safe
+            # ordering, reference storage/parquet.py:545-569) — a crash
+            # between stamp and write leaves a partition marked dirty,
+            # which merge treats as "re-check", never "skip". Stamped
+            # INSIDE the lock so a merge serialized before this append
+            # cannot stamp a newer optimized: over these tags.
+            for r in touched:
+                self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
             (
                 self._cluster_for_write(df)
                 .write.mode("append")
@@ -213,40 +217,45 @@ class StatementStore:
         ``expected``: partitions the caller rewrote. Any expected
         partition that produced NO output (every row reaped) has its
         live directory removed — without this, a fully-tombstoned
-        partition would keep stale files forever."""
+        partition would keep stale files forever.
+
+        Holds the per-path write lock for the whole stage-write + swap:
+        an append racing the swap would otherwise land files in a
+        partition directory the swap is about to rmtree — silent loss."""
         import shutil
 
         stage = os.path.join(self.path, f"_stage-{time.monotonic_ns()}")
-        (
-            self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
-            .write.mode("overwrite")
-            .options(**self._write_options())
-            .partitionBy(*PARTITION_COLUMNS)
-            .parquet(stage)
-        )
-        data = self._data_path()
-        os.makedirs(data, exist_ok=True)
-        written: set[tuple[str, ...]] = set()
-        for root, _dirs, files in os.walk(stage):
-            if not any(f.endswith(".parquet") for f in files):
-                continue
-            rel = os.path.relpath(root, stage)
-            parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
-            if len(parts) == len(PARTITION_COLUMNS):
-                written.add(tuple(parts[c] for c in PARTITION_COLUMNS))
-            target = os.path.join(data, rel)
-            if os.path.isdir(target):
-                shutil.rmtree(target)
-            os.makedirs(os.path.dirname(target), exist_ok=True)
-            shutil.move(root, target)
-        shutil.rmtree(stage, ignore_errors=True)
-        for part in expected or []:
-            if tuple(part) not in written:
-                s, b, o = part
-                shutil.rmtree(
-                    os.path.join(data, f"shard={s}", f"bucket={b}", f"origin={o}"),
-                    ignore_errors=True,
-                )
+        with self._write_lock:
+            (
+                self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
+                .write.mode("overwrite")
+                .options(**self._write_options())
+                .partitionBy(*PARTITION_COLUMNS)
+                .parquet(stage)
+            )
+            data = self._data_path()
+            os.makedirs(data, exist_ok=True)
+            written: set[tuple[str, ...]] = set()
+            for root, _dirs, files in os.walk(stage):
+                if not any(f.endswith(".parquet") for f in files):
+                    continue
+                rel = os.path.relpath(root, stage)
+                parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                if len(parts) == len(PARTITION_COLUMNS):
+                    written.add(tuple(parts[c] for c in PARTITION_COLUMNS))
+                target = os.path.join(data, rel)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                shutil.move(root, target)
+            shutil.rmtree(stage, ignore_errors=True)
+            for part in expected or []:
+                if tuple(part) not in written:
+                    s, b, o = part
+                    shutil.rmtree(
+                        os.path.join(data, f"shard={s}", f"bucket={b}", f"origin={o}"),
+                        ignore_errors=True,
+                    )
 
     # ---------------------------------------------------- maintenance
     def dirty_partitions(self) -> list[tuple[str, str, str]]:
@@ -272,31 +281,37 @@ class StatementStore:
         within the shared shuffle)."""
         if not self.exists():
             return False
-        dirty = self.dirty_partitions()
-        if force:
-            dirty = [
-                (r["shard"], r["bucket"], r["origin"])
-                for r in self.raw().select(*PARTITION_COLUMNS).distinct().collect()
-            ]
-        if not dirty:
-            return False
-        cutoff = datetime.now(timezone.utc) - timedelta(days=grace_days)
-        raw = self.raw()
-        # disjunction of per-partition conjunctions — unlike a concat-key
-        # isin, this shape survives Catalyst's partition pruning, so the
-        # scan literally never opens clean partitions
-        pred = None
-        for s, b, o in dirty:
-            clause = (
-                (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
-            )
-            pred = clause if pred is None else (pred | clause)
-        canonical = canonicalize(raw.filter(pred), grace_cutoff=cutoff)
-        self.overwrite_partitions(canonical, expected=dirty)
-        now = datetime.now(timezone.utc)
-        for p in dirty:
-            self.tags.touch(f"optimized:{'/'.join(p)}", now)
-        self.tags.touch("last_optimized", now)
+        # hold the write lock across read→canonicalize→swap: a threaded
+        # append stamps its updated: tag BEFORE acquiring the lock, so
+        # capturing `now` here (before the scan) guarantees any append
+        # racing this merge compares updated > optimized and the
+        # partition stays dirty for the next merge
+        with self._write_lock:
+            now = datetime.now(timezone.utc)
+            dirty = self.dirty_partitions()
+            if force:
+                dirty = [
+                    (r["shard"], r["bucket"], r["origin"])
+                    for r in self.raw().select(*PARTITION_COLUMNS).distinct().collect()
+                ]
+            if not dirty:
+                return False
+            cutoff = now - timedelta(days=grace_days)
+            raw = self.raw()
+            # disjunction of per-partition conjunctions — unlike a
+            # concat-key isin, this shape survives Catalyst's partition
+            # pruning, so the scan literally never opens clean partitions
+            pred = None
+            for s, b, o in dirty:
+                clause = (
+                    (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+                )
+                pred = clause if pred is None else (pred | clause)
+            canonical = canonicalize(raw.filter(pred), grace_cutoff=cutoff)
+            self.overwrite_partitions(canonical, expected=dirty)
+            for p in dirty:
+                self.tags.touch(f"optimized:{'/'.join(p)}", now)
+            self.tags.touch("last_optimized", now)
         return True
 
     def compact(self, max_files_per_partition: int = 8) -> list[tuple[str, str, str]]:
@@ -307,24 +322,25 @@ class StatementStore:
         partitions compacted."""
         if not self.exists():
             return []
-        crowded: list[tuple[str, str, str]] = []
-        data = self._data_path()
-        for root, _dirs, files in os.walk(data):
-            n = sum(1 for f in files if f.endswith(".parquet"))
-            if n > max_files_per_partition:
-                rel = os.path.relpath(root, data)
-                parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
-                if len(parts) == len(PARTITION_COLUMNS):
-                    crowded.append(tuple(parts[c] for c in PARTITION_COLUMNS))
-        if not crowded:
-            return []
-        pred = None
-        for s, b, o in crowded:
-            clause = (
-                (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
-            )
-            pred = clause if pred is None else (pred | clause)
-        self.overwrite_partitions(self.raw().filter(pred))
+        with self._write_lock:
+            crowded: list[tuple[str, str, str]] = []
+            data = self._data_path()
+            for root, _dirs, files in os.walk(data):
+                n = sum(1 for f in files if f.endswith(".parquet"))
+                if n > max_files_per_partition:
+                    rel = os.path.relpath(root, data)
+                    parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                    if len(parts) == len(PARTITION_COLUMNS):
+                        crowded.append(tuple(parts[c] for c in PARTITION_COLUMNS))
+            if not crowded:
+                return []
+            pred = None
+            for s, b, o in crowded:
+                clause = (
+                    (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+                )
+                pred = clause if pred is None else (pred | clause)
+            self.overwrite_partitions(self.raw().filter(pred))
         return crowded
 
     # --------------------------------------------------------- queries

@@ -19,8 +19,10 @@ def test_pack_unpack_roundtrip(spark):
     assert row["id"] == "a"
     assert row["value"] == "hello world"
     assert row["lang"] == "en"
-    assert row["external"] == "false"
-    assert row["fragment"] is None  # empty string → null in unpack view
+    assert row["external"] is False  # wire format: "1"/"0" → boolean
+    # fragment is NOT part of the reference wire format (13 fields end
+    # with prop_type); supersession keys ride as separate columns
+    assert "fragment" not in row.asDict()
 
 
 def test_unpack_rejects_short_records(spark):

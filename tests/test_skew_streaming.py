@@ -123,5 +123,5 @@ def test_approx_stats_error_bounds(spark):
         # compare against the exact interpolated percentiles loosely
         # (the sketch returns an observed value, not an interpolation)
         spread = e["p95"] - e["p50"] or 1.0
-        assert abs(a["value_pcts"][0] - e["p50"]) <= 0.05 * spread
-        assert abs(a["value_pcts"][1] - e["p95"]) <= 0.05 * spread
+        assert abs(a["p50"] - e["p50"]) <= 0.05 * spread
+        assert abs(a["p95"] - e["p95"]) <= 0.05 * spread
