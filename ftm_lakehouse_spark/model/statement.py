@@ -93,49 +93,12 @@ WRITE_SORT_COLUMNS = ["entity_id", "fragment", "prop", "id"]
 
 #: FtM schema → coarse storage bucket (reference: docs/architecture.md:99
 #: via ftmq get_schema_bucket; usage at logic/entities/explode.py:100).
-#: Kept as a plain dict — it is applied as a literal map expression, not
-#: a join. Schema names are the public FollowTheMoney ontology
-#: (followthemoney.tech/explorer); anything unlisted defaults to the
-#: ``thing`` bucket, matching the reference's fallback.
-SCHEMA_BUCKETS = {
-    # document-family
-    "Document": "document",
-    "Folder": "document",
-    "Package": "document",
-    "Workbook": "document",
-    "Email": "document",
-    "HyperText": "document",
-    "Table": "document",
-    "PlainText": "document",
-    "Image": "document",
-    "Audio": "document",
-    "Video": "document",
-    "Page": "page",
-    "Pages": "pages",
-    "Mention": "mention",
-    # interval-family (edges between things)
-    "Interval": "interval",
-    "Payment": "interval",
-    "Ownership": "interval",
-    "Directorship": "interval",
-    "Membership": "interval",
-    "Representation": "interval",
-    "Succession": "interval",
-    "UnknownLink": "interval",
-    "Family": "interval",
-    "Associate": "interval",
-    "Occupancy": "interval",
-    "Employment": "interval",
-    "Sanction": "interval",
-    "Documentation": "interval",
-    "Debt": "interval",
-    "Contract": "interval",
-    "ContractAward": "interval",
-    "EconomicActivity": "interval",
-    "Identification": "interval",
-    "CourtCaseParty": "interval",
-    "Similar": "interval",
-}
+#: GENERATED from the vendored public FtM model dump
+#: (model/ftm_model.json → tools/gen_ontology.py → model/ontology.py);
+#: anything unlisted defaults to the ``thing`` bucket, matching the
+#: reference's fallback. Applied as a literal map expression, not a
+#: join — it is broadcast-size by construction.
+from ftm_lakehouse_spark.model.ontology import SCHEMA_BUCKETS  # noqa: E402
 
 BUCKETS = ("thing", "interval", "document", "page", "pages", "mention")
 

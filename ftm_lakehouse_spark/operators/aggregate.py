@@ -9,9 +9,16 @@ same entity payloads in one shuffle, and ``properties`` becomes a
 storage stays rows (SURVEY §1.2).
 
 Semantics reproduced:
-  * ``schema``: most-specific common schema via a lenient
-    common-ancestor merge (aggregate.py:19-28,119-127) — realized as a
-    specificity-ranked max over a broadcast lattice (no UDF);
+  * ``schema``: the reference's lenient merge (aggregate.py:19-28,
+    119-127): when one claimed schema descends from another the more
+    specific wins (``model.common_schema``); sibling conflicts resolve
+    to their deepest common ancestor (``Person`` + ``Company`` →
+    ``LegalEntity``, ftmq ``common_ancestor``). Realized as a native
+    expression fold over the sorted distinct schema claims against the
+    generated ancestor/depth tables (model/ontology.py) — no UDF. The
+    reference folds an unordered Python set (order-dependent for ≥3
+    mutually-conflicting claims); folding in sorted order makes the
+    result deterministic while agreeing on every 2-claim case;
   * ``properties``: per-prop sorted distinct value arrays (BASE_ID
     checksum rows excluded);
   * ``first_seen`` = min, ``last_seen`` = max over all statements;
@@ -28,83 +35,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ftm_lakehouse_spark.model.ontology import (
+    SCHEMA_ANCESTORS,
+    SCHEMA_SPECIFICITY,
+)
 from ftm_lakehouse_spark.model.statement import BASE_ID_PROP, BASE_ID_PROP_TYPE
 
-__all__ = ["assemble_entities", "SCHEMA_SPECIFICITY"]
-
-#: Specificity rank of FtM schemata along their inheritance chains —
-#: higher = more specific. The common-schema merge of the reference
-#: resolves sibling conflicts leniently toward the more specific input
-#: (aggregate.py:19-28). This literal lattice covers the schema families
-#: the reference's fixtures exercise; unknown schemata rank 0 and win
-#: only by being the sole claim.
-SCHEMA_SPECIFICITY = {
-    "Thing": 0,
-    # legal-entity chain: Thing < LegalEntity < {Person, Company, ...}
-    "LegalEntity": 1,
-    "Person": 2,
-    "Company": 2,
-    "Organization": 2,
-    "PublicBody": 3,  # PublicBody extends Organization
-    # assets: Thing < Asset < concrete asset kinds
-    "Asset": 1,
-    "RealEstate": 2,
-    "Vehicle": 2,
-    "Airplane": 3,
-    "Vessel": 3,
-    "Security": 2,
-    "BankAccount": 2,
-    "CryptoWallet": 2,
-    "Address": 1,
-    "Event": 1,
-    "CourtCase": 1,
-    "Project": 1,
-    "License": 1,
-    "Position": 1,
-    # interval/edge family
-    "Interval": 0,
-    "Payment": 2,
-    "Ownership": 2,
-    "Directorship": 2,
-    "Membership": 2,
-    "Employment": 2,
-    "Representation": 2,
-    "Succession": 2,
-    "Family": 2,
-    "Associate": 2,
-    "Occupancy": 2,
-    "Sanction": 2,
-    "Debt": 2,
-    "Contract": 2,
-    "ContractAward": 3,
-    "Documentation": 2,
-    "Identification": 2,
-    "UnknownLink": 1,
-    # document chain: Thing < Document < concrete formats
-    "Document": 1,
-    "Folder": 2,
-    "Package": 2,
-    "Workbook": 2,
-    "Pages": 2,
-    "Page": 2,
-    "Email": 3,  # Email extends PlainText
-    "Table": 2,
-    "PlainText": 2,
-    "HyperText": 2,
-    "Image": 2,
-    "Audio": 2,
-    "Video": 2,
-}
+__all__ = ["assemble_entities", "merge_schemata", "SCHEMA_SPECIFICITY"]
 
 #: caption property priority (most trusted first)
 CAPTION_PROPS = ("name", "title", "fileName", "full")
 
 
-def _schema_rank():
-    m = F.create_map(
-        *[F.lit(x) for kv in SCHEMA_SPECIFICITY.items() for x in kv]
+def _ancestors_map():
+    return F.create_map(
+        *[
+            x
+            for k, v in sorted(SCHEMA_ANCESTORS.items())
+            for x in (F.lit(k), F.array(*[F.lit(a) for a in v]))
+        ]
     )
-    return F.coalesce(m[F.col("schema")], F.lit(0))
+
+
+def _depth_map():
+    return F.create_map(
+        *[F.lit(x) for kv in sorted(SCHEMA_SPECIFICITY.items()) for x in kv]
+    )
+
+
+def merge_schemata(schemata):
+    """Fold an ``array<string>`` of claimed schemata into one merged
+    schema, per the reference rule (aggregate.py:19-28): related claims
+    resolve to the more specific; unrelated claims to their deepest
+    common ancestor; unknown-vs-known degrades to ``Thing`` (the
+    reference raises — lenient here by design, documented). Pure
+    Catalyst expressions against the generated ontology tables: the
+    broadcast-size maps ride inside the plan, no join, no UDF."""
+    anc = _ancestors_map()
+    depth = _depth_map()
+
+    def pair(acc, s):
+        anc_a = F.coalesce(anc[acc], F.array(acc))
+        anc_b = F.coalesce(anc[s], F.array(s))
+        shared = F.array_intersect(anc_a, anc_b)
+        # deepest shared ancestor; depth ties break lexicographically.
+        # F.get (not [0]): an empty intersection (disjoint hierarchies,
+        # unknown schemata) must yield NULL → the Thing fallback, not an
+        # out-of-bounds error.
+        best = F.get(
+            F.array_sort(
+                F.transform(
+                    shared,
+                    lambda c: F.struct(
+                        (-F.coalesce(depth[c], F.lit(0))).alias("nd"), c.alias("s")
+                    ),
+                )
+            ),
+            0,
+        )["s"]
+        return (
+            F.when(F.array_contains(anc_b, acc), s)   # s descends from acc
+            .when(F.array_contains(anc_a, s), acc)    # acc descends from s
+            .otherwise(F.coalesce(best, F.lit("Thing")))
+        )
+
+    ordered = F.array_sort(schemata)
+    return F.aggregate(ordered, F.element_at(ordered, 1), pair)
 
 
 def assemble_entities(
@@ -142,10 +138,7 @@ def assemble_entities(
         .groupBy("entity_id", "prop")
         .agg(
             values_expr.alias("values"),
-            # struct ordering makes ties deterministic (rank, then name)
-            F.max(F.struct(_schema_rank().alias("r"), F.col("schema").alias("s"))).alias(
-                "schema_rank"
-            ),
+            F.collect_set("schema").alias("schemata"),
             F.min("first_seen").alias("first_seen"),
             F.max("last_seen").alias("last_seen"),
             F.collect_set("origin").alias("origins"),
@@ -165,7 +158,7 @@ def assemble_entities(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("prop", "values")))
         ).alias("properties"),
-        F.max(F.col("schema_rank")).alias("_schema_pick"),
+        F.array_distinct(F.flatten(F.collect_list("schemata"))).alias("_schemata"),
         caption_expr.alias("caption"),
         F.min("first_seen").alias("first_seen"),
         F.max("last_seen").alias("last_seen"),
@@ -182,7 +175,7 @@ def assemble_entities(
     return entities.join(last_change, "entity_id", "left").select(
         "entity_id",
         "caption",
-        F.col("_schema_pick.s").alias("schema"),
+        merge_schemata(F.col("_schemata")).alias("schema"),
         "properties",
         "first_seen",
         "last_seen",

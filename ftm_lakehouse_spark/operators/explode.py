@@ -58,98 +58,12 @@ ENTITY_SCHEMA = T.StructType(
     ]
 )
 
-#: FtM property → type name for the props used in tests/fixtures
-#: (reference recomputes prop_type from the model and nulls ``lang``
-#: for non-linguistic types: logic/entities/explode.py:190-194).
-PROP_TYPES = {
-    # names / text
-    "name": "name",
-    "alias": "name",
-    "previousName": "name",
-    "weakAlias": "name",
-    "title": "string",
-    "summary": "text",
-    "description": "text",
-    "notes": "text",
-    "indexText": "text",
-    "bodyText": "text",
-    "bodyHtml": "html",
-    # geo / identity
-    "nationality": "country",
-    "citizenship": "country",
-    "country": "country",
-    "jurisdiction": "country",
-    "mainCountry": "country",
-    "address": "address",
-    "full": "address",
-    "email": "email",
-    "phone": "phone",
-    "website": "url",
-    "sourceUrl": "url",
-    "wikidataId": "identifier",
-    "registrationNumber": "identifier",
-    "idNumber": "identifier",
-    "taxNumber": "identifier",
-    "passportNumber": "identifier",
-    "ibanMentioned": "iban",
-    "iban": "iban",
-    "swiftBic": "identifier",
-    "gender": "gender",
-    "language": "language",
-    # dates
-    "birthDate": "date",
-    "deathDate": "date",
-    "incorporationDate": "date",
-    "dissolutionDate": "date",
-    "date": "date",
-    "startDate": "date",
-    "endDate": "date",
-    "modifiedAt": "date",
-    "retrievedAt": "date",
-    "authoredAt": "date",
-    "publishedAt": "date",
-    # numbers
-    "amount": "number",
-    "amountUsd": "number",
-    "amountEur": "number",
-    "sharesCount": "number",
-    "percentage": "number",
-    "fileSize": "number",
-    "duration": "number",
-    # entity references
-    "addressEntity": "entity",
-    "payer": "entity",
-    "beneficiary": "entity",
-    "parent": "entity",
-    "owner": "entity",
-    "asset": "entity",
-    "subject": "entity",
-    "object": "entity",
-    "director": "entity",
-    "organization": "entity",
-    "member": "entity",
-    "membershipMember": "entity",
-    "holder": "entity",
-    "entity": "entity",
-    "person": "entity",
-    "agent": "entity",
-    "client": "entity",
-    "successor": "entity",
-    "predecessor": "entity",
-    "family": "entity",
-    "relative": "entity",
-    "associate": "entity",
-    "document": "entity",
-    "proof": "entity",
-    "account": "entity",
-    # documents
-    "contentHash": "checksum",
-    "fileName": "string",
-    "mimeType": "mimetype",
-    "encoding": "string",
-    "crawler": "string",
-    "messageId": "identifier",
-}
+#: FtM property → type name (reference recomputes prop_type from the
+#: model and nulls ``lang`` for non-linguistic types:
+#: logic/entities/explode.py:190-194). GENERATED from the vendored
+#: model dump — imported here so existing call sites keep working.
+from ftm_lakehouse_spark.model.ontology import PROP_TYPES  # noqa: E402,F401
+
 
 #: prop types that carry language information — everything else gets
 #: ``lang`` nulled.
