@@ -139,6 +139,32 @@ def hyperplane_signature(vec_col, num_bits: int = 16, dim: int = 64, seed: int =
     )
 
 
+def _sig_chunks(sig_col, num_bits: int, max_hamming: int):
+    """Explode a signature into ``max_hamming + 1`` pigeonhole chunks.
+
+    If two signatures differ in ≤ ``max_hamming`` bits, at least one of
+    the ``max_hamming + 1`` disjoint chunks is identical (pigeonhole),
+    so an equi-join on (block, chunk) finds every qualifying pair. Bits
+    beyond ``width * blocks`` stay uncovered — that only ADDS candidates
+    (differences hiding there don't touch any chunk), and the exact
+    hamming filter afterwards removes them."""
+    blocks = max_hamming + 1
+    width = max(1, num_bits // blocks)
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("block"),
+                    F.shiftrightunsigned(sig_col, b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(blocks)
+            ]
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,25 +174,52 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_hamming: int = 2,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors whose hyperplane
     signature is within ``max_hamming`` bits of the query's, re-ranked
-    by exact cosine. The signature join uses multi-probe on exact
-    signature equality after masking each possible differing bit pair —
-    here simplified to a hamming filter on a broadcast of query sigs
-    (queries are the small side)."""
+    by exact cosine.
+
+    The candidate stage is the pigeonhole chunk EQUI-join (the same
+    pattern as dedupe.embedding_near_dups, applied corpus-vs-queries):
+    signatures explode into ``max_hamming + 1`` chunks and candidates
+    come from a hash join on (block, chunk) followed by the exact
+    hamming filter. No non-equi join predicate → no
+    BroadcastNestedLoopJoin → no O(|corpus| × |queries|) signature
+    scan: at 100 TB each corpus row meets only the queries sharing one
+    of its chunk values (pinned by tests/test_plans.py).
+
+    Heavy embedding arrays never travel through the candidate join —
+    they are re-hydrated per side afterwards. ``broadcast_queries``
+    hints the (chunked) query side; set it False for query batches
+    beyond broadcast size and the same plan degrades to a shuffled hash
+    join, still equi-keyed."""
+    from pyspark.sql import Window as W
+
     sig = hyperplane_signature(F.col(vec_col), num_bits, dim)
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), sig.alias("csig"))
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), sig.alias("csig")
+    )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), sig.alias("qsig")
     )
-    from pyspark.sql import Window as W
-
-    cand = c.join(
-        F.broadcast(q),
-        F.bit_count(F.col("csig").bitwiseXOR(F.col("qsig"))) <= max_hamming,
+    cchunk = c.select("cid", "csig", _sig_chunks(F.col("csig"), num_bits, max_hamming).alias("c")
+                      ).select("cid", "csig", "c.block", "c.chunk")
+    qchunk = q.select("qid", "qsig", _sig_chunks(F.col("qsig"), num_bits, max_hamming).alias("c")
+                      ).select("qid", "qsig", "c.block", "c.chunk")
+    if broadcast_queries:
+        qchunk = F.broadcast(qchunk)
+    cand = (
+        cchunk.join(qchunk, ["block", "chunk"])
+        .filter(F.bit_count(F.col("csig").bitwiseXOR(F.col("qsig"))) <= max_hamming)
+        .select("cid", "qid")
+        .dropDuplicates(["cid", "qid"])
     )
-    scored = cand.select(
+    qvecs = q.select("qid", "qvec")
+    hydrated = cand.join(c.select("cid", "cvec"), "cid").join(
+        F.broadcast(qvecs) if broadcast_queries else qvecs, "qid"
+    )
+    scored = hydrated.select(
         "qid",
         "cid",
         cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
@@ -187,24 +240,32 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = 7,
     iters: int = 5,
+    centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantization: deterministic mini k-means on a sample
     (driver-side numpy — the centroid table is broadcast-size by
     construction), then nearest-centroid assignment as a JVM-side
     argmin over the broadcast centroid array.
 
+    ``centroids``: skip training and assign against a supplied
+    centroid matrix (the oracle-graded path: sim_ivf_assign feeds
+    seeded centroids it can also embed as SQL literals).
+
     Returns (corpus + ``centroid`` column, centroids ndarray)."""
-    rows = corpus.select(vec_col).limit(sample).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(len(C)):
-            pts = X[assign == j]
-            if len(pts):
-                C[j] = pts.mean(0)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        rows = corpus.select(vec_col).limit(sample).collect()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(len(C)):
+                pts = X[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
 
     # JVM-side argmin: distance to each centroid via fold, pick min index
     dists = [

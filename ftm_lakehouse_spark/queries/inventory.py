@@ -1173,6 +1173,55 @@ def _ann_lsh_oracle(
     """
 
 
+def _ivf_centroids(num_centroids: int = 8, dim: int = 64, seed: int = 11):
+    import numpy as _np
+
+    return _np.random.default_rng(seed).standard_normal((num_centroids, dim))
+
+
+def _ivf_assign_oracle(num_centroids: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """Nearest-centroid assignment against seeded literal centroids.
+
+    Distances are left-to-right double sums on both engines (Spark's
+    sequential zip_with/aggregate fold == DuckDB's ``+`` chain), and
+    centroid components are repr() round-trip literals, so the argmin
+    is float-identical — a full hash match for an 'approximate index'
+    building block. Ties resolve to the first minimal index in both
+    (array_position / list_position return the first occurrence)."""
+    C = _ivf_centroids(num_centroids, dim, seed)
+    dists = ", ".join(
+        "(" + " + ".join(
+            f"(v[{i + 1}] - ({C[j, i]!r}))*(v[{i + 1}] - ({C[j, i]!r}))"
+            for i in range(dim)
+        ) + ")"
+        for j in range(num_centroids)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, [{dists}] AS ds FROM base
+    )
+    SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS centroid
+    FROM d
+    """
+
+
+@_register("sim_ivf_assign", _ivf_assign_oracle())
+def sim_ivf_assign(spark, sf_dir):
+    """IVF coarse-quantizer assignment (the inverted-file ANN tier):
+    every vector labeled with its nearest centroid, JVM-side argmin
+    over broadcast-size centroid literals (similarity.ivf_assign).
+    Centroids here are seeded so the oracle can embed them as literals;
+    the k-means trainer itself is pinned by pytest
+    (tests/test_dedupe_similarity.py)."""
+    from ftm_lakehouse_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_assign(e, centroids=_ivf_centroids())
+    return assigned.select("vec_id", "centroid")
+
+
 @_register("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN top-k (deterministic seeded planes) — the

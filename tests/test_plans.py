@@ -101,3 +101,14 @@ def test_point_lookup_prunes_partitions(spark, tmp_path):
     # and the entity_id equality is pushed to parquet row groups
     assert "PartitionFilters" in plan
     assert "EqualTo(entity_id,e3)" in plan
+
+
+def test_ann_candidate_join_is_equi(spark):
+    """The ANN candidate stage must be a hash join on (block, chunk) —
+    a hamming-distance join predicate would plan as
+    BroadcastNestedLoopJoin: O(|corpus| x |queries|) signature
+    comparisons with no pruning (round-1 scale-killer)."""
+    plan = plan_of(spark, "sim_ann_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
