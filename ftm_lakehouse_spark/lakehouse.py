@@ -218,6 +218,39 @@ class Dataset:
         return {"skipped": False, "exports": out_root, **index}
 
     # --------------------------------------------------------- exports
+    def _resolve_codec(self, compression: str | None) -> tuple[str, bool]:
+        """(spark_codec, zstd_post_pass). Hadoop's text-side zstd needs
+        the native lib (absent here), so zst artifacts are written
+        uncompressed by Spark and recompressed file-by-file with
+        pyarrow's real zstd codec — the bytes honestly match the .zst
+        extension (reference logic/compress.py:79-139 produces real zst
+        too). On a cluster with native Hadoop codecs, pass-through
+        applies."""
+        codec = compression or self.config.compression or "none"
+        if codec in ("zst", "zstd"):
+            return "none", True
+        return {"gz": "gzip"}.get(codec, codec), False
+
+    @staticmethod
+    def _recompress_zstd(out_dir: str) -> None:
+        """Driver-side streaming post-pass: each part file → .zst via
+        pyarrow (C-speed). Stale Hadoop .crc sidecars are dropped."""
+        import pyarrow as pa
+
+        for name in sorted(os.listdir(out_dir)):
+            path = os.path.join(out_dir, name)
+            if name.endswith(".crc"):
+                os.remove(path)
+                continue
+            if not name.startswith("part-") or name.endswith(".zst"):
+                continue
+            with open(path, "rb") as src, pa.output_stream(
+                path + ".zst", compression="zstd"
+            ) as dst:
+                while chunk := src.read(1 << 20):
+                    dst.write(chunk)
+            os.remove(path)
+
     def export_statements_csv(self, out_dir: str, compression: str | None = None) -> None:
         """statements.csv export: 15 canonical columns ordered by
         entity_id (reference S10, storage/parquet.py:731-764)."""
@@ -227,24 +260,18 @@ class Dataset:
             .select(*CSV_COLUMNS)
             .sort("entity_id")
         )
-        codec = compression or self.config.compression or "none"
-        # text-format codecs go through Hadoop: zstd needs the native
-        # lib (absent here), so gz is the text-side realization of a
-        # zst dataset config; parquet writes keep real zstd
-        codec = {"zst": "gzip", "zstd": "gzip", "gz": "gzip"}.get(codec, codec)
+        codec, zst = self._resolve_codec(compression)
         df.write.mode("overwrite").option("header", True).option(
             "compression", codec
         ).csv(out_dir)
+        if zst:
+            self._recompress_zstd(out_dir)
 
     def export_entities_json(self, out_dir: str, compression: str | None = None) -> None:
         """entities.ftm.json export (reference S11): one JSON object per
         line, properties as map<string, array<string>>."""
         ent = assemble_entities(self.store.live())
-        codec = compression or self.config.compression or "none"
-        # text-format codecs go through Hadoop: zstd needs the native
-        # lib (absent here), so gz is the text-side realization of a
-        # zst dataset config; parquet writes keep real zstd
-        codec = {"zst": "gzip", "zstd": "gzip", "gz": "gzip"}.get(codec, codec)
+        codec, zst = self._resolve_codec(compression)
         (
             ent.select(
                 F.col("entity_id").alias("id"),
@@ -261,6 +288,8 @@ class Dataset:
             .option("compression", codec)
             .json(out_dir)
         )
+        if zst:
+            self._recompress_zstd(out_dir)
 
 
 class Lakehouse:

@@ -128,18 +128,24 @@ class Query:
             return ids
 
         # entity-grain sort key: min value of the sort property (O4) —
-        # computed only over matching entities
-        scoped = statements.join(ids, "entity_id", "left_semi")
-        def sort_value(prop: str, numeric: bool):
-            v = F.when(F.col("prop") == prop, F.col("value"))
-            return F.min(v.cast("double") if numeric else v)
+        # computed only over matching entities. A slice WITHOUT a sort
+        # ranks on entity_id alone (deterministic paging, and an empty
+        # agg() is illegal anyway).
+        if self.sort:
+            scoped = statements.join(ids, "entity_id", "left_semi")
 
-        keyed = scoped.groupBy("entity_id").agg(
-            *[
-                sort_value(prop, numeric).alias(f"_k{i}")
-                for i, (prop, _, numeric) in enumerate(self.sort)
-            ]
-        )
+            def sort_value(prop: str, numeric: bool):
+                v = F.when(F.col("prop") == prop, F.col("value"))
+                return F.min(v.cast("double") if numeric else v)
+
+            keyed = scoped.groupBy("entity_id").agg(
+                *[
+                    sort_value(prop, numeric).alias(f"_k{i}")
+                    for i, (prop, _, numeric) in enumerate(self.sort)
+                ]
+            )
+        else:
+            keyed = ids
         order = [
             (F.asc_nulls_last(f"_k{i}") if asc else F.desc_nulls_last(f"_k{i}"))
             for i, (_, asc, _n) in enumerate(self.sort)
