@@ -1,0 +1,187 @@
+"""Pure-numpy/stdlib media codecs for the multimodal pipeline.
+
+The formats below need NO external media libraries, so their decode
+paths are REAL (bit-exact, tested), not stubs:
+
+* images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP;
+* audio — WAV PCM (8/16-bit, any channel count, stdlib ``wave``);
+* "video" — an MJPEG-style container of concatenated PPM frames
+  (the sampler parses real frame boundaries and decodes real frames).
+
+Compressed formats (JPEG/PNG/MP4/...) raise ``NotImplementedError``
+with the library that would handle them — swap in PIL / pyav on a
+cluster image that has them; callers and schemas do not change.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+__all__ = [
+    "decode_image",
+    "decode_wav",
+    "encode_ppm",
+    "encode_bmp",
+    "encode_wav",
+    "resize_nearest",
+    "split_ppm_frames",
+]
+
+
+# ------------------------------------------------------------- images
+def _decode_pnm(blob: bytes) -> np.ndarray:
+    """P5 (grayscale) / P6 (RGB) binary PNM. Returns HxW or HxWx3
+    uint8."""
+    # header: magic, whitespace/comment-separated width height maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(blob) and not blob[end : end + 1].isspace():
+            end += 1
+        fields.append(int(blob[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM needs no extra lib but is unused")
+    channels = 3 if blob[:2] == b"P6" else 1
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * channels, offset=pos)
+    arr = data.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → HxWx3 uint8 (RGB order)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    header_size = struct.unpack_from("<I", blob, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:  # BMP stores bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(blob: bytes, mime: str | None = None) -> np.ndarray:
+    """blob → uint8 array (HxW grayscale or HxWx3 RGB). Real decode for
+    PPM/PGM/BMP; compressed formats name the library they need."""
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_pnm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires PIL/libjpeg (not in image)")
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decode requires PIL/zlib-unfilter (not wired)")
+    raise NotImplementedError(f"unsupported image format (mime={mime!r})")
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxW or HxWx3 uint8 → binary PPM/PGM (test fixture helper)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        return b"P5\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]) + arr.tobytes()
+    return b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]) + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed 24-bit BMP (bottom-up)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index arithmetic."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+# -------------------------------------------------------------- audio
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM → (mono float64 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit WAV")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] → 16-bit mono WAV (test fixture)."""
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# -------------------------------------------------------------- video
+def split_ppm_frames(blob: bytes) -> list[bytes]:
+    """Parse an MJPEG-style container of concatenated binary PPM frames
+    into per-frame byte slices (REAL boundary parsing: each frame's
+    length comes from its own header, no delimiter guessing)."""
+    frames, pos = [], 0
+    while pos < len(blob) and blob[pos : pos + 2] in (b"P5", b"P6"):
+        # reuse the PNM header scan to find the pixel-data extent
+        sub = blob[pos:]
+        hdr_pos, fields = 2, []
+        while len(fields) < 3:
+            while sub[hdr_pos : hdr_pos + 1].isspace():
+                hdr_pos += 1
+            if sub[hdr_pos : hdr_pos + 1] == b"#":
+                hdr_pos = sub.index(b"\n", hdr_pos) + 1
+                continue
+            end = hdr_pos
+            while not sub[end : end + 1].isspace():
+                end += 1
+            fields.append(int(sub[hdr_pos:end]))
+            hdr_pos = end
+        hdr_pos += 1
+        w, h, _ = fields
+        channels = 3 if sub[:2] == b"P6" else 1
+        size = hdr_pos + w * h * channels
+        frames.append(sub[:size])
+        pos += size
+    return frames
