@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.functions.vectors import cosine_similarity
 
-__all__ = ["topk_vs_query", "knn_join", "hyperplane_signature", "ann_lsh_topk", "ivf_assign"]
+__all__ = [
+    "topk_vs_query",
+    "knn_join",
+    "hyperplane_signature",
+    "ann_lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def topk_vs_query(
@@ -268,19 +275,7 @@ def ivf_assign(
                     C[j] = pts.mean(0)
 
     # JVM-side argmin: distance to each centroid via fold, pick min index
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in C[j]]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"_d{j}")
-        for j in range(len(C))
-    ]
-    with_d = corpus.select("*", *dists)
+    with_d = _with_centroid_dists(corpus, C, vec_col)
     arr = F.array(*[F.col(f"_d{j}") for j in range(len(C))])
     assigned = with_d.withColumn(
         "centroid", F.expr(f"array_position({_arr_sql(len(C))}, array_min({_arr_sql(len(C))})) - 1")
@@ -293,3 +288,96 @@ def ivf_assign(
 
 def _arr_sql(n: int) -> str:
     return "array(" + ",".join(f"_d{j}" for j in range(n)) + ")"
+
+
+def _with_centroid_dists(df: DataFrame, C: np.ndarray, vec_col: str) -> DataFrame:
+    """Add one ``_d{j}`` squared-L2-distance column per centroid.
+
+    Left-to-right zip_with/aggregate folds, so the floats are
+    bit-identical to a DuckDB ``+`` chain over the same literals —
+    the property the IVF oracles rely on."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in C[j]]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_d{j}")
+        for j in range(len(C))
+    ]
+    return df.select("*", *dists)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF probe search: the inverted-file ANN read path.
+
+    Corpus rows are labeled with their nearest centroid once
+    (:func:`ivf_assign` — at scale this is the persisted index, built
+    one time and reused across query batches). Each query ranks the
+    centroid table and probes its ``nprobe`` nearest cells; candidates
+    come from an EQUI-join on the cell id — the fraction of the corpus
+    scanned is ~``nprobe / num_centroids``, and no non-equi predicate
+    means no BroadcastNestedLoopJoin at any query-batch size. Probed
+    candidates re-rank by exact cosine, per-query top-k window.
+
+    This trades recall for scan fraction exactly like a FAISS IVF-Flat
+    index; recall is bounded by whether the true neighbor's cell is
+    probed, which the accuracy pytest measures against exact knn.
+
+    Returns (qid, cid, cosine) — ≤ k rows per query."""
+    from pyspark.sql import Window as W
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n = len(C)
+    assigned, _ = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, centroids=C
+    )
+    # per-query centroid ranking → nprobe probe cells
+    qd = _with_centroid_dists(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        C,
+        "qvec",
+    )
+    exploded = qd.select(
+        "qid",
+        "qvec",
+        F.posexplode(F.array(*[F.col(f"_d{j}") for j in range(n)])).alias(
+            "centroid", "dist"
+        ),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("centroid"))
+    probe = (
+        exploded.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qvec", F.col("centroid").cast("int").alias("centroid"))
+    )
+    if broadcast_queries:
+        probe = F.broadcast(probe)
+    cand = assigned.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "centroid"
+    ).join(probe, "centroid")
+    # a corpus row lives in exactly one cell and probe cells are unique
+    # per query, so (qid, cid) pairs cannot duplicate — no dedup shuffle
+    scored = cand.select(
+        "qid",
+        "cid",
+        cosine_similarity(F.col("cvec"), F.col("qvec")).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1179,6 +1179,19 @@ def _ivf_centroids(num_centroids: int = 8, dim: int = 64, seed: int = 11):
     return _np.random.default_rng(seed).standard_normal((num_centroids, dim))
 
 
+def _ivf_dists_sql(num_centroids: int, dim: int, seed: int) -> str:
+    """Comma-joined per-centroid squared-L2 SQL expressions over ``v``,
+    each a left-to-right ``+`` chain matching Spark's aggregate fold."""
+    C = _ivf_centroids(num_centroids, dim, seed)
+    return ", ".join(
+        "(" + " + ".join(
+            f"(v[{i + 1}] - ({C[j, i]!r}))*(v[{i + 1}] - ({C[j, i]!r}))"
+            for i in range(dim)
+        ) + ")"
+        for j in range(num_centroids)
+    )
+
+
 def _ivf_assign_oracle(num_centroids: int = 8, dim: int = 64, seed: int = 11) -> str:
     """Nearest-centroid assignment against seeded literal centroids.
 
@@ -1188,14 +1201,7 @@ def _ivf_assign_oracle(num_centroids: int = 8, dim: int = 64, seed: int = 11) ->
     is float-identical — a full hash match for an 'approximate index'
     building block. Ties resolve to the first minimal index in both
     (array_position / list_position return the first occurrence)."""
-    C = _ivf_centroids(num_centroids, dim, seed)
-    dists = ", ".join(
-        "(" + " + ".join(
-            f"(v[{i + 1}] - ({C[j, i]!r}))*(v[{i + 1}] - ({C[j, i]!r}))"
-            for i in range(dim)
-        ) + ")"
-        for j in range(num_centroids)
-    )
+    dists = _ivf_dists_sql(num_centroids, dim, seed)
     return f"""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1741,3 +1747,113 @@ def split_train_val_test(spark, sf_dir):
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# =====================================================================
+# IVF probe search + native session_window (round-2 additions)
+# =====================================================================
+
+
+def _ivf_topk_oracle(
+    query_ids=(0, 1, 2),
+    k: int = 5,
+    nprobe: int = 2,
+    num_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> str:
+    """Replica of ``ivf_topk``: assignment argmin and per-query probe
+    ranking use the same left-to-right distance folds as the assign
+    oracle, so the probed cell set — and therefore the candidate set —
+    is float-identical. DuckDB zips the parallel ``unnest`` calls to
+    (distance, centroid-index) pairs; cosine re-rank mirrors the ANN
+    oracle."""
+    dists = _ivf_dists_sql(num_centroids, dim, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = (
+        "list_dot_product(a.v, p.qv) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(p.qv, p.qv)))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{dists}] AS ds FROM base
+    ), assigned AS (
+        SELECT vec_id, v,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS centroid
+        FROM d
+    ), probe0 AS (
+        SELECT vec_id AS qid, v AS qv, unnest(ds) AS dist,
+               unnest(range(0, {num_centroids})) AS centroid
+        FROM d WHERE vec_id IN ({ids})
+    ), probe AS (
+        SELECT qid, qv, CAST(centroid AS INT) AS centroid FROM probe0
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY dist ASC, centroid ASC) <= {nprobe}
+    ), cand AS (
+        SELECT p.qid AS qid, a.vec_id AS cid, {cos} AS cosine
+        FROM assigned a JOIN probe p ON a.centroid = p.centroid
+    )
+    SELECT qid, cid, round(cosine, 6) AS cosine FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, cid ASC) <= {k}
+    """
+
+
+@_register("sim_ivf_topk", _ivf_topk_oracle())
+def sim_ivf_topk(spark, sf_dir):
+    """IVF probe search (the inverted-file ANN read path): corpus
+    labeled by nearest centroid once, each query probes its nprobe
+    nearest cells via an EQUI-join on the cell id — scan fraction
+    ~nprobe/num_centroids, no BroadcastNestedLoopJoin at any
+    query-batch size. Deterministic seeded centroids let the oracle
+    reproduce the exact probe set, so the 'approximate' index still
+    gets a full hash match."""
+    from ftm_lakehouse_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(e, queries, centroids=_ivf_centroids(), k=5, nprobe=2)
+
+
+@_register(
+    "w_session_window",
+    """
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800 * 1000000
+                    OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w_session_window(spark, sf_dir):
+    """Native session_window gap-merge aggregation (the batch face of
+    the streaming sessionizer in streaming/sessionize.py). Oracle is
+    the gaps-and-islands formulation; note Spark opens a NEW session
+    when the gap is >= the duration (window ends are exclusive), hence
+    >= where w_sessionize's convention uses >."""
+    from ftm_lakehouse_spark.streaming.sessionize import session_window_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_stats(ev, gap="30 minutes", ts_col="ts", key_col="user_id")

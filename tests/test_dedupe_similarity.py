@@ -14,6 +14,7 @@ from ftm_lakehouse_spark.operators.dedupe import (
 from ftm_lakehouse_spark.operators.similarity import (
     ann_lsh_topk,
     ivf_assign,
+    ivf_topk,
     knn_join,
     topk_vs_query,
 )
@@ -110,6 +111,21 @@ def test_ivf_assign(vectors):
     # near-copies land in the same cell
     cells = {r["vec_id"]: r["centroid"] for r in rows}
     assert cells[0] == cells[19]
+
+
+def test_ivf_topk_probes_recall_near_copy(vectors):
+    """Probe search must recall the near-copy: 0 and 19 share a cell
+    (test_ivf_assign), so probing query 0's nearest cell finds 19 and
+    the self-match scores exactly 1.0. Recall vs exact knn is bounded
+    by cell membership — verify the probed result IS the exact top-k
+    restricted to probed cells."""
+    _, centroids = ivf_assign(vectors, num_centroids=4, sample=20, iters=3)
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = ivf_topk(vectors, queries, centroids, k=3, nprobe=2).collect()
+    assert len(out) <= 3
+    assert out[0]["cid"] == 0 and out[0]["cosine"] == 1.0  # self-match
+    assert any(r["cid"] == 19 for r in out)  # near-copy in probed cell
+    assert all(out[i]["cosine"] >= out[i + 1]["cosine"] for i in range(len(out) - 1))
 
 
 def test_multimodal_plumbing(spark, docs):

@@ -112,3 +112,13 @@ def test_ann_candidate_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_probe_join_is_equi(spark):
+    """IVF probe search: candidates come from an equi-join on the cell
+    id (scan fraction ~nprobe/num_centroids). A non-equi formulation
+    would nested-loop the whole corpus against every query."""
+    plan = plan_of(spark, "sim_ivf_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
