@@ -1857,3 +1857,120 @@ def w_session_window(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return session_window_stats(ev, gap="30 minutes", ts_col="ts", key_col="user_id")
+
+
+@_register(
+    "w_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               + INTERVAL '1 hour' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def w_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch face of the
+    watermarked streaming window (same F.window call runs under
+    readStream + withWatermark; stream==batch equivalence pinned by
+    tests/test_streaming_sessionize.py). Spark's window() aligns to
+    the epoch exactly like DuckDB's time_bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "w_hopping_window",
+    """
+    WITH hops AS (
+        SELECT value,
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - unnest([INTERVAL '0 minutes', INTERVAL '30 minutes'])
+                   AS window_start,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM hops
+    WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def w_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window: 1-hour windows every 30 minutes, so
+    each event lands in exactly 2 windows. Spark's window() explodes
+    the overlap internally; the oracle materializes the same 2
+    candidate window starts per event and filters to containment."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "text_repetition_ratio",
+    """
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ), counts AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(max(c) AS BIGINT) AS top_word_count,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repetition-based quality signal (the Gopher/RefinedWeb
+    'most-common-word fraction' rule): highly repetitive machine text
+    scores near 1. ASCII-class tokenizer for cross-engine regex parity;
+    two partial-agg shuffles, both on uniform keys."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_ratio"),
+    )

@@ -105,3 +105,40 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     t0_us = int(calendar.timegm(T0.timetuple())) * 1_000_000
     assert by_key[(1, 0)]["start_us"] == t0_us
     assert by_key[(1, 0)]["end_us"] == t0_us + 10 * 60 * 1_000_000
+
+
+def test_windowed_agg_stream_equals_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: the same groupBy(
+    F.window(...)) plan run under readStream must produce exactly the
+    batch answer once the stream drains (the stream==batch contract
+    behind the w_tumbling_window gate)."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt_win")
+    _events(spark).write.mode("overwrite").parquet(src)
+
+    def windowed(df):
+        return df.groupBy(F.window("ts", "30 minutes").alias("w")).agg(
+            F.count("*").alias("n_events")
+        )
+
+    batch = {
+        (r["w"]["start"], r["w"]["end"]): r["n_events"]
+        for r in windowed(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        windowed(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r["w"]["start"], r["w"]["end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert streamed == batch and len(batch) >= 2
