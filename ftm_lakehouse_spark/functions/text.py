@@ -119,3 +119,18 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
         for b in range(bands)
     ]
     return F.array(*keys)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact common PII spans with typed placeholders: emails →
+    ``<EMAIL>``, IPv4 addresses → ``<IP>``, long digit-dense phone-like
+    sequences → ``<PHONE>``. Pure regexp_replace chain — JVM-side,
+    codegen-friendly, no UDF. Patterns use explicit ASCII classes so
+    Java regex and RE2 agree (the portability rule every text op here
+    follows). IP before phone so dotted quads aren't half-eaten."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    phone = r"\+?[0-9][0-9()\[\]. -]{6,}[0-9]"
+    out = F.regexp_replace(text, email, "<EMAIL>")
+    out = F.regexp_replace(out, ipv4, "<IP>")
+    return F.regexp_replace(out, phone, "<PHONE>")

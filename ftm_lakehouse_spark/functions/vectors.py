@@ -30,3 +30,25 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization — the storage-side op
+    that turns a 100 TB float32 embedding corpus into ~25 TB:
+    ``scale = max(|v|)/127``, ``q_i = floor(v_i/scale + 0.5)``.
+
+    Returns ``struct<scale:double, q:array<int>>``. The explicit
+    floor(+0.5) rounding (not round()) makes the quantized values
+    reproducible across engines regardless of their round-half
+    convention. The scale is bound once via a one-element transform so
+    the max-abs fold runs once per row, not once per element."""
+
+    def make(scale: Column) -> Column:
+        q = F.transform(
+            v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+        )
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(max_abs / F.lit(127.0), F.lit(1e-12))
+    return F.transform(F.array(scale), make)[0]

@@ -37,6 +37,7 @@ __all__ = [
     "simhash",
     "simhash_duplicates",
     "ngram_jaccard_pairs",
+    "benchmark_overlap",
 ]
 
 
@@ -400,3 +401,40 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the count
+    of distinct word ``n``-gram shingles it shares with each benchmark
+    document (the standard eval-leakage check before training).
+
+    Shingles travel as fixed-width md5 keys; candidates come from an
+    equi-join on the shingle hash with the benchmark side broadcast
+    (benchmark suites are small by nature — for a benchmark beyond
+    broadcast size the same plan degrades to a shuffled hash join).
+    Long shingles (n=8 default) make coincidental collisions
+    negligible, so any match is a verbatim 8-word overlap.
+
+    Returns (doc_id, bench_id, n_shared) — only contaminated pairs.
+    """
+    def shingled(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        ).select(alias, F.md5(F.col("sh")).alias("h"))
+
+    c = shingled(corpus, "doc_id")
+    b = shingled(benchmark, "bench_id")
+    # word_shingles is distinct per doc, so (doc, bench, h) is unique
+    # and count(*) == count of distinct shared shingles
+    return (
+        c.join(F.broadcast(b), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

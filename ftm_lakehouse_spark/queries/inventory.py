@@ -1974,3 +1974,85 @@ def text_repetition_ratio(spark, sf_dir):
         F.max("c").alias("top_word_count"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_ratio"),
     )
+
+
+@_register(
+    "text_benchmark_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 7, 0)),
+            i -> md5(array_to_string(t[i:i+7], ' '))))) AS h
+        FROM toks WHERE len(t) >= 8
+    )
+    SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh c JOIN sh b ON c.h = b.h
+    WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+    GROUP BY 1, 2
+    """,
+)
+def text_benchmark_overlap(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a verbatim 8-word
+    shingle with the held-out 'benchmark' slice (doc_id % 20 == 0).
+    Candidates via equi-join on md5 shingle keys, benchmark side
+    broadcast — the eval-leakage sweep a training pipeline runs before
+    every data release."""
+    from ftm_lakehouse_spark.operators.dedupe import benchmark_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    )
+
+
+@_register(
+    "sim_quantize_int8",
+    """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                        1e-12) AS scale
+        FROM base
+    ), q AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+        FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(list_sum(q) AS BIGINT) AS q_sum
+    FROM q
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (float32 corpus → 1/4 the
+    bytes) projected to scalar audit stats — integer sums are
+    order-independent, so the gate is immune to float summation noise;
+    the explicit floor(+0.5) rounding is reproducible across engines.
+    No list column in the output (driver canon can't sort lists)."""
+    from ftm_lakehouse_spark.functions.vectors import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qz"))
+    return qz.select(
+        "vec_id",
+        F.round(F.col("qz.scale"), 6).alias("scale"),
+        F.aggregate(
+            F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max("qz.q").cast("long").alias("q_max"),
+        F.aggregate(
+            F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+    )

@@ -194,3 +194,59 @@ def test_connected_components_multi_hop(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_benchmark_overlap_finds_contamination(spark):
+    from ftm_lakehouse_spark.operators.dedupe import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8 words verbatim → 3 shared
+            # 8-gram shingles once its own tail extends the run
+            (1, "x alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (2, "totally unrelated words none of which overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = benchmark_overlap(corpus, bench, n=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["bench_id"] == 100
+    assert rows[0]["n_shared"] == 2  # 'alpha..theta' and 'beta..iota'
+
+
+def test_quantize_int8_roundtrip_error(vectors):
+    from ftm_lakehouse_spark.functions.vectors import quantize_int8
+
+    out = vectors.select(
+        "vec_id", "embedding", quantize_int8(F.col("embedding")).alias("qz")
+    ).collect()
+    for r in out:
+        scale, q = r["qz"]["scale"], r["qz"]["q"]
+        assert len(q) == len(r["embedding"])
+        assert all(-127 <= x <= 127 for x in q)
+        # dequantization error bounded by half a step per component
+        for orig, qi in zip(r["embedding"], q):
+            assert abs(orig - qi * scale) <= scale / 2 + 1e-9
+
+
+def test_pii_scrub_redacts(spark):
+    from ftm_lakehouse_spark.functions.text import pii_scrub
+
+    rows = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 192.168.0.1 port"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text stays untouched"),
+        ],
+        ["i", "t"],
+    ).select("i", pii_scrub(F.col("t")).alias("t")).collect()
+    got = {r["i"]: r["t"] for r in rows}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays untouched"
