@@ -38,6 +38,7 @@ __all__ = [
     "simhash_duplicates",
     "ngram_jaccard_pairs",
     "benchmark_overlap",
+    "duplicate_chunks",
 ]
 
 
@@ -437,4 +438,49 @@ def benchmark_overlap(
         c.join(F.broadcast(b), "h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def duplicate_chunks(
+    docs: DataFrame,
+    chunk_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact dedup: split each document into consecutive
+    non-overlapping ``chunk_words``-word chunks, hash each, and report
+    chunks occurring more than once across the corpus — the
+    passage-granularity dedup pass (boilerplate, license headers,
+    syndicated paragraphs) that document-level hashing can't see.
+
+    Only 32-byte md5 keys travel through the shuffle; the single
+    groupBy on the chunk hash is the whole plan. Tokenization is bound
+    once per row via the one-element-transform trick (see
+    ``word_shingles``), so the text is split once, not once per chunk.
+
+    Returns (chunk_hash, n_occurrences, n_docs) for duplicated chunks.
+    """
+
+    def chunks(toks):
+        n_chunks = F.floor(F.size(toks) / chunk_words).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        ch = F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words))
+            ),
+        )
+        return F.when(n_chunks > 0, ch).otherwise(F.array().cast("array<string>"))
+
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(F.array(tokens(F.col(text_col))), chunks)[0]).alias("h"),
+    )
+    return (
+        exploded.groupBy(F.col("h").alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
     )

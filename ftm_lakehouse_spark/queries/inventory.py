@@ -2056,3 +2056,193 @@ def sim_quantize_int8(spark, sf_dir):
             F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("q_sum"),
     )
+
+
+@_register(
+    "dedup_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), ch AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(0, CAST(floor(len(t) / 20) AS INT) - 1),
+            i -> md5(array_to_string(t[i*20+1 : i*20+20], ' ')))) AS h
+        FROM toks WHERE len(t) >= 20
+    )
+    SELECT h AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_chunks(spark, sf_dir):
+    """Passage-granularity exact dedup: 20-word non-overlapping chunks
+    hashed and counted across the corpus — catches boilerplate/license
+    blocks document-level hashing can't. One groupBy on 32-byte keys."""
+    from ftm_lakehouse_spark.operators.dedupe import duplicate_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_chunks(d, chunk_words=20)
+
+
+@_register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5('strat:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: the 40 smallest salted-hash
+    draws per language — equal stratum representation regardless of
+    corpus skew, stable under reruns and appends."""
+    from ftm_lakehouse_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", 40).select("doc_id", "lang", "source")
+
+
+@_register(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), rates AS (
+        SELECT lang,
+               round(pow(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n,
+                         0.3), 6) AS keep_rate
+        FROM counts
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang, r.keep_rate AS keep_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                1, 6)) AS BIGINT)
+          < CAST(floor(r.keep_rate * 16777216) AS BIGINT)
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language rebalancing (keep-rate
+    (n_min/n_s)^0.3, i.e. alpha=0.7): post-mix sizes follow n^alpha,
+    the standard multilingual-corpus flattening — en (218 docs at
+    sf0.01) is downsampled ~30%, the smallest stratum keeps all.
+    Counts aggregate is tiny and broadcast back; the corpus never
+    shuffles. Membership is an integer hash-threshold compare, exact
+    cross-engine."""
+    from ftm_lakehouse_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mix(d, "lang", alpha=0.7).select(
+        "doc_id", "lang", "keep_rate"
+    )
+
+
+@_register(
+    "text_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 7, 0)),
+            i -> md5(array_to_string(t[i:i+7], ' '))))) AS h
+        FROM toks WHERE len(t) >= 8
+    ), bad AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh c JOIN sh b ON c.h = b.h
+        WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source
+    FROM documents d
+    WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """The decontamination PURGE: corpus docs surviving after removing
+    everything that shares a verbatim 8-word shingle with the held-out
+    benchmark slice — benchmark_overlap composed with a left anti-join
+    (the shape of the pre-release sweep: detect, then drop)."""
+    from ftm_lakehouse_spark.operators.dedupe import benchmark_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    bad = benchmark_overlap(corpus, bench, n=8).select("doc_id").distinct()
+    return corpus.join(bad, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@_register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        'contact u' || doc_id || '@mail' || (doc_id % 7) ||
+        '.example.org or 10.' || (doc_id % 200) || '.0.' ||
+        (doc_id % 250) || ' tel +44 20 7' ||
+        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 0999 end',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        '\+?[0-9][0-9()\[\]. -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction over synthesized contact strings (the corpus text
+    itself carries no PII, so the gate plants a deterministic
+    email+IP+phone per row): regexp_replace chain, JVM-side, patterns
+    written to the Java/RE2 common subset so both engines agree."""
+    from ftm_lakehouse_spark.functions.text import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    synth = F.concat(
+        F.lit("contact u"), i.cast("string"),
+        F.lit("@mail"), (i % 7).cast("string"),
+        F.lit(".example.org or 10."), (i % 200).cast("string"),
+        F.lit(".0."), (i % 250).cast("string"),
+        F.lit(" tel +44 20 7"),
+        F.lpad((i % 1000).cast("string"), 3, "0"),
+        F.lit(" 0999 end"),
+    )
+    return d.select("doc_id", pii_scrub(synth).alias("scrubbed"))
+
+
+@_register(
+    "w_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS mov_sum_1h
+    FROM events
+    """,
+)
+def w_range_frame(spark, sf_dir):
+    """Window with a RANGE (value-based) frame: per-user moving sum of
+    the trailing hour, frame bounds in epoch microseconds on both
+    engines so sub-second timestamps can't straddle the boundary
+    differently. Complements the ROWS frame of w_running_total."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("mov_sum_1h"),
+    )

@@ -1,0 +1,92 @@
+"""Deterministic-sampling operators: stratified top-k-by-hash and
+temperature-scaled mixing, plus chunk-level dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.operators.sampling import (
+    hash_uniform,
+    stratified_sample,
+    temperature_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # skewed strata: 40 'en', 10 'fr', 5 'de'
+    rows = [(i, "en" if i < 40 else ("fr" if i < 50 else "de")) for i in range(55)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_stratified_sample_caps_every_stratum(docs):
+    out = stratified_sample(docs, "lang", 8).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert got == {"en": 8, "fr": 8, "de": 5}  # de has only 5 rows
+
+
+def test_stratified_sample_is_rerun_stable(docs):
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", 8).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), "lang", 8).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_membership_survives_appends(docs, spark):
+    """Adding new rows must not evict previously sampled rows unless the
+    new row hashes below them — membership is id-determined."""
+    base = set(
+        r["doc_id"]
+        for r in stratified_sample(docs.filter(F.col("lang") == "de"), "lang", 3).collect()
+    )
+    more = docs.union(spark.createDataFrame([(999, "de")], ["doc_id", "lang"]))
+    after = set(
+        r["doc_id"]
+        for r in stratified_sample(more.filter(F.col("lang") == "de"), "lang", 3).collect()
+    )
+    # at most one member displaced, and only by the new id
+    assert len(after - base) <= 1
+    assert after - base <= {999}
+
+
+def test_temperature_mix_downsamples_majority_only(docs):
+    out = temperature_mix(docs, "lang", alpha=0.7)
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    # smallest stratum (de, 5 rows) keeps rate 1.0; en (40) is scaled
+    assert rates["de"] == 1.0
+    assert 0 < rates["en"] == round((5 / 40) ** 0.3, 6) < 1
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["de"] == 5
+    assert counts["en"] < 40
+
+
+def test_temperature_mix_alpha_one_keeps_everything(docs):
+    assert temperature_mix(docs, "lang", alpha=1.0).count() == docs.count()
+
+
+def test_hash_uniform_range_and_determinism(spark):
+    df = spark.range(2000).select(hash_uniform(F.col("id"), "s:").alias("u"))
+    agg = df.agg(F.min("u"), F.max("u"), F.count_distinct("u")).first()
+    assert 0 <= agg[0] and agg[1] < 16**6
+    assert agg[2] > 1990  # essentially collision-free at this n
+
+
+def test_duplicate_chunks_finds_repeated_passage(spark):
+    from ftm_lakehouse_spark.operators.dedupe import duplicate_chunks
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, passage + " " + " ".join(f"x{i}" for i in range(20))),
+        (2, passage + " " + " ".join(f"y{i}" for i in range(20))),
+        (3, " ".join(f"z{i}" for i in range(40))),
+        (4, "short text below one chunk"),
+    ]
+    out = duplicate_chunks(
+        spark.createDataFrame(rows, ["doc_id", "text"]), chunk_words=20
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_occurrences"] == 2 and out[0]["n_docs"] == 2
