@@ -2246,3 +2246,55 @@ def w_range_frame(spark, sf_dir):
         "user_id",
         F.sum(_dec("value")).over(w).cast("double").alias("mov_sum_1h"),
     )
+
+
+@_register(
+    "a_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def a_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    — detail, per-status subtotal, and grand total in one pass; Spark
+    expands the sets map-side, still a single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@_register(
+    "j_interval_attribution",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def j_interval_attribution(spark, sf_dir):
+    """Batch face of the stream-stream attribution join
+    (streaming/joins.interval_join): purchases matched to clicks by the
+    same user within a 30-minute horizon. The identical code path runs
+    as a watermarked stream-stream join with O(horizon) state."""
+    from ftm_lakehouse_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return interval_join(clicks, purchases, horizon="30 minutes").select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
