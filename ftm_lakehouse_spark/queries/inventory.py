@@ -2298,3 +2298,333 @@ def j_interval_attribution(spark, sf_dir):
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("purchase_id"),
     )
+
+
+# =====================================================================
+# Round-2 batch 3: sequence analytics, semi-structured columns,
+# skew-safe aggregation, recursive hierarchy, corpus n-gram stats
+# =====================================================================
+
+@_register(
+    "w_lag_lead",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS us_since_prev,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS next_type
+    FROM events
+    """,
+)
+def w_lag_lead(spark, sf_dir):
+    """lag/lead navigation over the per-user event timeline (reference
+    has no window engine; DuckDB supplies it for journal diffs). The
+    window is partitioned by user — no global sort, one hash shuffle on
+    user_id, per-partition sort only."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@_register(
+    "x_funnel_stages",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(1 + CAST(c.user_id IS NOT NULL AS INTEGER)
+                  + CAST(p.user_id IS NOT NULL AS INTEGER) AS INTEGER) AS stage,
+           count(*) AS n_users
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY stage
+    """,
+)
+def x_funnel_stages(spark, sf_dir):
+    """Ordered-funnel conversion (view -> click -> purchase, each stage
+    within a 1-day horizon of the previous): each stage is a
+    min-after-threshold aggregation, so the whole funnel is three
+    groupBys + two joins on user_id — every shuffle is on the same key,
+    so AQE coalesces them into co-partitioned exchanges; no window over
+    the full event stream and no event_type skew sensitivity."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_buy").isNotNull().cast("int")
+    ).cast("int")
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_buy"), "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@_register(
+    "w_ntile_quartiles",
+    """
+    SELECT c_nationkey, quartile, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS bal_sum
+    FROM (
+        SELECT c_nationkey, c_acctbal,
+               ntile(4) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    GROUP BY c_nationkey, quartile
+    """,
+)
+def w_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing per nation (balance quartiles). Partitioned by
+    nation so there is no global sort; the order key carries c_custkey
+    as a unique tiebreak, making bucket assignment deterministic in
+    both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("bal_sum"),
+        )
+    )
+
+
+@_register(
+    "x_json_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type, k_mod
+    """,
+)
+def x_json_extract(spark, sf_dir):
+    """Semi-structured column access: JSON path extraction from the
+    events props payload, then a grouped rollup on the extracted value.
+    get_json_object is JVM-side (Jackson) — no Python in the path; at
+    scale the extraction is a per-row map fused into the scan stage."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", (k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("event_type", "k_mod")
+        .agg(F.count("*").alias("n"), F.max("k").alias("k_max"))
+    )
+
+
+@_register(
+    "a_skew_salted",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_skew_salted(spark, sf_dir):
+    """Grades operators/skew.py: two-phase salted aggregation (count +
+    exact sum) joined with salted exact count-distinct. The salt splits
+    each hot key across num_salts reducers; the combine shuffle moves
+    only num_keys x num_salts pre-aggregated rows, so a single hot
+    event_type can no longer pin one reducer. Results are exact — the
+    oracle is the plain GROUP BY."""
+    from ftm_lakehouse_spark.operators.skew import salted_agg, salted_count_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    totals = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": (F.count("*"), F.sum("n_events").cast("long")),
+            "value_sum": (F.sum(_dec("value")), F.sum("value_sum")),
+        },
+    )
+    uniques = salted_count_distinct(e, ["event_type"], "user_id", out="n_users")
+    return (
+        totals.join(F.broadcast(uniques), "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+    )
+
+
+@_register(
+    "graph_parent_chain",
+    """
+    WITH RECURSIVE nodes AS (
+        SELECT doc_id AS id,
+               CASE WHEN doc_id = 0 THEN NULL ELSE (doc_id - 1) // 2 END AS parent,
+               'd' || doc_id AS name
+        FROM documents
+    ), chain AS (
+        SELECT id, parent AS cursor, name AS path, 0 AS depth FROM nodes
+        UNION ALL
+        SELECT c.id, n.parent, n.name || '/' || c.path, c.depth + 1
+        FROM chain c JOIN nodes n ON c.cursor = n.id
+    )
+    SELECT id, path, depth FROM chain WHERE cursor IS NULL
+    """,
+)
+def graph_parent_chain(spark, sf_dir):
+    """Grades operators/graph.resolve_parent_chains (reference J5 folder
+    paths, repository/documents.py:53-86) against a recursive-CTE
+    oracle. The hierarchy is derived deterministically from doc_id
+    (binary-heap parent), depth ~ log2(n); each Spark round is one
+    broadcast join, rounds = O(depth)."""
+    from ftm_lakehouse_spark.operators.graph import resolve_parent_chains
+
+    d = load_table(spark, sf_dir, "documents")
+    nodes = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(doc_id - 1) div 2"))
+        .alias("parent"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("name"),
+    )
+    return resolve_parent_chains(nodes).select(
+        "id", "path", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@_register(
+    "text_bigram_topk",
+    """
+    WITH toks AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), big AS (
+        SELECT lang, u.bigram
+        FROM (
+            SELECT lang,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) AS bs
+            FROM toks
+        ), unnest(bs) AS u(bigram)
+    ), counted AS (
+        SELECT lang, bigram, count(*) AS n
+        FROM big GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n
+    FROM counted
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) <= 10
+    """,
+)
+def text_bigram_topk(spark, sf_dir):
+    """Corpus n-gram statistics: top-10 bigrams per language. Tokens are
+    ASCII-class split (Java regex == RE2 == DuckDB); adjacent-pair
+    construction is a JVM higher-order transform (no Python); the
+    count is a map-side-combined groupBy and the top-k a per-lang
+    window with a lexicographic tiebreak."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "lang",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    )
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+
+
+@_register(
+    "sim_centroid_stats",
+    """
+    SELECT label, count(*) AS n,
+           sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS s0,
+           sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)) AS s1,
+           sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT)) AS s2,
+           sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT)) AS s3
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_centroid_stats(spark, sf_dir):
+    """Per-label centroid accumulation (the reduce side of a k-means /
+    class-prototype step): element sums of the first dims, carried as
+    scaled int64 so float summation order cannot perturb the result
+    (IEEE double -> floor(x * 1e6) is identical in both engines).
+    One map-side-combined shuffle; the array never travels — only the
+    4 projected scalars."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def s(i):
+        return F.sum(
+            F.floor(F.element_at("embedding", i + 1).cast("double") * 1_000_000).cast(
+                "long"
+            )
+        ).alias(f"s{i}")
+
+    return em.groupBy("label").agg(
+        F.count("*").alias("n"), s(0), s(1), s(2), s(3)
+    )

@@ -122,3 +122,36 @@ def test_ivf_probe_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """x_funnel_stages: every shuffle keys on user_id, no window over
+    the raw event stream, and no nested-loop anywhere."""
+    plan = plan_of(spark, "x_funnel_stages")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_lag_lead_single_user_shuffle(spark):
+    """w_lag_lead: one Exchange (hash on user_id) feeding the window;
+    no global sort. formatted mode mentions each node twice."""
+    plan = plan_of(spark, "w_lag_lead")
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
+def test_bigram_topk_no_global_sort(spark):
+    """text_bigram_topk: count is partially aggregated map-side; the
+    top-k window is per-lang (hash exchange), never a global Sort."""
+    plan = plan_of(spark, "text_bigram_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_centroid_stats_prunes_to_scalars(spark):
+    """sim_centroid_stats: partial agg before the shuffle so only the
+    projected scalar sums travel, never the 64-float array."""
+    plan = plan_of(spark, "sim_centroid_stats")
+    assert plan.count("HashAggregate") >= 2
+    assert "vec_id" not in plan  # column pruning on the scan
