@@ -3,14 +3,17 @@
 The formats below need NO external media libraries, so their decode
 paths are REAL (bit-exact, tested), not stubs:
 
-* images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP;
+* images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP, and
+  PNG (full spec subset: 8-bit gray/RGB/palette/gray-alpha/RGBA,
+  all five scanline filters, stdlib ``zlib`` inflate);
 * audio — WAV PCM (8/16-bit, any channel count, stdlib ``wave``);
 * "video" — an MJPEG-style container of concatenated PPM frames
   (the sampler parses real frame boundaries and decodes real frames).
 
-Compressed formats (JPEG/PNG/MP4/...) raise ``NotImplementedError``
-with the library that would handle them — swap in PIL / pyav on a
-cluster image that has them; callers and schemas do not change.
+Formats that genuinely need external codecs (JPEG/MP4/...) raise
+``NotImplementedError`` with the library that would handle them — swap
+in PIL / pyav on a cluster image that has them; callers and schemas do
+not change.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -26,6 +30,7 @@ __all__ = [
     "decode_wav",
     "encode_ppm",
     "encode_bmp",
+    "encode_png",
     "encode_wav",
     "resize_nearest",
     "split_ppm_frames",
@@ -82,17 +87,129 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated byte stream: h rows of (1 filter byte +
+    stride data bytes). Sub/Up/None invert vectorized (Sub via a modular
+    cumsum over byte lanes ``bpp`` apart); Average/Paeth carry a
+    left+up dependency so those rows fall back to a per-byte loop —
+    correct for all encoders, and rare in practice (most write 0/2)."""
+    raw = raw.reshape(h, stride + 1)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row, f = data[y], int(filters[y])
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: x + left; cumsum per lane, mod 256
+            n_lanes = -(-stride // bpp)
+            padded = np.zeros(n_lanes * bpp, dtype=np.int64)
+            padded[:stride] = row
+            cur = (padded.reshape(n_lanes, bpp).cumsum(axis=0).reshape(-1)[:stride]) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 HxW (grayscale) or HxWx3 (RGB; alpha dropped).
+
+    Stdlib-only: chunk walk + zlib inflate + numpy unfilter. Supports
+    bit depth 8, color types 0/2/3/4/6, non-interlaced (Adam7 raises)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    pixels = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:  # palette indices → RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[pixels[:, :, 0]]
+    if color == 0:
+        return pixels[:, :, 0]
+    if color == 4:  # gray+alpha → gray
+        return pixels[:, :, 0]
+    return np.ascontiguousarray(pixels[:, :, :3])  # RGB / RGBA→RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → PNG, filter 0, stdlib zlib."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    color = 0 if gray else 2
+    body = arr.reshape(h, -1)
+    scanlines = np.concatenate([np.zeros((h, 1), dtype=np.uint8), body], axis=1)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(blob: bytes, mime: str | None = None) -> np.ndarray:
     """blob → uint8 array (HxW grayscale or HxWx3 RGB). Real decode for
-    PPM/PGM/BMP; compressed formats name the library they need."""
+    PPM/PGM/BMP/PNG; formats that need external codecs name the library."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_pnm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     if blob[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("JPEG decode requires PIL/libjpeg (not in image)")
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires PIL/zlib-unfilter (not wired)")
     raise NotImplementedError(f"unsupported image format (mime={mime!r})")
 
 

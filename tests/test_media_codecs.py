@@ -10,6 +10,7 @@ from ftm_lakehouse_spark.functions.media_codecs import (
     decode_image,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     resize_nearest,
@@ -40,8 +41,115 @@ def test_ppm_bmp_roundtrip_bit_exact():
 def test_compressed_formats_name_their_library():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nfake")
+
+
+def test_png_roundtrip_bit_exact():
+    assert np.array_equal(decode_image(encode_png(IMG)), IMG)
+    assert np.array_equal(decode_image(encode_png(GRAY)), GRAY)
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Reference forward-filterer (PNG spec §9) so the decoder's
+    unfilter path is tested against all five filter types, not just the
+    filter-0 stream our encoder writes."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    bpp = c
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    for y in range(h):
+        row, f = flat[y], filters[y % len(filters)]
+        filt = np.empty(w * c, dtype=np.int32)
+        for i in range(w * c):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[i] = (row[i] - pred) % 256
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filters_decode():
+    blob = _png_with_filters(IMG, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_image(blob), IMG)
+    # every-row-Paeth and every-row-Average streams too
+    assert np.array_equal(decode_image(_png_with_filters(IMG, [4])), IMG)
+    assert np.array_equal(decode_image(_png_with_filters(IMG, [3])), IMG)
+
+
+def test_png_palette_and_alpha():
+    import struct
+    import zlib
+
+    # palette PNG: 4-color PLTE, indices 0..3
+    idx = (np.arange(30, dtype=np.uint8) % 4).reshape(5, 6)
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], dtype=np.uint8
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = np.concatenate([np.zeros((5, 1), np.uint8), idx], axis=1)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(blob), plte[idx])
+
+    # RGBA PNG → alpha dropped, RGB preserved
+    rgba = np.dstack([IMG, np.full(IMG.shape[:2], 128, np.uint8)])
+    scan = np.concatenate(
+        [np.zeros((rgba.shape[0], 1), np.uint8), rgba.reshape(rgba.shape[0], -1)],
+        axis=1,
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", IMG.shape[1], IMG.shape[0], 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(blob), IMG)
 
 
 def test_wav_roundtrip():
@@ -69,20 +177,24 @@ def test_split_ppm_frames():
 
 @pytest.fixture()
 def image_media(spark):
-    rows = [(1, bytearray(encode_ppm(IMG))), (2, bytearray(encode_bmp(IMG)))]
+    rows = [
+        (1, bytearray(encode_ppm(IMG))),
+        (2, bytearray(encode_bmp(IMG))),
+        (3, bytearray(encode_png(IMG))),
+    ]
     df = spark.createDataFrame(rows, "i long, payload binary")
     return attach_media(df, "payload", kind="image", mime="image/x-portable-pixmap")
 
 
 def test_image_features_real_decode(spark, image_media):
     out = {r["media_id"]: r for r in extract_image_features(image_media, 16).collect()}
-    assert len(out) == 2
+    assert len(out) == 3
     for r in out.values():
         assert r["decoded"] is True
         assert (r["height"], r["width"]) == IMG.shape[:2]
-    # PPM and BMP carry identical pixels → identical features
-    a, b = out.values()
-    assert a["features"] == b["features"]
+    # PPM, BMP, and PNG carry identical pixels → identical features
+    a, b, c = out.values()
+    assert a["features"] == b["features"] == c["features"]
     gray = IMG.mean(axis=2)
     expected = resize_nearest(gray, 4, 4).astype(np.float32).ravel()
     assert np.allclose(a["features"], expected)
