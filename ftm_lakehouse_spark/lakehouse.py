@@ -40,13 +40,17 @@ __all__ = ["Lakehouse", "Dataset"]
 
 class Dataset:
     def __init__(self, spark: SparkSession, root: str, config: DatasetConfig):
+        from ftm_lakehouse_spark.sources.fs import get_fs
         from ftm_lakehouse_spark.sources.versions import VersionStore
 
         self.spark = spark
         self.config = config
-        self.path = os.path.join(root, config.name)
+        self._fs = get_fs(root, spark)
+        self.path = self._fs.join(root, config.name)
         self.store = StatementStore(spark, self.path, config)
-        self.versions = VersionStore(os.path.join(self.path, "_meta", "versions"))
+        self.versions = VersionStore(
+            self._fs.join(self.path, "_meta", "versions"), spark
+        )
 
     # --------------------------------------------------------- writes
     def write_statements(self, df: DataFrame) -> None:
@@ -193,16 +197,17 @@ class Dataset:
         artifact — statements.csv, entities.ftm.json, statistics.json,
         index.json — skipping everything if no write happened since the
         last make (freshness tags, reference operation/base.py:56-70)."""
-        out_root = out_root or os.path.join(self.path, "exports")
+        out_root = out_root or self._fs.join(self.path, "exports")
         if not force and self.store.tags.is_latest("last_made", ["last_updated"]):
             return {"skipped": True}
         self.optimize(force=force)
-        self.export_statements_csv(os.path.join(out_root, "statements.csv"))
-        self.export_entities_json(os.path.join(out_root, "entities.ftm.json"))
+        self.export_statements_csv(self._fs.join(out_root, "statements.csv"))
+        self.export_entities_json(self._fs.join(out_root, "entities.ftm.json"))
         stats = self.stats()
-        os.makedirs(out_root, exist_ok=True)
-        with open(os.path.join(out_root, "statistics.json"), "w") as fh:
-            json.dump(stats, fh, default=str)
+        self._fs.write_text_atomic(
+            self._fs.join(out_root, "statistics.json"),
+            json.dumps(stats, default=str),
+        )
         index = {
             "name": self.config.name,
             "title": self.config.title,
@@ -211,8 +216,9 @@ class Dataset:
             "updated_at": datetime.now(timezone.utc).isoformat(),
             "resources": ["statements.csv", "entities.ftm.json", "statistics.json"],
         }
-        with open(os.path.join(out_root, "index.json"), "w") as fh:
-            json.dump(index, fh, default=str)
+        self._fs.write_text_atomic(
+            self._fs.join(out_root, "index.json"), json.dumps(index, default=str)
+        )
         self.versions.put("index", index)
         self.store.tags.touch("last_made")
         return {"skipped": False, "exports": out_root, **index}
@@ -234,9 +240,16 @@ class Dataset:
     @staticmethod
     def _recompress_zstd(out_dir: str) -> None:
         """Driver-side streaming post-pass: each part file → .zst via
-        pyarrow (C-speed). Stale Hadoop .crc sidecars are dropped."""
+        pyarrow (C-speed). Stale Hadoop .crc sidecars are dropped.
+        Local paths only — on a cluster with native Hadoop zstd the
+        pass-through codec applies and this post-pass never runs."""
         import pyarrow as pa
 
+        if "://" in out_dir:
+            raise NotImplementedError(
+                "zstd text post-pass is driver-local; use native Hadoop "
+                "zstd (pass-through codec) for remote export dirs"
+            )
         for name in sorted(os.listdir(out_dir)):
             path = os.path.join(out_dir, name)
             if name.endswith(".crc"):
@@ -293,36 +306,41 @@ class Dataset:
 
 
 class Lakehouse:
-    """Catalog of datasets under one root (reference catalog.py)."""
+    """Catalog of datasets under one root (reference catalog.py). The
+    root may be any Hadoop FileSystem URI the image has jars for
+    (``file://`` here; ``s3a://``/``gs://``/``hdfs://`` on a cluster) —
+    data goes through Spark's readers/writers, control files through
+    the sources.fs shim (S16)."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from ftm_lakehouse_spark.sources.fs import get_fs
+
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fs = get_fs(root, spark)
+        self._fs.mkdirs(root)
 
     def _config_path(self, name: str) -> str:
-        return os.path.join(self.root, name, "_meta", "config.json")
+        return self._fs.join(self.root, name, "_meta", "config.json")
 
     def dataset(self, name: str, **config_kw) -> Dataset:
         cfg_path = self._config_path(name)
-        if os.path.exists(cfg_path):
-            cfg = DatasetConfig.load(cfg_path)
+        if self._fs.exists(cfg_path):
+            cfg = DatasetConfig.load(cfg_path, fs=self._fs)
             if config_kw.get("shards") not in (None, cfg.shards):
                 # immutable after first write (reference model/dataset.py:25-30)
                 raise ValueError(f"shards is immutable for dataset {name!r}")
         else:
             cfg = DatasetConfig(name=name, **config_kw)
-            cfg.dump(cfg_path)
+            cfg.dump(cfg_path, fs=self._fs)
         return Dataset(self.spark, self.root, cfg)
 
     def list_datasets(self) -> list[str]:
         out = []
-        for name in sorted(os.listdir(self.root)):
-            if os.path.exists(self._config_path(name)):
+        for name in self._fs.listdir(self.root):
+            if self._fs.exists(self._config_path(name)):
                 out.append(name)
         return out
 
     def drop_dataset(self, name: str) -> None:
-        import shutil
-
-        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        self._fs.delete(self._fs.join(self.root, name))

@@ -25,13 +25,20 @@ class DatasetConfig:
         if self.shards < 0:
             raise ValueError("shards must be >= 0")
 
-    # -- persistence (a tiny JSON sidecar next to the table) -------------
+    # -- persistence (a tiny JSON sidecar next to the table; ``fs`` is
+    # a sources.fs shim so the sidecar follows the store onto Hadoop
+    # URIs — S16) ---------------------------------------------------------
     @classmethod
-    def load(cls, path: str) -> "DatasetConfig":
+    def load(cls, path: str, fs=None) -> "DatasetConfig":
+        if fs is not None:
+            return cls(**json.loads(fs.read_text(path)))
         with open(path) as fh:
             return cls(**json.load(fh))
 
-    def dump(self, path: str) -> None:
+    def dump(self, path: str, fs=None) -> None:
+        if fs is not None:
+            fs.write_text_atomic(path, json.dumps(asdict(self)))
+            return
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

@@ -2628,3 +2628,70 @@ def sim_centroid_stats(spark, sf_dir):
     return em.groupBy("label").agg(
         F.count("*").alias("n"), s(0), s(1), s(2), s(3)
     )
+
+
+@_register(
+    "w_percent_rank",
+    """
+    SELECT c_nationkey, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_percent_rank(spark, sf_dir):
+    """Relative-rank window family (percent_rank + cume_dist), the one
+    window class not yet graded. The order key carries c_custkey as a
+    unique tiebreak so rank() is total; both functions are then exact
+    integer ratios, bit-identical across engines (round(6) belt and
+    braces). One shuffle on the partition key, no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
+    "x_histogram",
+    """
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS p FROM orders
+    ), bounds AS (
+        SELECT min(p) AS lo, max(p) AS hi FROM cents
+    )
+    SELECT (p - lo) * 20 // (hi - lo + 1) AS bucket,
+           count(*) AS n,
+           min(p) AS p_min,
+           max(p) AS p_max
+    FROM cents, bounds
+    GROUP BY bucket
+    """,
+)
+def x_histogram(spark, sf_dir):
+    """Equi-width histogram (20 buckets over order totals) — the classic
+    profiling scan. Bounds come from a first aggregate broadcast into
+    the binning pass (two scans, no window); bucket arithmetic is all
+    int64 on scaled cents so no float division can drift between
+    engines. At scale: pass 1 is a 2-value agg, pass 2 a
+    map-side-combined groupBy on a 20-value key."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(F.floor(F.col("o_totalprice") * 100).cast("long").alias("p"))
+    bounds = cents.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    return (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("((p - lo) * 20) div (hi - lo + 1)").alias("bucket"),
+            "p",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p").alias("p_min"),
+            F.max("p").alias("p_max"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Filesystem shim: one small API over local paths AND Hadoop
+FileSystem URIs (S16 remote storage, reference
+/root/reference/ftm_lakehouse/storage/ which delegates to fsspec).
+
+The data plane already speaks URIs natively — ``spark.read.parquet``
+and ``df.write`` go through Hadoop's FileSystem for any scheme the
+cluster has jars for (s3a, gs, abfs, hdfs, file). What breaks on a
+remote root is the CONTROL plane: freshness tags, config sidecars,
+version snapshots, and the merge's stage-and-swap, which were plain
+``os``/``shutil`` calls. This module routes those through the same
+Hadoop FileSystem the executors use (via the driver's JVM gateway), so
+a store rooted at ``file:///...`` — or ``s3a://...`` on a cluster with
+the jars — works end to end.
+
+Scheme-less paths keep the pure-``os`` fast path: no JVM round-trips
+for the common local case, and control files stay readable without a
+SparkSession.
+
+Scale notes: control files are KB-sized and touched once per job —
+py4j stream overhead is irrelevant. Directory RENAME is atomic on
+HDFS/file but a copy on S3; the merge already holds a per-path writer
+lock, and on a real cluster the swap belongs to a table format
+(Delta/Iceberg) — documented in README.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+import time
+
+__all__ = ["get_fs", "LocalFS", "HadoopFS", "fs_join"]
+
+
+def fs_join(base: str, *parts: str) -> str:
+    """Join that preserves URI schemes (posix separators) and defers to
+    os.path for plain local paths."""
+    if "://" in base:
+        return posixpath.join(base, *parts)
+    return os.path.join(base, *parts)
+
+
+def get_fs(path: str, spark=None):
+    """FS for ``path``: HadoopFS for any ``scheme://`` URI, LocalFS
+    otherwise. ``spark`` may be omitted for URIs if a session is
+    active."""
+    if "://" in path:
+        return HadoopFS(path, spark)
+    return LocalFS()
+
+
+class LocalFS:
+    """os/shutil implementation — the zero-overhead default."""
+
+    def join(self, base: str, *parts: str) -> str:
+        return os.path.join(base, *parts)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def delete(self, p: str) -> None:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.delete(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text_atomic(self, p: str, data: str) -> None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(data)
+        os.replace(tmp, p)
+
+    def listdir(self, p: str) -> list[str]:
+        try:
+            return sorted(os.listdir(p))
+        except FileNotFoundError:
+            return []
+
+    def parquet_dirs(self, root: str) -> dict[str, int]:
+        """rel-dir -> number of parquet files, for every directory under
+        ``root`` that directly contains at least one parquet file."""
+        out: dict[str, int] = {}
+        for r, _dirs, files in os.walk(root):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                out[os.path.relpath(r, root).replace(os.sep, "/")] = n
+        return out
+
+
+class HadoopFS:
+    """Hadoop FileSystem via the driver's JVM gateway. Handles any
+    scheme the image has jars for; ``file://`` exercises the identical
+    code path locally (that is what the tests pin)."""
+
+    def __init__(self, uri: str, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("HadoopFS needs an active SparkSession")
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            self._jvm.java.net.URI.create(uri), self._conf
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def join(self, base: str, *parts: str) -> str:
+        return posixpath.join(base, *parts)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._p(p)))
+
+    def isdir(self, p: str) -> bool:
+        jp = self._p(p)
+        return bool(self._fs.exists(jp)) and bool(
+            self._fs.getFileStatus(jp).isDirectory()
+        )
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._p(p))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._p(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        jd = self._p(dst)
+        self._fs.delete(jd, True)
+        parent = jd.getParent()
+        if parent is not None:
+            self._fs.mkdirs(parent)
+        if not self._fs.rename(self._p(src), jd):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def read_text(self, p: str) -> str:
+        jp = self._p(p)
+        if not self._fs.exists(jp):
+            raise FileNotFoundError(p)
+        stream = self._fs.open(jp)
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8")
+
+    def write_text_atomic(self, p: str, data: str) -> None:
+        # create-temp + rename-over: rename is atomic on HDFS/file;
+        # object stores get delete+copy (callers hold a driver lock)
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        self.rename(tmp, p)
+
+    def listdir(self, p: str) -> list[str]:
+        jp = self._p(p)
+        if not self._fs.exists(jp):
+            return []
+        return sorted(s.getPath().getName() for s in self._fs.listStatus(jp))
+
+    def parquet_dirs(self, root: str) -> dict[str, int]:
+        jp = self._p(root)
+        if not self._fs.exists(jp):
+            return {}
+        root_path = self._p(root).toUri().getPath()
+        out: dict[str, int] = {}
+        it = self._fs.listFiles(jp, True)
+        while it.hasNext():
+            status = it.next()
+            fpath = status.getPath()
+            if not fpath.getName().endswith(".parquet"):
+                continue
+            rel_dir = posixpath.relpath(
+                fpath.getParent().toUri().getPath(), root_path
+            )
+            out[rel_dir] = out.get(rel_dir, 0) + 1
+        return out

@@ -48,8 +48,13 @@ from ftm_lakehouse_spark.model.statement import (
     with_canonical_id,
 )
 from ftm_lakehouse_spark.operators.merge import canonicalize
+from ftm_lakehouse_spark.sources.fs import get_fs
 
 __all__ = ["StatementStore", "TagStore"]
+
+
+def _lock_key(path: str) -> str:
+    return path if "://" in path else os.path.abspath(path)
 
 
 class TagStore:
@@ -57,22 +62,22 @@ class TagStore:
     storage/tags.py:24-69). Drives partition-level merge skip and
     op-level "target newer than deps → skip" (I4). A tiny driver-side
     control file — deliberately not a Spark table: it is read per job,
-    written once per job, and must be cheap."""
+    written once per job, and must be cheap. Lives behind the FS shim
+    so a store rooted at a Hadoop URI keeps its tags next to its data
+    (S16)."""
 
     _locks: dict[str, threading.Lock] = {}
     _locks_guard = threading.Lock()
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, spark: SparkSession | None = None):
         self.path = path
+        self._fs = get_fs(path, spark)
         with TagStore._locks_guard:
-            self._lock = TagStore._locks.setdefault(
-                os.path.abspath(path), threading.Lock()
-            )
+            self._lock = TagStore._locks.setdefault(_lock_key(path), threading.Lock())
 
     def _load(self) -> dict[str, str]:
         try:
-            with open(self.path) as fh:
-                return json.load(fh)
+            return json.loads(self._fs.read_text(self.path))
         except FileNotFoundError:
             return {}
 
@@ -86,11 +91,7 @@ class TagStore:
         with self._lock:
             tags = self._load()
             tags[key] = (ts or datetime.now(timezone.utc)).isoformat()
-            os.makedirs(os.path.dirname(self.path), exist_ok=True)
-            tmp = f"{self.path}.{os.getpid()}.{time.monotonic_ns()}.tmp"
-            with open(tmp, "w") as fh:
-                json.dump(tags, fh)
-            os.replace(tmp, self.path)
+            self._fs.write_text_atomic(self.path, json.dumps(tags))
 
     def is_latest(self, key: str, deps: list[str]) -> bool:
         """target newer than all deps → fresh (reference
@@ -118,18 +119,19 @@ class StatementStore:
         self.spark = spark
         self.path = path
         self.config = config
-        self.tags = TagStore(os.path.join(path, "_meta", "tags.json"))
+        self._fs = get_fs(path, spark)
+        self.tags = TagStore(self._fs.join(path, "_meta", "tags.json"), spark)
         with StatementStore._write_locks_guard:
             self._write_lock = StatementStore._write_locks.setdefault(
-                os.path.abspath(path), threading.RLock()
+                _lock_key(path), threading.RLock()
             )
 
     # ---------------------------------------------------------- reads
     def _data_path(self) -> str:
-        return os.path.join(self.path, "statements")
+        return self._fs.join(self.path, "statements")
 
     def exists(self) -> bool:
-        return os.path.isdir(self._data_path())
+        return self._fs.isdir(self._data_path())
 
     def raw(self) -> DataFrame:
         """All physical rows including tombstones (reference
@@ -222,9 +224,8 @@ class StatementStore:
         Holds the per-path write lock for the whole stage-write + swap:
         an append racing the swap would otherwise land files in a
         partition directory the swap is about to rmtree — silent loss."""
-        import shutil
-
-        stage = os.path.join(self.path, f"_stage-{time.monotonic_ns()}")
+        fs = self._fs
+        stage = fs.join(self.path, f"_stage-{time.monotonic_ns()}")
         with self._write_lock:
             (
                 self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
@@ -234,27 +235,19 @@ class StatementStore:
                 .parquet(stage)
             )
             data = self._data_path()
-            os.makedirs(data, exist_ok=True)
+            fs.mkdirs(data)
             written: set[tuple[str, ...]] = set()
-            for root, _dirs, files in os.walk(stage):
-                if not any(f.endswith(".parquet") for f in files):
-                    continue
-                rel = os.path.relpath(root, stage)
-                parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+            for rel in fs.parquet_dirs(stage):
+                parts = dict(p.split("=", 1) for p in rel.split("/") if "=" in p)
                 if len(parts) == len(PARTITION_COLUMNS):
                     written.add(tuple(parts[c] for c in PARTITION_COLUMNS))
-                target = os.path.join(data, rel)
-                if os.path.isdir(target):
-                    shutil.rmtree(target)
-                os.makedirs(os.path.dirname(target), exist_ok=True)
-                shutil.move(root, target)
-            shutil.rmtree(stage, ignore_errors=True)
+                fs.rename(fs.join(stage, rel), fs.join(data, rel))
+            fs.delete(stage)
             for part in expected or []:
                 if tuple(part) not in written:
                     s, b, o = part
-                    shutil.rmtree(
-                        os.path.join(data, f"shard={s}", f"bucket={b}", f"origin={o}"),
-                        ignore_errors=True,
+                    fs.delete(
+                        fs.join(data, f"shard={s}", f"bucket={b}", f"origin={o}")
                     )
 
     # ---------------------------------------------------- maintenance
@@ -325,11 +318,9 @@ class StatementStore:
         with self._write_lock:
             crowded: list[tuple[str, str, str]] = []
             data = self._data_path()
-            for root, _dirs, files in os.walk(data):
-                n = sum(1 for f in files if f.endswith(".parquet"))
+            for rel, n in self._fs.parquet_dirs(data).items():
                 if n > max_files_per_partition:
-                    rel = os.path.relpath(root, data)
-                    parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                    parts = dict(p.split("=", 1) for p in rel.split("/") if "=" in p)
                     if len(parts) == len(PARTITION_COLUMNS):
                         crowded.append(tuple(parts[c] for c in PARTITION_COLUMNS))
             if not crowded:

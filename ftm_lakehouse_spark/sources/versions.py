@@ -13,18 +13,20 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 from datetime import datetime, timezone
+
+from ftm_lakehouse_spark.sources.fs import get_fs
 
 __all__ = ["VersionStore"]
 
 
 class VersionStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, spark=None):
         self.root = root
+        self._fs = get_fs(root, spark)
 
     def _dir(self, key: str) -> str:
-        return os.path.join(self.root, key)
+        return self._fs.join(self.root, key)
 
     def put(self, key: str, artifact: dict) -> str | None:
         """Store a snapshot unless identical to the latest. Returns the
@@ -37,19 +39,16 @@ class VersionStore:
         ts = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")
         version = f"{ts}-{checksum}"
         d = self._dir(key)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{version}.json"), "w") as fh:
-            fh.write(payload)
-        with open(os.path.join(d, "latest"), "w") as fh:
-            fh.write(version)
+        self._fs.write_text_atomic(self._fs.join(d, f"{version}.json"), payload)
+        self._fs.write_text_atomic(self._fs.join(d, "latest"), version)
         return version
 
     def latest(self, key: str) -> dict | None:
         try:
-            with open(os.path.join(self._dir(key), "latest")) as fh:
-                version = fh.read().strip()
-            with open(os.path.join(self._dir(key), f"{version}.json")) as fh:
-                artifact = json.load(fh)
+            version = self._fs.read_text(self._fs.join(self._dir(key), "latest")).strip()
+            artifact = json.loads(
+                self._fs.read_text(self._fs.join(self._dir(key), f"{version}.json"))
+            )
         except FileNotFoundError:
             return None
         return {
@@ -59,8 +58,5 @@ class VersionStore:
         }
 
     def history(self, key: str) -> list[str]:
-        try:
-            files = os.listdir(self._dir(key))
-        except FileNotFoundError:
-            return []
+        files = self._fs.listdir(self._dir(key))
         return sorted(f[:-5] for f in files if f.endswith(".json"))

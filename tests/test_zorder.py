@@ -1,0 +1,98 @@
+"""Z-order clustering: interleave correctness + the property that
+actually matters — parquet footer min/max stats prune files on EVERY
+interleaved dimension, where a linear sort prunes on one."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.operators.zorder import zorder_frame, zorder_value
+
+
+def _interleave_py(vals, bits):
+    z = 0
+    for i, v in enumerate(vals):
+        for j in range(bits):
+            z += ((v >> j) & 1) << (j * len(vals) + i)
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    # minmax over 0..15 with bits=4 is the identity bucket mapping
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_value(df, ["x", "y"], bits=4)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _interleave_py([x, y], 4), (x, y)
+
+
+def _file_ranges(path: str, col: str):
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def _prune_fraction(ranges, v) -> float:
+    return sum(1 for lo, hi in ranges if not (lo <= v <= hi)) / len(ranges)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 2-D uniform grid: every (x, y) in [0, 128)^2
+    return spark.range(128 * 128).select(
+        (F.col("id") % 128).cast("int").alias("x"),
+        (F.col("id") / 128).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark, grid, tmp_path):
+    zpath = str(tmp_path / "z")
+    zorder_frame(grid, ["x", "y"], bits=7, num_files=16).write.parquet(zpath)
+    lpath = str(tmp_path / "linear")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    for probe in (13, 64, 111):
+        # z-order: point predicates prune files on BOTH columns
+        assert _prune_fraction(_file_ranges(zpath, "x"), probe) >= 0.5
+        assert _prune_fraction(_file_ranges(zpath, "y"), probe) >= 0.5
+        # linear sort: x prunes nearly everything, y prunes nothing
+        assert _prune_fraction(_file_ranges(lpath, "x"), probe) >= 0.8
+        assert _prune_fraction(_file_ranges(lpath, "y"), probe) == 0.0
+
+
+def test_quantile_mode_handles_skew(spark, tmp_path):
+    # heavily skewed x (quadratic stretch): minmax buckets collapse the
+    # dense low end into one bucket; quantile buckets stay populated
+    df = spark.range(4096).select(
+        (F.col("id") * F.col("id")).alias("x"),
+        (F.col("id") % 64).cast("int").alias("y"),
+    )
+    zq = str(tmp_path / "zq")
+    zm = str(tmp_path / "zm")
+    zorder_frame(df, ["x", "y"], bits=6, mode="quantile", num_files=16).write.parquet(zq)
+    zorder_frame(df, ["x", "y"], bits=6, mode="minmax", num_files=16).write.parquet(zm)
+    # a point in the DENSE region: minmax crams ~95% of rows into
+    # bucket 0 of x (quadratic stretch), so files barely separate on x;
+    # equal-population quantile buckets keep x prunable there
+    dense_probe = 100 * 100
+    q_prune = _prune_fraction(_file_ranges(zq, "x"), dense_probe)
+    m_prune = _prune_fraction(_file_ranges(zm, "x"), dense_probe)
+    assert q_prune > m_prune
+    assert q_prune >= 0.4
+    assert _prune_fraction(_file_ranges(zq, "y"), 13) >= 0.4
+
+
+def test_zorder_rejects_overflow(spark, grid):
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_value(grid, ["x", "y"], bits=32)
