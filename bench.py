@@ -47,6 +47,11 @@ HEADLINE = [
     "sim_ann_lsh",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
+    # round-2 additions (keep above list stable for cross-round diffing)
+    "sim_ivf_topk",
+    "dedup_chunks",
+    "text_decontaminate",
+    "x_histogram",
 ]
 
 

@@ -155,3 +155,31 @@ def test_centroid_stats_prunes_to_scalars(spark):
     plan = plan_of(spark, "sim_centroid_stats")
     assert plan.count("HashAggregate") >= 2
     assert "vec_id" not in plan  # column pruning on the scan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """At 100 TB the fact scan MUST be pruned by the dim filter at
+    runtime (Delta/Trino call this dynamic filtering). Spark plans a
+    dynamicpruning subquery into the fact's PartitionFilters when the
+    join key is a partition column — pin that it actually fires for
+    the store's layout shape (hive partition column joined to a
+    filtered dim)."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(256).select(
+        "id", (F.col("id") % 8).cast("string").alias("origin")
+    ).write.partitionBy("origin").parquet(fact_path)
+    spark.range(8).select(
+        F.col("id").cast("string").alias("origin"),
+        F.when(F.col("id") < 2, "keep").otherwise("drop").alias("grp"),
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("grp") == "keep")
+    q = fact.join(dim, "origin").groupBy("origin").count()
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower()
