@@ -3,9 +3,10 @@
 The formats below need NO external media libraries, so their decode
 paths are REAL (bit-exact, tested), not stubs:
 
-* images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP, and
+* images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP,
   PNG (full spec subset: 8-bit gray/RGB/palette/gray-alpha/RGBA,
-  all five scanline filters, stdlib ``zlib`` inflate);
+  all five scanline filters, stdlib ``zlib`` inflate), and GIF
+  (87a/89a, pure-Python LZW, local palettes, interlacing);
 * audio — WAV PCM (8/16-bit, any channel count, stdlib ``wave``);
 * "video" — an MJPEG-style container of concatenated PPM frames
   (the sampler parses real frame boundaries and decodes real frames).
@@ -199,15 +200,172 @@ def encode_png(arr: np.ndarray) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width, CLEAR/EOI codes, MSB-last
+    bit packing within little-endian bytes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_out]
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + entry[:1])
+            elif prev is not None and code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+            n_out += len(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out[:n_out]
+
+
+def _decode_gif(blob: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → HxWx3 RGB. Stdlib-free LZW + palette;
+    handles local color tables, Adam-style interlacing, and skips
+    extension blocks (animation: first frame only, like a thumbnailer)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        block = blob[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF frame without color table")
+            min_code = blob[pos]
+            pos += 1
+            chunks = []
+            while blob[pos]:
+                ln = blob[pos]
+                chunks.append(blob[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if idx.size < w * h:
+                raise ValueError("GIF pixel data truncated")
+            idx = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return palette[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → GIF89a using a ≤256-color palette built from the
+    image (raises if it needs more) and literal-code LZW (a CLEAR every
+    flush keeps codes at the minimum width — valid, just uncompressed).
+    Test-fixture helper, same role as encode_ppm."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    depth = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # literal codes only; CLEAR before the table would grow past width
+    budget = (1 << width) - eoi - 2
+    for i, px in enumerate(idx.ravel()):
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - eoi - 2
+        emit(int(px))
+        budget -= 1
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(blob: bytes, mime: str | None = None) -> np.ndarray:
     """blob → uint8 array (HxW grayscale or HxWx3 RGB). Real decode for
-    PPM/PGM/BMP/PNG; formats that need external codecs name the library."""
+    PPM/PGM/BMP/PNG/GIF; formats that need external codecs name the
+    library."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_pnm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     if blob[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("JPEG decode requires PIL/libjpeg (not in image)")
     raise NotImplementedError(f"unsupported image format (mime={mime!r})")

@@ -3,10 +3,11 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
 batch shapes — is real and tested, and so are the codecs for the
-library-free formats (functions/media_codecs.py): PPM/PGM/BMP/PNG
+library-free formats (functions/media_codecs.py): PPM/PGM/BMP/PNG/GIF
 images (PNG via stdlib zlib + numpy unfilter, all five scanline
-filters), WAV PCM audio, and a concatenated-PPM frame container decode
-bit-exact with numpy + stdlib only. Formats that genuinely need
+filters; GIF via pure-Python LZW incl. interlacing), WAV PCM audio,
+and a concatenated-PPM frame container decode bit-exact with numpy +
+stdlib only. Formats that genuinely need
 external codec libraries (JPEG/MP4) raise a
 clearly-marked ``NotImplementedError`` naming the library a cluster
 image would add (PIL / pyav); when a decode fails, the pipeline

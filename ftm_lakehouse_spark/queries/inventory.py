@@ -2631,6 +2631,86 @@ def sim_centroid_stats(spark, sf_dir):
 
 
 @_register(
+    "text_novelty_score",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, u.bigram
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) AS bs
+            FROM toks
+        ), unnest(bs) AS u(bigram)
+    ), corpus AS (
+        SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END) AS n_common,
+           round((count(*) - sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END))
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM bi b JOIN corpus c USING (bigram)
+    GROUP BY b.doc_id
+    """,
+)
+def text_novelty_score(spark, sf_dir):
+    """Duplication-aware quality signal (the curation filter behind
+    boilerplate down-weighting): per document, the fraction of its
+    bigram occurrences that are corpus-rare (<5 total occurrences).
+    Near-duplicate/boilerplate docs score near 0, novel text near 1.
+
+    Distributed shape: bigram explode → map-side-combined corpus count
+    → hash equi-join back on the bigram key (big-big, no broadcast) →
+    per-doc re-aggregation. Every shuffle keys on uniform hash keys;
+    the arithmetic is integer counts + one exact ratio, so both
+    engines agree bit-for-bit."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    corpus = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    common = F.sum(F.when(F.col("cnt") >= 5, 1).otherwise(0))
+    return (
+        bi.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            common.cast("long").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_common",
+            F.round(
+                (F.col("n_bigrams") - F.col("n_common"))
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@_register(
     "w_percent_rank",
     """
     SELECT c_nationkey, c_custkey,

@@ -16,6 +16,15 @@ together (SPARK docs, Structured Streaming §stream-stream joins):
 State size is O(rows within watermark+horizon), independent of stream
 length — the property that keeps a 100 TB/day event feed joinable on a
 fixed-size cluster.
+
+Outer-join operational notes (pinned by test_streaming_joins):
+  * the global watermark is the MIN across all watermarked inputs
+    (``spark.sql.streaming.multipleWatermarkPolicy`` default) — an
+    idle side holds back eviction AND outer-NULL emission for both;
+  * the max-event-time tracker behind the watermark is in-memory
+    only: an ``availableNow`` restart replans from the checkpointed
+    watermark, so unmatched rows only flush in later batches of the
+    SAME run (or after new data in the next run).
 """
 
 from __future__ import annotations

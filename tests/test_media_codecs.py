@@ -48,6 +48,36 @@ def test_png_roundtrip_bit_exact():
     assert np.array_equal(decode_image(encode_png(GRAY)), GRAY)
 
 
+def test_gif_roundtrip_bit_exact():
+    from ftm_lakehouse_spark.functions.media_codecs import encode_gif
+
+    assert np.array_equal(decode_image(encode_gif(IMG)), IMG)
+    # >255 rows exercises sub-block splitting; 4 colors exercise a
+    # small palette with min_code_size > needed bits
+    big = np.repeat(np.repeat(IMG, 5, axis=0), 3, axis=1)
+    assert np.array_equal(decode_image(encode_gif(big)), big)
+    quad = (IMG // 64) * 64
+    assert np.array_equal(decode_image(encode_gif(quad)), quad)
+
+
+def test_gif_interlaced_decode():
+    from ftm_lakehouse_spark.functions.media_codecs import encode_gif
+
+    h = IMG.shape[0]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    # store rows in interlace order, then set the interlace flag in the
+    # image descriptor (offset: header 13 + global palette + 9th byte)
+    blob = bytearray(encode_gif(IMG[order]))
+    depth_bits = blob[10] & 7
+    pal_bytes = (2 << depth_bits) * 3
+    iflags_at = 13 + pal_bytes + 9
+    assert blob[13 + pal_bytes] == 0x2C
+    blob[iflags_at] |= 0x40
+    assert np.array_equal(decode_image(bytes(blob)), IMG)
+
+
 def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
     """Reference forward-filterer (PNG spec §9) so the decoder's
     unfilter path is tested against all five filter types, not just the

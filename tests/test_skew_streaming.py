@@ -125,3 +125,24 @@ def test_approx_stats_error_bounds(spark):
         spread = e["p95"] - e["p50"] or 1.0
         assert abs(a["p50"] - e["p50"]) <= 0.05 * spread
         assert abs(a["p95"] - e["p95"]) <= 0.05 * spread
+
+
+def test_approx_count_distinct_error_bounds(spark):
+    """HLL++ distinct sketch: the scale path for cardinality when even
+    salted exact count-distinct is too expensive (one pass, constant
+    memory per group). Pin relative error vs exact on the events
+    table — rsd=0.02 must land within 5%."""
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    # grouped form: every event_type within bounds too
+    rows = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
