@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_chunks",
     "text_decontaminate",
     "x_histogram",
+    "text_novelty_score",
+    "sample_pack_sequences",
 ]
 
 

@@ -2711,6 +2711,52 @@ def text_novelty_score(spark, sf_dir):
 
 
 @_register(
+    "sample_pack_sequences",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS n
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(sum(n) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS first_seq,
+           CAST((start_offset + greatest(n, 1) - 1) // 256 AS BIGINT) AS last_seq,
+           CAST((start_offset + greatest(n, 1) - 1) // 256
+                - start_offset // 256 + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    """,
+)
+def sample_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): concatenate
+    the corpus in doc_id order, cut every 256 tokens, report each
+    document's sequence span. The oracle is the textbook single-window
+    cumsum; the engine computes the SAME numbers with the two-phase
+    range-partitioned cumsum (no single-reducer window — plan-pinned),
+    so the gate proves the scale-safe decomposition is exact."""
+    from ftm_lakehouse_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("n"),
+    )
+    return pack_sequences(toks, "n", seq_len=256, order_col="doc_id")
+
+
+@_register(
     "w_percent_rank",
     """
     SELECT c_nationkey, c_custkey,
