@@ -103,6 +103,16 @@ class LocalFS:
                 out[os.path.relpath(r, root).replace(os.sep, "/")] = n
         return out
 
+    def parquet_files(self, root: str) -> set[str]:
+        """Relative paths of every parquet file under ``root``."""
+        out: set[str] = set()
+        for r, _dirs, files in os.walk(root):
+            rel = os.path.relpath(r, root).replace(os.sep, "/")
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(f if rel == "." else f"{rel}/{f}")
+        return out
+
 
 class HadoopFS:
     """Hadoop FileSystem via the driver's JVM gateway. Handles any
@@ -181,19 +191,21 @@ class HadoopFS:
         return sorted(s.getPath().getName() for s in self._fs.listStatus(jp))
 
     def parquet_dirs(self, root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for f in self.parquet_files(root):
+            d = posixpath.dirname(f) or "."
+            out[d] = out.get(d, 0) + 1
+        return out
+
+    def parquet_files(self, root: str) -> set[str]:
         jp = self._p(root)
         if not self._fs.exists(jp):
-            return {}
-        root_path = self._p(root).toUri().getPath()
-        out: dict[str, int] = {}
+            return set()
+        root_path = jp.toUri().getPath()
+        out: set[str] = set()
         it = self._fs.listFiles(jp, True)
         while it.hasNext():
-            status = it.next()
-            fpath = status.getPath()
-            if not fpath.getName().endswith(".parquet"):
-                continue
-            rel_dir = posixpath.relpath(
-                fpath.getParent().toUri().getPath(), root_path
-            )
-            out[rel_dir] = out.get(rel_dir, 0) + 1
+            fpath = it.next().getPath()
+            if fpath.getName().endswith(".parquet"):
+                out.add(posixpath.relpath(fpath.toUri().getPath(), root_path))
         return out

@@ -48,6 +48,7 @@ from ftm_lakehouse_spark.model.statement import (
     with_canonical_id,
 )
 from ftm_lakehouse_spark.operators.merge import canonicalize
+from ftm_lakehouse_spark.sources.commits import CommitLog
 from ftm_lakehouse_spark.sources.fs import get_fs
 
 __all__ = ["StatementStore", "TagStore"]
@@ -121,6 +122,7 @@ class StatementStore:
         self.config = config
         self._fs = get_fs(path, spark)
         self.tags = TagStore(self._fs.join(path, "_meta", "tags.json"), spark)
+        self.commits = CommitLog(self._fs, self._fs.join(path, "_meta", "commits"))
         with StatementStore._write_locks_guard:
             self._write_lock = StatementStore._write_locks.setdefault(
                 _lock_key(path), threading.RLock()
@@ -165,6 +167,8 @@ class StatementStore:
             # cannot stamp a newer optimized: over these tags.
             for r in touched:
                 self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
+            parts = [(r["shard"], r["bucket"], r["origin"]) for r in touched]
+            before = self._list_partition_files(parts)
             (
                 self._cluster_for_write(df)
                 .write.mode("append")
@@ -172,7 +176,21 @@ class StatementStore:
                 .partitionBy(*PARTITION_COLUMNS)
                 .parquet(self._data_path())
             )
+            added = self._list_partition_files(parts) - before
+            self.commits.commit("append", parts, sorted(added))
         self.tags.touch("last_updated")
+
+    def _list_partition_files(self, parts: list[tuple[str, str, str]]) -> set[str]:
+        """Data-dir-relative parquet files in the given partitions —
+        a listing scoped to the partitions one write touches, not the
+        table (the cost a transaction log would avoid; see CommitLog)."""
+        data = self._data_path()
+        out: set[str] = set()
+        for s, b, o in parts:
+            rel = f"shard={s}/bucket={b}/origin={o}"
+            for f in self._fs.parquet_files(self._fs.join(data, rel)):
+                out.add(f"{rel}/{f}")
+        return out
 
     @staticmethod
     def _write_options() -> dict[str, str]:
@@ -249,6 +267,9 @@ class StatementStore:
                     fs.delete(
                         fs.join(data, f"shard={s}", f"bucket={b}", f"origin={o}")
                     )
+            self.commits.commit(
+                "rewrite", sorted(written | {tuple(p) for p in expected or []})
+            )
 
     # ---------------------------------------------------- maintenance
     def dirty_partitions(self) -> list[tuple[str, str, str]]:
@@ -353,6 +374,40 @@ class StatementStore:
             "entity_count": self.count_entities(),
             "things": {"schemata": schemata, "total": sum(schemata.values())},
         }
+
+    def raw_since(self, version: int) -> DataFrame:
+        """Physical rows written after commit ``version`` — the
+        file-level incremental read behind the version cursor
+        (reference diff.py:62-83 asks Delta the same question). New
+        files from ``append`` commits are read DIRECTLY (no scan of
+        the table); partitions touched by a ``rewrite`` (merge/
+        compact) fall back to a partition-pruned scan, since the swap
+        replaced their files wholesale. An incremental consumer
+        therefore reads O(new data), not O(table)."""
+        files, rewritten = self.commits.files_since(version)
+        data = self._data_path()
+        parts = []
+        if files:
+            # basePath recovers the hive partition columns from paths
+            parts.append(
+                self.spark.read.option("basePath", data)
+                .schema(STATEMENT_SCHEMA)
+                .parquet(*[self._fs.join(data, f) for f in files])
+            )
+        if rewritten:
+            pred = None
+            for s, b, o in sorted(rewritten):
+                clause = (
+                    (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+                )
+                pred = clause if pred is None else (pred | clause)
+            parts.append(self.raw().filter(pred))
+        if not parts:
+            return self.spark.createDataFrame([], STATEMENT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def changed_entity_ids(self, since: datetime) -> DataFrame:
         """Entities changed since ``since``: first observed or deleted
