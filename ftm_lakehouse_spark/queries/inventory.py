@@ -2711,6 +2711,61 @@ def text_novelty_score(spark, sf_dir):
 
 
 @_register(
+    "c_pack_codec",
+    """
+    SELECT o_orderkey AS id,
+           md5(concat_ws(chr(31),
+               CAST(o_orderkey AS VARCHAR),
+               'e' || CAST(o_custkey AS VARCHAR),
+               'amount',
+               'Order',
+               o_orderstatus,
+               'tpch',
+               '',
+               o_orderpriority,
+               CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END,
+               strftime(date_trunc('second', o_orderdate),
+                        '%Y-%m-%dT%H:%M:%S') || '+00:00',
+               strftime(date_trunc('second', o_orderdate),
+                        '%Y-%m-%dT%H:%M:%S') || '+00:00',
+               'bulk',
+               'string')) AS packed_md5
+    FROM orders
+    """,
+)
+def c_pack_codec(spark, sf_dir):
+    """C5 wire codec, byte-verified by the oracle: the engine's
+    ``pack_statement`` expression (functions/codec.py — the reference's
+    US-delimited journal format, helpers/statements.py:17-99) must
+    produce the EXACT bytes DuckDB constructs independently from the
+    documented field order; md5 per row pins every byte including the
+    ISO-8601 "+00:00" timestamps and the 1/0 external flag."""
+    from ftm_lakehouse_spark.functions.codec import pack_statement
+
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.date_trunc("second", F.col("o_orderdate"))
+    stmt_shaped = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.concat(F.lit("e"), F.col("o_custkey")).alias("entity_id"),
+        F.lit("amount").alias("prop"),
+        F.lit("Order").alias("schema"),
+        F.col("o_orderstatus").alias("value"),
+        F.lit("tpch").alias("dataset"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("o_orderpriority").alias("original_value"),
+        (F.col("o_orderkey") % 2 == 0).alias("external"),
+        ts.alias("first_seen"),
+        ts.alias("last_seen"),
+        F.lit("bulk").alias("origin"),
+        F.lit("string").alias("prop_type"),
+        F.col("o_orderkey").alias("_k"),
+    )
+    return stmt_shaped.select(
+        F.col("_k").alias("id"), F.md5(pack_statement()).alias("packed_md5")
+    )
+
+
+@_register(
     "sample_pack_sequences",
     """
     WITH toks AS (

@@ -355,6 +355,31 @@ class StatementStore:
             self.overwrite_partitions(self.raw().filter(pred))
         return crowded
 
+    def vacuum(self) -> list[str]:
+        """Remove stage directories orphaned by a crash between the
+        stage write and the swap (the swap deletes replaced data
+        eagerly, so live data never needs retention — only these
+        leftovers do). Holding the write lock guarantees no in-flight
+        stage in THIS driver; like the merge itself, vacuum belongs to
+        the single maintenance driver (cross-driver coordination is a
+        table format's job — README). Returns directories removed."""
+        removed = []
+        with self._write_lock:
+            for name in self._fs.listdir(self.path):
+                if name.startswith("_stage-"):
+                    self._fs.delete(self._fs.join(self.path, name))
+                    removed.append(name)
+        return removed
+
+    def canonical_since(self, version: int) -> DataFrame:
+        """Canonical state of every entity touched after commit
+        ``version`` — the file-level twin of ``canonical_changed``:
+        changed ids come from ``raw_since`` (O(new files)), then the
+        merge stack runs over a changed-id-scoped view of raw rows."""
+        changed = self.raw_since(version).select("entity_id").distinct()
+        scoped = self.raw().join(F.broadcast(changed), "entity_id", "left_semi")
+        return canonicalize(scoped)
+
     # --------------------------------------------------------- queries
     def count_entities(self) -> int:
         return self.live().select("entity_id").distinct().count()

@@ -70,3 +70,28 @@ def test_rewrite_invalidates_appended_files(spark, lake_root):
     files2, rewritten2 = ds.store.commits.files_since(v3)
     assert files2 and not rewritten2
     assert ds.store.raw_since(v3).count() == ds.store.raw().filter("origin='c'").count()
+
+
+def test_vacuum_reaps_orphaned_stage(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("cl4")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    # simulate a crash between stage write and swap
+    orphan = ds.store._fs.join(ds.store.path, "_stage-123456")
+    ds.store._fs.mkdirs(orphan)
+    assert ds.store.vacuum() == ["_stage-123456"]
+    assert not ds.store._fs.exists(orphan)
+    assert ds.store.vacuum() == []
+    assert ds.count() == 1  # data untouched
+
+
+def test_canonical_since_incremental_entities(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("cl5")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    ds.merge()
+    v = ds.store.commits.current_version()
+    ds.write_entities(entities_df(spark, ACME, PAY), origin="b")
+    got = ds.store.canonical_since(v)
+    ids = {r["entity_id"] for r in got.select("entity_id").distinct().collect()}
+    assert ids == {"acme", "pay1"}  # jane untouched since the cursor
