@@ -146,3 +146,51 @@ def test_approx_count_distinct_error_bounds(spark):
     assert len(rows) == 5
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually fire for a hot-key join —
+    the runtime half of the skew story (operators/skew.py is the
+    compile-time half). One key owning ~95% of the left side gets its
+    shuffle partition split into multiple tasks; the executed plan
+    marks the join 'skew=true'."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # shrink thresholds so local test data counts as skewed, and
+        # forbid broadcast so the join actually shuffles
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id")))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id")))
+            .alias("k"),
+            F.col("id").alias("attr"),
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS dataframe's own QueryExecution
+        # (count()/write wrap it in a fresh one and leave this plan
+        # un-finalized at isFinalPlan=false)
+        assert len(joined.collect()) == 190_002  # 190k hot + k20/k40 cold
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
