@@ -52,6 +52,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -84,6 +85,7 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions": str(_cpus()),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     for k, v in rt.items():
         try:

@@ -4,11 +4,20 @@
 (ns-timestamp stream table), ``documents`` (text corpus) and
 ``embeddings`` (vector corpus). See /root/repo/TESTDATA.md.
 
-The only normalization applied is ``events.ts``: the file stores
-parquet TIMESTAMP(NANOS), which Spark reads (under
-``spark.sql.legacy.parquet.nanosAsLong``) as a long of nanoseconds.
-We convert to a microsecond UTC timestamp so Spark results compare
-1:1 with DuckDB (which casts ns → µs the same truncating way).
+The only normalization applied is ``events.ts``, which must come out
+a tz-aware UTC microsecond TIMESTAMP regardless of how the driver
+generated the file:
+
+* parquet TIMESTAMP(NANOS) → read (under
+  ``spark.sql.legacy.parquet.nanosAsLong``) as a long of nanoseconds
+  and truncated to µs, matching DuckDB's ``CAST(ts_ns AS TIMESTAMP)``;
+* parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers
+  TIMESTAMP_NTZ by default, which half the timestamp function surface
+  (``unix_micros`` et al.) rejects. We disable the inference on the
+  session (runtime-settable, zero per-row cost) so the scan yields
+  TIMESTAMP directly; if the session's conf is locked, the NTZ column
+  is reinterpreted as UTC wall-clock via ``to_utc_timestamp`` —
+  session-timezone-independent either way.
 """
 
 from __future__ import annotations
@@ -33,10 +42,21 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        except Exception:  # pragma: no cover - conf locked on a live session
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs (truncating, matching DuckDB's CAST(ts_ns AS TIMESTAMP))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns → µs (truncating, matching DuckDB's CAST(ts_ns AS TIMESTAMP))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # stored naive-µs are UTC wall-clock; reinterpret without
+            # involving the session timezone
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 
