@@ -87,6 +87,28 @@ class LocalFS:
             fh.write(data)
         os.replace(tmp, p)
 
+    def write_text_exclusive(self, p: str, data: str) -> bool:
+        """Atomic put-if-absent: full content lands or nothing does, and
+        exactly one of N concurrent writers wins. The optimistic-commit
+        primitive (Delta's ``put-if-absent`` on the log object). Local
+        impl: write a complete temp file, then ``os.link`` it into
+        place — link fails with EEXIST if the path is taken, and a
+        reader can never observe a partial file."""
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, p)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def mtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
     def listdir(self, p: str) -> list[str]:
         try:
             return sorted(os.listdir(p))
@@ -183,6 +205,31 @@ class HadoopFS:
         finally:
             out.close()
         self.rename(tmp, p)
+
+    def write_text_exclusive(self, p: str, data: str) -> bool:
+        """Put-if-absent via write-temp + rename-without-overwrite:
+        Hadoop ``FileSystem.rename`` refuses an existing destination
+        (atomically on HDFS/file), so exactly one concurrent writer
+        wins and content is complete when visible. On S3A the rename is
+        copy-based — single-writer-per-log guidance applies there, the
+        same caveat delta-rs documents for S3 without a lock client."""
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        try:
+            jd = self._p(p)
+            parent = jd.getParent()
+            if parent is not None:
+                self._fs.mkdirs(parent)
+            return bool(self._fs.rename(self._p(tmp), jd))
+        finally:
+            self._fs.delete(self._p(tmp), False)
+
+    def mtime(self, p: str) -> float:
+        return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
 
     def listdir(self, p: str) -> list[str]:
         jp = self._p(p)

@@ -2,30 +2,37 @@
 
 One table per dataset, hive-partitioned by ``(shard, bucket, origin)``
 (reference layout: /root/reference/ftm_lakehouse/storage/parquet.py:35-37,
-95,112-122). Storage is plain partitioned parquet driven through Spark's
-native committer:
+95,112-122). Storage is parquet governed by an optimistic-concurrency
+transaction log (sources/commits.py) — the Delta protocol the reference
+gets from delta-rs (storage/parquet.py:326-475), reimplemented on plain
+files:
 
-  * **append** — ``partitionBy(...).mode("append")``. Concurrent
-    appends from ONE driver are serialized by a per-path lock: Spark's
-    default FileOutputCommitter shares ``<path>/_temporary`` across
-    jobs writing the same path, so truly simultaneous appends can
-    clobber each other's staging (the reference's marker fence,
-    storage/parquet.py:326-475, guarded the same hazard). Cross-driver
-    concurrency needs a transactional table format (Delta/Iceberg) —
-    documented, not faked.
-  * **merge rewrite** — dynamic partition overwrite
-    (``spark.sql.sources.partitionOverwriteMode=dynamic``) rewrites only
-    the partitions present in the canonicalized frame: the parquet
-    analog of Delta ``replaceWhere`` (reference S4,
-    storage/parquet.py:644-663).
+  * **append** — each write job stages to a private directory, moves
+    its uniquely-named files into the table, then publishes an atomic
+    ``append`` commit. No shared ``_temporary`` (the stock committer
+    hazard), no locks: concurrent appends from ANY number of drivers
+    commute — version allocation is put-if-absent with retry.
+  * **merge / compact rewrite** — computed from a pinned snapshot
+    version; new files land first, then one ``rewrite`` commit retires
+    exactly the files the job read. Readers never observe a
+    half-swapped partition (they resolve file lists from the log, not
+    directory listings), an append racing the rewrite survives it (its
+    files are not in the removal set — the partition just stays
+    dirty), and two rewrites of one partition conflict cleanly
+    (:class:`CommitConflict`) instead of double-deleting.
+  * **time travel** — ``raw(as_of=version)`` reads any snapshot whose
+    retired files vacuum has not yet reaped; the version cursor
+    (``raw_since`` / ``canonical_since``) rides the same log.
   * **clustering** — ``sortWithinPartitions(entity_id, ...)`` before
     every write keeps an entity's rows contiguous within files so
     min/max stats skip files on point lookups (reference 7-key sort O1,
     storage/parquet.py:519-529).
 
-At 100 TB: appends scale horizontally (no coordination), the merge
-shuffles each dirty partition once (windows are keyed on the partition
-prefix), and freshness tags skip clean partitions entirely.
+At 100 TB: appends scale horizontally across drivers (no
+coordination beyond one atomic create on the log), the merge shuffles
+each dirty partition once (windows are keyed on the partition prefix),
+snapshot resolution replays O(checkpoint-interval) KB-sized records,
+and vacuum bounds disk growth to the retention window.
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ import json
 import os
 import threading
 import time
+import uuid
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,14 +66,24 @@ def _lock_key(path: str) -> str:
     return path if "://" in path else os.path.abspath(path)
 
 
+def _partition_of(rel_file: str) -> tuple[str, ...]:
+    """``shard=0/bucket=a/origin=x/part-...parquet`` → ``(0, a, x)``."""
+    return tuple(
+        seg.split("=", 1)[1] for seg in rel_file.split("/")[:-1] if "=" in seg
+    )
+
+
 class TagStore:
     """Freshness tags: ``key -> iso timestamp`` (reference
-    storage/tags.py:24-69). Drives partition-level merge skip and
-    op-level "target newer than deps → skip" (I4). A tiny driver-side
-    control file — deliberately not a Spark table: it is read per job,
-    written once per job, and must be cheap. Lives behind the FS shim
-    so a store rooted at a Hadoop URI keeps its tags next to its data
-    (S16)."""
+    storage/tags.py:24-69). Drives op-level "target newer than deps →
+    skip" (I4) and human-facing freshness. A tiny driver-side control
+    file — deliberately not a Spark table: it is read per job, written
+    once per job, and must be cheap. Lives behind the FS shim so a
+    store rooted at a Hadoop URI keeps its tags next to its data (S16).
+
+    Tags are ADVISORY under cross-driver concurrency (read-modify-write
+    may lose a racing touch); anything correctness-bearing — dirty
+    partition tracking — derives from the commit log instead."""
 
     _locks: dict[str, threading.Lock] = {}
     _locks_guard = threading.Lock()
@@ -108,13 +126,12 @@ class TagStore:
 
 
 class StatementStore:
-    #: per-table-path write locks (process-wide): the default Hadoop
-    #: committer cannot handle two simultaneous jobs appending to one
-    #: path — see class docstring. Reentrant so merge()/compact() can
-    #: hold the lock across their read→canonicalize→swap span while
-    #: overwrite_partitions acquires it again internally.
-    _write_locks: dict[str, threading.RLock] = {}
-    _write_locks_guard = threading.Lock()
+    #: per-table-path maintenance locks (process-wide): merge/compact/
+    #: vacuum serialize WITHIN a driver to avoid wasted work; ACROSS
+    #: drivers the commit log's conflict check is the guard. Appends
+    #: take no lock at all.
+    _maint_locks: dict[str, threading.RLock] = {}
+    _maint_locks_guard = threading.Lock()
 
     def __init__(self, spark: SparkSession, path: str, config: DatasetConfig):
         self.spark = spark
@@ -123,8 +140,8 @@ class StatementStore:
         self._fs = get_fs(path, spark)
         self.tags = TagStore(self._fs.join(path, "_meta", "tags.json"), spark)
         self.commits = CommitLog(self._fs, self._fs.join(path, "_meta", "commits"))
-        with StatementStore._write_locks_guard:
-            self._write_lock = StatementStore._write_locks.setdefault(
+        with StatementStore._maint_locks_guard:
+            self._maint_lock = StatementStore._maint_locks.setdefault(
                 _lock_key(path), threading.RLock()
             )
 
@@ -133,14 +150,36 @@ class StatementStore:
         return self._fs.join(self.path, "statements")
 
     def exists(self) -> bool:
-        return self._fs.isdir(self._data_path())
+        return self.commits.current_version() > 0 or self._fs.isdir(self._data_path())
 
-    def raw(self) -> DataFrame:
+    def raw(self, as_of: int | None = None) -> DataFrame:
         """All physical rows including tombstones (reference
-        ``statement_raw`` view, logic/parquet.py:49-69)."""
-        if not self.exists():
+        ``statement_raw`` view, logic/parquet.py:49-69). The read set
+        is the commit log's file snapshot — never a directory listing —
+        so concurrent rewrites are invisible until their single atomic
+        commit, and ``as_of`` reads any un-vacuumed historical version
+        (Delta time travel, reference diff.py:62-83)."""
+        head = self.commits.current_version()
+        if head == 0:
+            if as_of is not None:
+                raise ValueError("as_of requires a commit log (store has none)")
+            # pre-log store (read-only adoption path): directory listing
+            if not self._fs.isdir(self._data_path()):
+                return self.spark.createDataFrame([], STATEMENT_SCHEMA)
+            return self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._data_path())
+        files = self.commits.snapshot(as_of)
+        if not files:
             return self.spark.createDataFrame([], STATEMENT_SCHEMA)
-        return self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._data_path())
+        data = self._data_path()
+        return self._read_files([self._fs.join(data, f) for f in files])
+
+    def _read_files(self, paths: list[str]) -> DataFrame:
+        # basePath recovers hive partition columns from explicit paths
+        return (
+            self.spark.read.option("basePath", self._data_path())
+            .schema(STATEMENT_SCHEMA)
+            .parquet(*paths)
+        )
 
     def live(self) -> DataFrame:
         """Live view: tombstone-filtered + ``canonical_id`` alias,
@@ -153,44 +192,58 @@ class StatementStore:
     def _partition_tag(shard: str, bucket: str, origin: str) -> str:
         return f"updated:{shard}/{bucket}/{origin}"
 
-    def append(self, df: DataFrame) -> None:
-        df = df.select(*STATEMENT_SCHEMA.fieldNames())
-        touched = (
-            df.select(*PARTITION_COLUMNS).distinct().collect()
+    def _ensure_bootstrap(self) -> None:
+        """Adopt pre-log data files into the log before the first
+        logged write (idempotent; exactly one racing driver wins)."""
+        if self.commits.current_version():
+            return
+        files = sorted(self._fs.parquet_files(self._data_path()))
+        if not files:
+            return
+        parts = sorted({_partition_of(f) for f in files})
+        self.commits.try_bootstrap(parts, files)
+
+    def _stage_move(self, df: DataFrame) -> tuple[set[str], list[tuple[str, ...]]]:
+        """Write ``df`` via a private stage directory, then move each
+        (uniquely-named) file into the table. Returns (data-dir-relative
+        files, partitions touched). The private stage removes the stock
+        committer's shared ``_temporary`` hazard, so ANY number of
+        writers — threads or drivers — can run this concurrently; files
+        become *visible* only when the caller's commit record lands."""
+        fs = self._fs
+        stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        (
+            self._cluster_for_write(df)
+            .write.mode("overwrite")
+            .options(**self._write_options())
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(stage)
         )
-        with self._write_lock:
-            # stamp per-partition freshness BEFORE data lands (crash-safe
-            # ordering, reference storage/parquet.py:545-569) — a crash
-            # between stamp and write leaves a partition marked dirty,
-            # which merge treats as "re-check", never "skip". Stamped
-            # INSIDE the lock so a merge serialized before this append
-            # cannot stamp a newer optimized: over these tags.
-            for r in touched:
-                self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
-            parts = [(r["shard"], r["bucket"], r["origin"]) for r in touched]
-            before = self._list_partition_files(parts)
-            (
-                self._cluster_for_write(df)
-                .write.mode("append")
-                .options(**self._write_options())
-                .partitionBy(*PARTITION_COLUMNS)
-                .parquet(self._data_path())
-            )
-            added = self._list_partition_files(parts) - before
+        data = self._data_path()
+        moved: set[str] = set()
+        for rel in sorted(fs.parquet_files(stage)):
+            fs.rename(fs.join(stage, rel), fs.join(data, rel))
+            moved.add(rel)
+        fs.delete(stage)
+        parts = sorted({_partition_of(f) for f in moved})
+        return moved, parts
+
+    def append(self, df: DataFrame) -> None:
+        """Lock-free blind append: stage-move + one atomic commit.
+        Crash between move and commit leaves untracked files that are
+        never read and that ``vacuum`` reaps after retention."""
+        df = df.select(*STATEMENT_SCHEMA.fieldNames())
+        touched = df.select(*PARTITION_COLUMNS).distinct().collect()
+        # advisory freshness stamped BEFORE data lands (crash-safe
+        # ordering, reference storage/parquet.py:545-569): a crash
+        # leaves the partition marked dirty, never clean
+        for r in touched:
+            self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
+        self._ensure_bootstrap()
+        added, parts = self._stage_move(df)
+        if added:
             self.commits.commit("append", parts, sorted(added))
         self.tags.touch("last_updated")
-
-    def _list_partition_files(self, parts: list[tuple[str, str, str]]) -> set[str]:
-        """Data-dir-relative parquet files in the given partitions —
-        a listing scoped to the partitions one write touches, not the
-        table (the cost a transaction log would avoid; see CommitLog)."""
-        data = self._data_path()
-        out: set[str] = set()
-        for s, b, o in parts:
-            rel = f"shard={s}/bucket={b}/origin={o}"
-            for f in self._fs.parquet_files(self._fs.join(data, rel)):
-                out.add(f"{rel}/{f}")
-        return out
 
     @staticmethod
     def _write_options() -> dict[str, str]:
@@ -223,59 +276,58 @@ class StatementStore:
         )
 
     def overwrite_partitions(
-        self, df: DataFrame, expected: list[tuple[str, str, str]] | None = None
+        self,
+        df: DataFrame,
+        expected: list[tuple[str, str, str]] | None = None,
+        files_removed: list[str] | None = None,
+        read_version: int | None = None,
     ) -> None:
-        """Partition-scoped overwrite: only partitions present in ``df``
-        are replaced (merge rewrite / Delta ``replaceWhere`` analog).
+        """Partition-scoped rewrite (merge / Delta ``replaceWhere``
+        analog, reference S4 storage/parquet.py:644-663): new files
+        land first, then ONE commit atomically swaps visibility —
+        adding the rewrite's output and retiring ``files_removed``
+        (default: every live file under the written ∪ ``expected``
+        partitions at ``read_version``).
 
-        Spark cannot overwrite a path it is concurrently reading, so the
-        rewrite stages to a sibling directory and swaps partition
-        directories in. On a cluster this staging/commit is a table
-        format's job (Delta/Iceberg); the local swap keeps identical
-        semantics: untouched partitions stay byte-identical.
+        ``expected`` partitions that produced no output (every row
+        reaped) are retired with no replacement — the MVCC equivalent
+        of deleting the partition directory.
 
-        ``expected``: partitions the caller rewrote. Any expected
-        partition that produced NO output (every row reaped) has its
-        live directory removed — without this, a fully-tombstoned
-        partition would keep stale files forever.
-
-        Holds the per-path write lock for the whole stage-write + swap:
-        an append racing the swap would otherwise land files in a
-        partition directory the swap is about to rmtree — silent loss."""
-        fs = self._fs
-        stage = fs.join(self.path, f"_stage-{time.monotonic_ns()}")
-        with self._write_lock:
-            (
-                self._cluster_for_write(df.select(*STATEMENT_SCHEMA.fieldNames()))
-                .write.mode("overwrite")
-                .options(**self._write_options())
-                .partitionBy(*PARTITION_COLUMNS)
-                .parquet(stage)
-            )
-            data = self._data_path()
-            fs.mkdirs(data)
-            written: set[tuple[str, ...]] = set()
-            for rel in fs.parquet_dirs(stage):
-                parts = dict(p.split("=", 1) for p in rel.split("/") if "=" in p)
-                if len(parts) == len(PARTITION_COLUMNS):
-                    written.add(tuple(parts[c] for c in PARTITION_COLUMNS))
-                fs.rename(fs.join(stage, rel), fs.join(data, rel))
-            fs.delete(stage)
-            for part in expected or []:
-                if tuple(part) not in written:
-                    s, b, o = part
-                    fs.delete(
-                        fs.join(data, f"shard={s}", f"bucket={b}", f"origin={o}")
-                    )
-            self.commits.commit(
-                "rewrite", sorted(written | {tuple(p) for p in expected or []})
-            )
+        Raises :class:`CommitConflict` if a concurrent rewrite already
+        retired any target file; the staged output then stays on disk
+        untracked (never visible) until vacuum. Old files are deleted
+        by ``vacuum`` after retention, which is what keeps ``as_of``
+        time travel readable."""
+        self._ensure_bootstrap()
+        if read_version is None:
+            read_version = self.commits.current_version()
+        if files_removed is None:
+            snap = self.commits.snapshot(read_version)
+            scope = {tuple(p) for p in expected or []}
+            files_removed = [f for f in snap if _partition_of(f) in scope]
+        added, written = self._stage_move(df.select(*STATEMENT_SCHEMA.fieldNames()))
+        all_parts = sorted(
+            set(written) | {tuple(p) for p in expected or []}
+        )
+        self.commits.commit(
+            "rewrite",
+            all_parts,
+            sorted(added),
+            sorted(files_removed),
+            read_version=read_version,
+        )
 
     # ---------------------------------------------------- maintenance
     def dirty_partitions(self) -> list[tuple[str, str, str]]:
-        """Partitions written since their last merge (per-partition
-        ``updated:*`` vs ``optimized:*`` tags, reference
+        """Partitions appended to since the last rewrite that covered
+        them. Authoritative answer from the commit log (exact under
+        cross-driver concurrency — an append racing a merge leaves its
+        partition dirty because its commit version exceeds the merge's
+        ``read_version``); pre-log stores fall back to the advisory
+        ``updated:``/``optimized:`` tags (reference
         storage/parquet.py:571-641)."""
+        if self.commits.current_version():
+            return [tuple(p) for p in self.commits.dirty_partitions()]
         out = []
         for key in self.tags._load():
             if not key.startswith("updated:"):
@@ -286,95 +338,148 @@ class StatementStore:
         return sorted(out)
 
     def merge(self, grace_days: int = 30, force: bool = False) -> bool:
-        """Canonicalize dirty partitions in place — partition-scoped:
-        clean partitions are neither read nor rewritten. At 100 TB this
-        bounds a merge to the partitions actually appended to since the
-        last one (the reference's per-partition loop, here one Spark job
-        over the union of dirty partitions — merge windows are keyed on
-        the partition prefix, so each partition still merges locally
-        within the shared shuffle)."""
+        """Canonicalize dirty partitions — partition-scoped: clean
+        partitions are neither read nor rewritten. The whole job is
+        computed from ONE pinned snapshot version: the rewrite retires
+        exactly the files it read, so an append landing mid-merge is
+        untouched and simply leaves its partition dirty for the next
+        merge. At 100 TB this bounds a merge to the partitions actually
+        appended to since the last one (the reference's per-partition
+        loop, here one Spark job over the union of dirty partitions —
+        merge windows are keyed on the partition prefix, so each
+        partition still merges locally within the shared shuffle)."""
         if not self.exists():
             return False
-        # hold the write lock across read→canonicalize→swap: a threaded
-        # append stamps its updated: tag BEFORE acquiring the lock, so
-        # capturing `now` here (before the scan) guarantees any append
-        # racing this merge compares updated > optimized and the
-        # partition stays dirty for the next merge
-        with self._write_lock:
+        with self._maint_lock:
+            self._ensure_bootstrap()
             now = datetime.now(timezone.utc)
-            dirty = self.dirty_partitions()
+            head = self.commits.current_version()
+            snap = self.commits.snapshot(head)
             if force:
-                dirty = [
-                    (r["shard"], r["bucket"], r["origin"])
-                    for r in self.raw().select(*PARTITION_COLUMNS).distinct().collect()
-                ]
+                dirty = sorted({_partition_of(f) for f in snap})
+            else:
+                dirty = self.dirty_partitions()
             if not dirty:
                 return False
+            target = [f for f in snap if _partition_of(f) in set(dirty)]
+            if not target:
+                return False
+            data = self._data_path()
+            scoped = self._read_files([self._fs.join(data, f) for f in target])
             cutoff = now - timedelta(days=grace_days)
-            raw = self.raw()
-            # disjunction of per-partition conjunctions — unlike a
-            # concat-key isin, this shape survives Catalyst's partition
-            # pruning, so the scan literally never opens clean partitions
-            pred = None
-            for s, b, o in dirty:
-                clause = (
-                    (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
-                )
-                pred = clause if pred is None else (pred | clause)
-            canonical = canonicalize(raw.filter(pred), grace_cutoff=cutoff)
-            self.overwrite_partitions(canonical, expected=dirty)
+            canonical = canonicalize(scoped, grace_cutoff=cutoff)
+            self.overwrite_partitions(
+                canonical, expected=dirty, files_removed=target, read_version=head
+            )
             for p in dirty:
                 self.tags.touch(f"optimized:{'/'.join(p)}", now)
             self.tags.touch("last_optimized", now)
         return True
 
     def compact(self, max_files_per_partition: int = 8) -> list[tuple[str, str, str]]:
-        """Bin-pack partitions that have accumulated too many small
-        files (reference compact, storage/parquet.py:683-706 / Delta
-        OPTIMIZE). Only offending partitions are read and rewritten —
-        the same scoped-overwrite machinery the merge uses. Returns the
+        """Bin-pack partitions whose LIVE file count (from the log
+        snapshot — retired files don't count) exceeds the threshold
+        (reference compact, storage/parquet.py:683-706 / Delta
+        OPTIMIZE). Same pinned-snapshot rewrite as merge. Returns the
         partitions compacted."""
         if not self.exists():
             return []
-        with self._write_lock:
-            crowded: list[tuple[str, str, str]] = []
-            data = self._data_path()
-            for rel, n in self._fs.parquet_dirs(data).items():
-                if n > max_files_per_partition:
-                    parts = dict(p.split("=", 1) for p in rel.split("/") if "=" in p)
-                    if len(parts) == len(PARTITION_COLUMNS):
-                        crowded.append(tuple(parts[c] for c in PARTITION_COLUMNS))
+        with self._maint_lock:
+            self._ensure_bootstrap()
+            head = self.commits.current_version()
+            snap = self.commits.snapshot(head)
+            per_part: dict[tuple[str, ...], int] = {}
+            for f in snap:
+                p = _partition_of(f)
+                per_part[p] = per_part.get(p, 0) + 1
+            crowded = sorted(
+                p for p, n in per_part.items() if n > max_files_per_partition
+            )
             if not crowded:
                 return []
-            pred = None
-            for s, b, o in crowded:
-                clause = (
-                    (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
-                )
-                pred = clause if pred is None else (pred | clause)
-            self.overwrite_partitions(self.raw().filter(pred))
+            target = [f for f in snap if _partition_of(f) in set(crowded)]
+            data = self._data_path()
+            df = self._read_files([self._fs.join(data, f) for f in target])
+            self.overwrite_partitions(
+                df, expected=crowded, files_removed=target, read_version=head
+            )
         return crowded
 
-    def vacuum(self) -> list[str]:
-        """Remove stage directories orphaned by a crash between the
-        stage write and the swap (the swap deletes replaced data
-        eagerly, so live data never needs retention — only these
-        leftovers do). Holding the write lock guarantees no in-flight
-        stage in THIS driver; like the merge itself, vacuum belongs to
-        the single maintenance driver (cross-driver coordination is a
-        table format's job — README). Returns directories removed."""
-        removed = []
-        with self._write_lock:
-            for name in self._fs.listdir(self.path):
+    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+        """Reap physical garbage older than the retention window:
+
+        * files retired by a rewrite commit (kept until then so
+          ``raw(as_of=...)`` time travel stays readable — Delta VACUUM
+          semantics);
+        * data files no commit ever tracked (a crashed append moved
+          them in but never published) — age-gated by mtime so an
+          in-flight writer from ANOTHER driver is never raced;
+        * orphaned ``_stage-*`` directories (crash between stage write
+          and move), same age gate;
+        * partition directories left empty by the above.
+
+        Returns the relative names removed. ``retention_hours=0``
+        reaps everything immediately — only safe when no other writer
+        or time-travel reader is active, exactly Delta's caveat."""
+        removed: list[str] = []
+        fs = self._fs
+        cutoff_ts = datetime.now(timezone.utc) - timedelta(hours=retention_hours)
+        cutoff_epoch = time.time() - retention_hours * 3600.0
+        with self._maint_lock:
+            for name in fs.listdir(self.path):
                 if name.startswith("_stage-"):
-                    self._fs.delete(self._fs.join(self.path, name))
-                    removed.append(name)
+                    p = fs.join(self.path, name)
+                    if fs.mtime(p) <= cutoff_epoch:
+                        fs.delete(p)
+                        removed.append(name)
+            data = self._data_path()
+            if self.commits.current_version():
+                live = set(self.commits.snapshot())
+                for f in sorted(self.commits.removed_before(cutoff_ts) - live):
+                    p = fs.join(data, f)
+                    if fs.exists(p):
+                        fs.delete(p)
+                        removed.append(f)
+                tracked = self.commits.tracked_files()
+                for f in sorted(fs.parquet_files(data) - tracked - live):
+                    p = fs.join(data, f)
+                    if fs.mtime(p) <= cutoff_epoch:
+                        fs.delete(p)
+                        removed.append(f)
+                self._reap_empty_dirs(data)
         return removed
+
+    def _reap_empty_dirs(self, data: str) -> None:
+        """Remove partition directories holding no files at all (fully
+        reaped partitions after vacuum) — cosmetic on MVCC reads, but
+        keeps directory listings honest for outside observers."""
+        fs = self._fs
+        for name in fs.listdir(data):
+            if not name.startswith("shard="):
+                continue
+            self._reap_empty_tree(fs.join(data, name))
+
+    def _reap_empty_tree(self, path: str) -> bool:
+        fs = self._fs
+        if not fs.isdir(path):
+            return False
+        entries = fs.listdir(path)
+        all_gone = True
+        for e in entries:
+            child = fs.join(path, e)
+            if fs.isdir(child):
+                if not self._reap_empty_tree(child):
+                    all_gone = False
+            else:
+                all_gone = False
+        if all_gone:
+            fs.delete(path)
+        return all_gone
 
     def canonical_since(self, version: int) -> DataFrame:
         """Canonical state of every entity touched after commit
         ``version`` — the file-level twin of ``canonical_changed``:
-        changed ids come from ``raw_since`` (O(new files)), then the
+        changed ids come from ``raw_since`` (O(new data)), then the
         merge stack runs over a changed-id-scoped view of raw rows."""
         changed = self.raw_since(version).select("entity_id").distinct()
         scoped = self.raw().join(F.broadcast(changed), "entity_id", "left_semi")
@@ -403,25 +508,22 @@ class StatementStore:
     def raw_since(self, version: int) -> DataFrame:
         """Physical rows written after commit ``version`` — the
         file-level incremental read behind the version cursor
-        (reference diff.py:62-83 asks Delta the same question). New
-        files from ``append`` commits are read DIRECTLY (no scan of
-        the table); partitions touched by a ``rewrite`` (merge/
-        compact) fall back to a partition-pruned scan, since the swap
-        replaced their files wholesale. An incremental consumer
-        therefore reads O(new data), not O(table)."""
-        files, rewritten = self.commits.files_since(version)
+        (reference diff.py:62-83 asks Delta the same question). Files
+        added after the cursor and still live are read DIRECTLY (no
+        scan of the table) — appends file-exactly, rewrites as the full
+        canonical content of their partitions (a superset of the
+        changes, the standard change-feed contract). Only legacy
+        rewrite records without file lists fall back to a
+        partition-pruned scan. An incremental consumer therefore reads
+        O(new data), not O(table)."""
+        files, legacy_rewritten = self.commits.files_since(version)
         data = self._data_path()
         parts = []
         if files:
-            # basePath recovers the hive partition columns from paths
-            parts.append(
-                self.spark.read.option("basePath", data)
-                .schema(STATEMENT_SCHEMA)
-                .parquet(*[self._fs.join(data, f) for f in files])
-            )
-        if rewritten:
+            parts.append(self._read_files([self._fs.join(data, f) for f in files]))
+        if legacy_rewritten:
             pred = None
-            for s, b, o in sorted(rewritten):
+            for s, b, o in sorted(legacy_rewritten):
                 clause = (
                     (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
                 )

@@ -1,6 +1,6 @@
-"""CommitLog: file-level incremental reads behind the version cursor
-(the Delta-transaction-log contract on plain parquet, honestly scoped:
-appends travel file-exact; rewrites fall back to a pruned scan)."""
+"""CommitLog: optimistic-concurrency transaction log — versioned
+put-if-absent commits, MVCC file snapshots, incremental reads, time
+travel, retention vacuum (the Delta protocol on plain parquet)."""
 
 from ftm_lakehouse_spark.lakehouse import Lakehouse
 
@@ -46,7 +46,7 @@ def test_raw_since_reads_only_new_files(spark, lake_root):
     assert ds.store.raw_since(ds.store.commits.current_version()).count() == 0
 
 
-def test_rewrite_invalidates_appended_files(spark, lake_root):
+def test_rewrite_supersedes_appended_files(spark, lake_root):
     lake = Lakehouse(spark, lake_root)
     ds = lake.dataset("cl3")
     ds.write_entities(entities_df(spark, JANE), origin="a")
@@ -56,19 +56,22 @@ def test_rewrite_invalidates_appended_files(spark, lake_root):
 
     recs = ds.store.commits.read()
     assert recs[-1]["kind"] == "rewrite"
+    # the rewrite names both its output and the files it retired
+    assert recs[-1]["files_added"] and recs[-1]["files_removed"]
+    assert recs[-1]["read_version"] == v1 + 1
 
-    files, rewritten = ds.store.commits.files_since(v1)
-    # the appended files under the rewritten partition are invalidated
-    assert files == []
-    assert rewritten
-    # the fallback scan returns the canonical (merged) rows
+    files, legacy = ds.store.commits.files_since(v1)
+    # the appended-then-rewritten files are superseded: only the
+    # rewrite's canonical output is in the incremental read set
+    assert files == recs[-1]["files_added"]
+    assert not legacy
     inc = ds.store.raw_since(v1)
     assert inc.count() == ds.store.raw().count()
     # a later untouched-partition append stays file-exact
     v3 = ds.store.commits.current_version()
     ds.write_entities(entities_df(spark, ACME), origin="c")
-    files2, rewritten2 = ds.store.commits.files_since(v3)
-    assert files2 and not rewritten2
+    files2, legacy2 = ds.store.commits.files_since(v3)
+    assert files2 and not legacy2
     assert ds.store.raw_since(v3).count() == ds.store.raw().filter("origin='c'").count()
 
 
@@ -76,13 +79,41 @@ def test_vacuum_reaps_orphaned_stage(spark, lake_root):
     lake = Lakehouse(spark, lake_root)
     ds = lake.dataset("cl4")
     ds.write_entities(entities_df(spark, JANE), origin="a")
-    # simulate a crash between stage write and swap
+    # simulate a crash between stage write and move
     orphan = ds.store._fs.join(ds.store.path, "_stage-123456")
     ds.store._fs.mkdirs(orphan)
-    assert ds.store.vacuum() == ["_stage-123456"]
-    assert not ds.store._fs.exists(orphan)
+    # default retention keeps a fresh stage (it may be an in-flight
+    # writer from another driver); zero retention reaps it
     assert ds.store.vacuum() == []
+    assert ds.store.vacuum(retention_hours=0) == ["_stage-123456"]
+    assert not ds.store._fs.exists(orphan)
+    assert ds.store.vacuum(retention_hours=0) == []
     assert ds.count() == 1  # data untouched
+
+
+def test_vacuum_reaps_retired_files_after_retention(spark, lake_root):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("cl6")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    v_pre = ds.store.commits.current_version()
+    assert ds.merge() is True
+
+    # retired files still on disk → time travel works
+    pre = ds.store.raw(as_of=v_pre)
+    assert pre.count() > ds.store.raw().count()  # dup rows still visible at v_pre
+
+    # inside retention: nothing reaped, history still readable
+    assert ds.store.vacuum() == []
+    assert ds.store.raw(as_of=v_pre).count() == pre.count()
+
+    # zero retention: retired files go, head unaffected
+    reaped = ds.store.vacuum(retention_hours=0)
+    assert reaped and all(f.endswith(".parquet") for f in reaped)
+    head_rows = ds.store.raw().count()
+    assert head_rows == ds.count() or head_rows >= 1  # head intact
+    disk = ds.store._fs.parquet_files(ds.store._data_path())
+    assert disk == set(ds.store.commits.snapshot())  # disk == live set
 
 
 def test_canonical_since_incremental_entities(spark, lake_root):

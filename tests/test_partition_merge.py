@@ -61,9 +61,12 @@ def test_compact_bin_packs_crowded_partitions(spark, lake_root):
     files_before = _partition_files(ds.path, "a")
     compacted = ds.store.compact(max_files_per_partition=3)
     assert compacted  # the crowded partition was selected
+    assert ds.store.raw().count() == n_rows  # rewrite, not a merge
+    # MVCC: retired files persist (time travel) until vacuum reaps them
+    ds.store.vacuum(retention_hours=0)
     files_after = _partition_files(ds.path, "a")
     assert len(files_after) < len(files_before)
-    assert ds.store.raw().count() == n_rows  # rewrite, not a merge
+    assert ds.store.raw().count() == n_rows
 
     # under the threshold → no-op
     assert ds.store.compact(max_files_per_partition=64) == []
@@ -77,16 +80,21 @@ def test_merge_removes_fully_reaped_partitions(spark, lake_root):
     ds.delete_entity("jane", origin="gone")
     # grace 0: the tombstones themselves are reaped -> partition empty
     assert ds.merge(grace_days=0, force=True)
+    # logically gone at once (snapshot excludes the retired files) ...
+    assert ds.count() == 1
+    assert ds.store.raw().filter("origin='gone'").count() == 0
+    # ... physically gone after vacuum (directory reaped)
+    ds.store.vacuum(retention_hours=0)
     assert _partition_files(ds.path, "gone") == {}  # directory removed
     assert _partition_files(ds.path, "kept")        # untouched survivor
     assert ds.count() == 1
 
 
 def test_concurrent_appends_both_land(spark, lake_root):
-    """Concurrent appends from one driver are serialized by the store's
-    per-path write lock (the default Hadoop committer shares _temporary
-    across jobs on one path — the hazard the reference's marker fence
-    guarded)."""
+    """Concurrent appends are LOCK-FREE: each stages to a private
+    directory (no shared _temporary — the stock-committer hazard the
+    reference's marker fence guarded) and publishes one put-if-absent
+    commit; racing writers retry version allocation and all land."""
     import threading
 
     lake = Lakehouse(spark, lake_root)
