@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.model.dataset import DatasetConfig, validate_origin
-from ftm_lakehouse_spark.model.statement import CSV_COLUMNS, STATEMENT_SCHEMA
+from ftm_lakehouse_spark.model.statement import (
+    CSV_COLUMNS,
+    STATEMENT_SCHEMA,
+    live_filter,
+    with_canonical_id,
+)
 from ftm_lakehouse_spark.operators.aggregate import assemble_entities
 from ftm_lakehouse_spark.operators.explode import ENTITY_SCHEMA, explode_entities
 from ftm_lakehouse_spark.plans.query import Query
@@ -101,14 +106,23 @@ class Dataset:
         self.store.append(tombstones)
 
     # ---------------------------------------------------------- reads
-    def statements(self, q: Query | None = None) -> DataFrame:
-        live = self.store.live()
+    def statements(self, q: Query | None = None, as_of: int | None = None) -> DataFrame:
+        """Live statements, optionally time-traveled: ``as_of`` reads
+        the table at a past commit version (Delta ``versionAsOf``; the
+        reference rides delta-rs for this, repository/diff.py:62-83) —
+        readable for as long as vacuum's retention keeps the files."""
+        live = with_canonical_id(self.store.raw(as_of=as_of).filter(live_filter()))
         return q.apply_rows(live) if q else live
 
-    def entities(self, q: Query | None = None) -> DataFrame:
-        live = self.store.live()
+    def entities(self, q: Query | None = None, as_of: int | None = None) -> DataFrame:
+        live = self.statements(as_of=as_of) if as_of is not None else self.store.live()
         scoped = q.apply_statements(live) if q else live
         return assemble_entities(scoped)
+
+    @property
+    def version(self) -> int:
+        """Current commit version (the time-travel / diff cursor)."""
+        return self.store.commits.current_version()
 
     def get(self, entity_id: str) -> dict | None:
         """Point lookup: shard prune + entity_id pushdown, then a

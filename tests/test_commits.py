@@ -116,6 +116,28 @@ def test_vacuum_reaps_retired_files_after_retention(spark, lake_root):
     assert disk == set(ds.store.commits.snapshot())  # disk == live set
 
 
+def test_dataset_time_travel(spark, lake_root):
+    """Dataset.statements/entities(as_of=v): the Delta versionAsOf
+    surface — a past commit version stays readable until vacuum."""
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("tt")
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    v1 = ds.version
+    ds.write_entities(entities_df(spark, ACME), origin="a")
+    v2 = ds.version
+    ds.delete_entity("jane")
+    assert ds.merge() is True  # apply the tombstone (canonicalize)
+
+    assert v2 == v1 + 1
+    now_ids = {r["entity_id"] for r in ds.entities().select("entity_id").collect()}
+    assert now_ids == {"acme"}
+    at_v1 = {r["entity_id"] for r in ds.entities(as_of=v1).select("entity_id").collect()}
+    assert at_v1 == {"jane"}
+    at_v2 = {r["entity_id"] for r in ds.entities(as_of=v2).select("entity_id").collect()}
+    assert at_v2 == {"jane", "acme"}
+    assert ds.statements(as_of=v1).count() < ds.statements(as_of=v2).count()
+
+
 def test_canonical_since_incremental_entities(spark, lake_root):
     lake = Lakehouse(spark, lake_root)
     ds = lake.dataset("cl5")
