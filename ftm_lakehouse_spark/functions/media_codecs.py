@@ -5,16 +5,20 @@ paths are REAL (bit-exact, tested), not stubs:
 
 * images — PPM (``P6``), PGM (``P5``), uncompressed 24-bit BMP,
   PNG (full spec subset: 8-bit gray/RGB/palette/gray-alpha/RGBA,
-  all five scanline filters, stdlib ``zlib`` inflate), and GIF
-  (87a/89a, pure-Python LZW, local palettes, interlacing);
+  all five scanline filters, stdlib ``zlib`` inflate), GIF
+  (87a/89a, pure-Python LZW, local palettes, interlacing), and
+  baseline JPEG (SOF0, grayscale or YCbCr at any integer sampling
+  incl. 4:2:0/4:2:2/4:4:4, restart markers, numpy IDCT) with a
+  matching baseline encoder (Annex K tables, libjpeg quality
+  scaling, optional 4:2:0);
 * audio — WAV PCM (8/16-bit, any channel count, stdlib ``wave``);
 * "video" — an MJPEG-style container of concatenated PPM frames
   (the sampler parses real frame boundaries and decodes real frames).
 
-Formats that genuinely need external codecs (JPEG/MP4/...) raise
-``NotImplementedError`` with the library that would handle them — swap
-in PIL / pyav on a cluster image that has them; callers and schemas do
-not change.
+Formats that genuinely need external codecs (progressive/arithmetic
+JPEG, MP3, MP4/H.264) raise ``NotImplementedError`` with the library
+that would handle them — swap in PIL / pyav on a cluster image that
+has them; callers and schemas do not change.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ __all__ = [
     "encode_ppm",
     "encode_bmp",
     "encode_png",
+    "encode_jpeg",
     "encode_wav",
     "resize_nearest",
     "split_ppm_frames",
@@ -354,10 +359,252 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------- JPEG
+# Baseline DCT JFIF, pure numpy/stdlib — no libjpeg. Covers the
+# overwhelmingly common case (SOF0 baseline, 8-bit, grayscale or
+# YCbCr with any integer sampling factors incl. 4:2:0/4:2:2/4:4:4,
+# restart markers). Progressive (SOF2) and arithmetic coding still
+# raise with the library that would handle them.
+
+#: orthonormal 8x8 DCT-II basis: spatial = B.T @ coeffs @ B
+_DCT_B = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any real marker (0xFF xx, xx≠0)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker mid-fill
+                raise _RestartMarker()
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a byte boundary (DRI intervals)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1  # skip pad bits / stuffing remnants
+        if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map ``size``-bit magnitude to signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JFIF → HxW (grayscale) or HxWx3 uint8 RGB."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", blob[pos : pos + 2])[0]
+        seg = blob[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                off += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(seg, ">u2", 64, off).astype(np.int32)
+                    off += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, off).astype(np.int32)
+                    off += 64
+                table = np.zeros(64, np.int32)
+                table[_ZIGZAG] = vals
+                qt[tq] = table.reshape(8, 8)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "h": seg[7 + 3 * i] >> 4,
+                    "v": seg[7 + 3 * i] & 0xF,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(n)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic) requires PIL/libjpeg"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                counts = seg[off + 1 : off + 17]
+                off += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[off]
+                        off += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                c = next(c for c in comps if c["id"] == cid)
+                scan_comps.append({**c, "td": tt >> 4, "ta": tt & 0xF})
+            pos += seg_len
+            break
+        pos += seg_len
+    if not scan_comps:
+        raise ValueError("no SOS in JPEG")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in scan_comps
+    }
+    reader = _BitReader(blob, pos)
+    pred = {c["id"]: 0 for c in scan_comps}
+    B = _DCT_B
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = {c["id"]: 0 for c in scan_comps}
+            n_mcu += 1
+            for c in scan_comps:
+                q = qt[c["tq"]]
+                dc_tab, ac_tab = huff[(0, c["td"])], huff[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        size = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.receive(size), size) if size else 0
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_tab)
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            zz[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        coeffs = np.zeros(64, np.float64)
+                        coeffs[_ZIGZAG] = zz
+                        block = B.T @ (coeffs.reshape(8, 8) * q) @ B + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for c in scan_comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(blob: bytes, mime: str | None = None) -> np.ndarray:
     """blob → uint8 array (HxW grayscale or HxWx3 RGB). Real decode for
-    PPM/PGM/BMP/PNG/GIF; formats that need external codecs name the
-    library."""
+    PPM/PGM/BMP/PNG/GIF/baseline-JPEG; formats that need external
+    codecs name the library."""
     if blob[:2] in (b"P5", b"P6"):
         return _decode_pnm(blob)
     if blob[:2] == b"BM":
@@ -367,8 +614,245 @@ def decode_image(blob: bytes, mime: str | None = None) -> np.ndarray:
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
     if blob[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires PIL/libjpeg (not in image)")
+        return _decode_jpeg(blob)
     raise NotImplementedError(f"unsupported image format (mime={mime!r})")
+
+
+# Annex K (JPEG spec, public) huffman + quantization constants
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+
+def _codes_from_spec(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def raw_marker(self, byte2: int) -> None:
+        """Emit an unstuffed marker (RSTn) at a byte boundary."""
+        self.pad_to_byte()
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.buf)
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc: dict[int, tuple[int, int]],
+    ac: dict[int, tuple[int, int]],
+) -> int:
+    coeffs = _DCT_B @ (block - 128.0) @ _DCT_B.T
+    quant = np.round(coeffs / q).astype(np.int32)
+    zz = quant.reshape(-1)[_ZIGZAG]
+
+    def put_val(v: int, size: int) -> None:
+        if size:
+            writer.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+    diff = int(zz[0]) - pred
+    size = int(abs(diff)).bit_length()
+    writer.put(*dc[size])
+    put_val(diff, size)
+    run = 0
+    last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            writer.put(*ac[0xF0])  # ZRL
+            run -= 16
+        size = abs(v).bit_length()
+        writer.put(*ac[run * 16 + size])
+        put_val(v, size)
+        run = 0
+    if last < 63:
+        writer.put(*ac[0x00])  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 uint8 RGB → baseline JFIF bytes.
+    ``subsample=True`` emits 4:2:0 (2x2 luma sampling) — the common
+    camera layout, and the decoder's chroma-upsampling test path.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (what
+    camera JPEGs do for error resilience)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr]
+        samps = [(1, 1)]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even, 2x2 box-average chroma
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+            def pad(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes, samps = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samps = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    q_lum, q_chr = _scale_q(_Q_LUM, quality), _scale_q(_Q_CHR, quality)
+    qts = [q_lum] + ([q_chr] if not gray else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts):
+        zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz.tobytes()
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        hs, vs = samps[i]
+        sof += struct.pack("BBB", i + 1, hs * 16 + vs, 0 if i == 0 else 1)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if not gray:
+        tables += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    for tc, th, (bits, vals) in tables:
+        body = bytes([tc * 16 + th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l, ac_l = _codes_from_spec(*_DC_LUM), _codes_from_spec(*_AC_LUM)
+    dc_c, ac_c = _codes_from_spec(*_DC_CHR), _codes_from_spec(*_AC_CHR)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hs, vs) in zip(planes, samps):
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        padded.append(
+            np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge")
+        )
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.raw_marker(0xD0 + (n_mcu // restart_interval - 1) % 8)
+                pred = [0] * ncomp
+            n_mcu += 1
+            for i in range(ncomp):
+                hs, vs = samps[i]
+                q = qts[0] if i == 0 else qts[1]
+                dc, ac = (dc_l, ac_l) if i == 0 else (dc_c, ac_c)
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        block = padded[i][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[i] = _encode_block(writer, block, q, pred[i], dc, ac)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

@@ -5,10 +5,12 @@ The Spark-side plumbing — schema, partition sizing, UDF signatures,
 batch shapes — is real and tested, and so are the codecs for the
 library-free formats (functions/media_codecs.py): PPM/PGM/BMP/PNG/GIF
 images (PNG via stdlib zlib + numpy unfilter, all five scanline
-filters; GIF via pure-Python LZW incl. interlacing), WAV PCM audio,
-and a concatenated-PPM frame container decode bit-exact with numpy +
-stdlib only. Formats that genuinely need
-external codec libraries (JPEG/MP4) raise a
+filters; GIF via pure-Python LZW incl. interlacing), baseline JPEG
+(SOF0 grayscale/YCbCr, any sampling incl. 4:2:0, restart markers,
+numpy IDCT — plus a matching encoder), WAV PCM audio, and a
+concatenated-PPM frame container, all with numpy + stdlib only.
+Formats that genuinely need
+external codec libraries (progressive JPEG/MP3/MP4) raise a
 clearly-marked ``NotImplementedError`` naming the library a cluster
 image would add (PIL / pyav); when a decode fails, the pipeline
 degrades to a deterministic byte-derived pseudo-decode so a 100 TB

@@ -39,8 +39,64 @@ def test_ppm_bmp_roundtrip_bit_exact():
 
 
 def test_compressed_formats_name_their_library():
+    # baseline JPEG is decoded natively now; PROGRESSIVE still names
+    # the library that would handle it (SOF2 in a minimal header)
+    progressive = (
+        b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    )
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        decode_image(progressive)
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Baseline JPEG: our encoder (forward DCT) against our decoder
+    (inverse DCT) — independent transform paths, so a huffman/zigzag/
+    quant-table bug on either side destroys the image. Smooth content
+    at q=95 must round-trip to within a few counts."""
+    from ftm_lakehouse_spark.functions.media_codecs import encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(37), np.arange(29))
+    img = np.stack(
+        [np.clip(xx * 4 + 10, 0, 255), np.clip(yy * 6 + 5, 0, 255),
+         np.clip(120 + xx + yy, 0, 255)], -1
+    ).astype(np.uint8)
+
+    # flat gray: DC-only blocks decode EXACTLY
+    flat = np.full((16, 24), 128, np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(flat, quality=90)), flat)
+
+    # 4:4:4 color and grayscale: tight bound
+    dec = decode_image(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    g = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    decg = decode_image(encode_jpeg(g, quality=95))
+    assert decg.shape == g.shape and np.abs(decg.astype(int) - g.astype(int)).max() <= 3
+
+    # 4:2:0 chroma upsampling path: looser bound (chroma was averaged)
+    dec420 = decode_image(encode_jpeg(img, quality=95, subsample=True))
+    assert dec420.shape == img.shape
+    assert np.abs(dec420.astype(int) - img.astype(int)).max() <= 16
+
+    # odd dimensions exercise edge-block padding and cropping
+    odd = img[:23, :19]
+    assert decode_image(encode_jpeg(odd, quality=95)).shape == odd.shape
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: predictor reset + bit realignment every N MCUs."""
+    from ftm_lakehouse_spark.functions.media_codecs import encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(70), np.arange(50))
+    img = np.stack(
+        [np.clip(xx * 3, 0, 255), np.clip(yy * 4, 0, 255),
+         np.clip(100 + xx + yy, 0, 255)], -1
+    ).astype(np.uint8)
+    for ri in (1, 3):
+        dec = decode_image(encode_jpeg(img, quality=95, restart_interval=ri))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    dec = decode_image(encode_jpeg(img, quality=92, subsample=True, restart_interval=3))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24
 
 
 def test_png_roundtrip_bit_exact():
