@@ -2876,3 +2876,208 @@ def x_histogram(spark, sf_dir):
             F.max("p").alias("p_max"),
         )
     )
+
+
+@_register(
+    "x_pivot_wide",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                    THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS not_specified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def x_pivot_wide(spark, sf_dir):
+    """Pivot (long→wide): revenue by status × priority. Spark's
+    ``pivot`` with an EXPLICIT value list — no extra pass to discover
+    values, and the plan is a single hash aggregate with one conditional
+    sum per value (identical to the oracle's CASE form; `.explain` shows
+    no extra shuffle vs a plain groupBy). Decimal sums keep the wide
+    cells order-independent. At 100 TB: same cost as the underlying
+    groupBy; never pivot on an undiscovered high-cardinality column."""
+    o = load_table(spark, sf_dir, "orders")
+    values = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    renames = ["urgent", "high", "medium", "not_specified", "low"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", values)
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+    )
+    return wide.select(
+        "o_orderstatus", *[F.col(f"`{v}`").alias(r) for v, r in zip(values, renames)]
+    )
+
+
+@_register(
+    "x_unpivot_long",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderkey, 'price' AS metric, o_totalprice AS val
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    """,
+)
+def x_unpivot_long(spark, sf_dir):
+    """Unpivot / melt (wide→long): the inverse reshape, via Spark's
+    native ``unpivot`` (Catalyst Expand node — one pass, zero shuffle,
+    row count × #metrics). The oracle states the same thing as UNION
+    ALL. Narrow transform: safe at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot("o_orderkey", ["price", "custkey"], "metric", "val")
+
+
+@_register(
+    "a_median_groups",
+    """
+    SELECT o_orderstatus,
+           round(CAST(median(o_totalprice) AS DOUBLE), 4) AS median_price,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a_median_groups(spark, sf_dir):
+    """Exact median per group (percentile_cont 0.5 interpolation —
+    identical definition in both engines, round(4) for float-literal
+    parity). Spark computes exact percentiles with a per-group sort
+    inside the aggregate; at 100 TB prefer x_approx_stats'
+    percentile_approx sketch (already graded) — this gate pins the
+    EXACT path the reference's stats facets use on small groups."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "x_correlation",
+    """
+    SELECT c_nationkey,
+           round(CAST(corr(c_acctbal, cnt) AS DOUBLE), 6) AS bal_order_corr,
+           round(CAST(covar_samp(c_acctbal, cnt) AS DOUBLE), 4) AS bal_order_covar,
+           count(*) AS n_customers
+    FROM (
+        SELECT c.c_nationkey, c.c_acctbal, c.c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
+        FROM customer c
+    )
+    GROUP BY c_nationkey
+    HAVING count(*) >= 2
+    """,
+)
+def x_correlation(spark, sf_dir):
+    """Bivariate statistics per group: does account balance correlate
+    with order count? corr/covar_samp are single-pass streaming
+    aggregates (Welford-style) in both engines — deterministic given
+    exact inputs, round(6/4) for accumulation-order noise. The order
+    counts come from a LEFT join against a pre-aggregated (small)
+    count table — broadcastable, no skew."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    joined = (
+        c.join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.round(F.corr("c_acctbal", "cnt"), 6).alias("bal_order_corr"),
+            F.round(F.covar_samp("c_acctbal", "cnt"), 4).alias("bal_order_covar"),
+            F.count("*").alias("n_customers"),
+        )
+        .filter(F.col("n_customers") >= 2)
+    )
+
+
+@_register(
+    "w_first_last_value",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type)  OVER w AS last_event,
+           nth_value(event_type, 2) OVER w AS second_event,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def w_first_last_value(spark, sf_dir):
+    """Navigation window family (first/last/nth over an explicit
+    unbounded frame — the frame spec is what makes last_value sane) →
+    one row per user: journey entry/exit/second-touch. One shuffle on
+    user_id serves all four functions; the unique (ts, event_id) order
+    key makes every value deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_event"),
+            F.last("event_type").over(w).alias("last_event"),
+            F.nth_value("event_type", 2).over(w).alias("second_event"),
+            F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "text_length_buckets",
+    """
+    SELECT lang,
+           CAST(least(floor(n_chars / 200), 9) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang, len_bucket
+    """,
+)
+def text_length_buckets(spark, sf_dir):
+    """Training-mix profiling: document-length distribution per
+    language (the histogram behind sequence-length bucketing and
+    packing efficiency planning). Integer bucket arithmetic — no float
+    drift; one map-side-combined groupBy on a tiny (lang × 10) key
+    space."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.least(F.floor(F.col("n_chars") / 200), F.lit(9))
+            .cast("long")
+            .alias("len_bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
