@@ -2899,11 +2899,13 @@ def x_histogram(spark, sf_dir):
 def x_pivot_wide(spark, sf_dir):
     """Pivot (long→wide): revenue by status × priority. Spark's
     ``pivot`` with an EXPLICIT value list — no extra pass to discover
-    values, and the plan is a single hash aggregate with one conditional
-    sum per value (identical to the oracle's CASE form; `.explain` shows
-    no extra shuffle vs a plain groupBy). Decimal sums keep the wide
-    cells order-independent. At 100 TB: same cost as the underlying
-    groupBy; never pivot on an undiscovered high-cardinality column."""
+    values. The physical plan is two aggregate phases: a
+    map-side-combined groupBy on (keys × pivot column) that collapses
+    the input to |groups|·|values| rows, then a ``pivotfirst``
+    aggregate over that tiny intermediate — so the second shuffle
+    moves ~15 rows here, not data. Decimal sums keep the wide cells
+    order-independent. At 100 TB: same cost as the underlying groupBy;
+    never pivot on an undiscovered high-cardinality column."""
     o = load_table(spark, sf_dir, "orders")
     values = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     renames = ["urgent", "high", "medium", "not_specified", "low"]

@@ -183,3 +183,24 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         q._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pivot_two_phase_aggregate(spark):
+    """x_pivot_wide: explicit-value pivot = pre-aggregation on
+    (keys × pivot column) with map-side combine, then pivotfirst over
+    the |groups|·|values|-row intermediate. Exactly two exchanges (the
+    second moves ~15 rows), never one shuffle per pivot value, and no
+    value-discovery job."""
+    plan = plan_of(spark, "x_pivot_wide")
+    # formatted mode lists each node twice (tree + detail): 2 physical
+    # Exchanges == 4 mentions
+    assert plan.count("Exchange") == 4
+    assert "pivotfirst" in plan
+    assert plan.count("partial_") >= 2  # both phases map-side combined
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """x_unpivot_long: native unpivot = Expand node, zero Exchange."""
+    plan = plan_of(spark, "x_unpivot_long")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
