@@ -10,6 +10,9 @@ here to stay dependency-free).
     python -m ftm_lakehouse_spark --root /data/lake export-json DS out/
     python -m ftm_lakehouse_spark --root /data/lake sql "SELECT ... FROM statements"
     python -m ftm_lakehouse_spark --root /data/lake get DS entity-id
+    python -m ftm_lakehouse_spark --root /data/lake iterate DS --as-of 7
+    python -m ftm_lakehouse_spark --root /data/lake history DS
+    python -m ftm_lakehouse_spark --root /data/lake vacuum DS --retention-hours 0
 """
 
 from __future__ import annotations
@@ -61,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("iterate")
     s.add_argument("dataset")
     s.add_argument("--schema", default=None)
+    s.add_argument("--as-of", type=int, default=None,
+                   help="time travel: read the table at this commit version")
 
     s = sub.add_parser("diff")
     s.add_argument("dataset")
@@ -68,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ISO timestamp; default: the stored diff cursor")
     s.add_argument("--out", default=None,
                    help="write envelopes to this directory instead of stdout")
+
+    s = sub.add_parser("history", help="transaction log: one line per commit")
+    s.add_argument("dataset")
+    s.add_argument("--since", type=int, default=0, help="start version (exclusive)")
+
+    s = sub.add_parser("vacuum", help="reap files older than the retention window")
+    s.add_argument("dataset")
+    s.add_argument("--retention-hours", type=float, default=168.0)
     return p
 
 
@@ -126,8 +139,22 @@ def main(argv: list[str] | None = None) -> int:
         from ftm_lakehouse_spark.plans.query import Query
 
         q = Query().where(schema=args.schema) if args.schema else None
-        for line in lake.dataset(args.dataset).entities(q).toJSON().toLocalIterator():
+        ents = lake.dataset(args.dataset).entities(q, as_of=args.as_of)
+        for line in ents.toJSON().toLocalIterator():
             print(line)
+    elif args.cmd == "history":
+        ds = lake.dataset(args.dataset)
+        for rec in ds.store.commits.read(since=args.since):
+            print(json.dumps(
+                {k: rec[k] for k in ("version", "kind", "ts", "partitions")}
+                | {"n_added": len(rec["files_added"]),
+                   "n_removed": len(rec.get("files_removed", []))}
+            ))
+    elif args.cmd == "vacuum":
+        removed = lake.dataset(args.dataset).store.vacuum(
+            retention_hours=args.retention_hours
+        )
+        print(json.dumps({"removed": len(removed)}))
     elif args.cmd == "diff":
         # I6: cursor stored as a deduped version artifact
         from datetime import datetime, timezone

@@ -1,5 +1,6 @@
 """CSV round-trip, parent-chain resolution, CLI smoke."""
 
+import json
 import subprocess
 import sys
 
@@ -81,3 +82,13 @@ def test_cli_smoke(tmp_path):
     assert "merged" in r.stdout
     r = run("sql", "SELECT count(*) AS n FROM statements", "--dataset", "demo")
     assert '"n":' in r.stdout
+    r = run("history", "demo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(line) for line in r.stdout.strip().splitlines()]
+    assert [c["version"] for c in recs] == list(range(1, len(recs) + 1))
+    assert recs[0]["kind"] == "append" and recs[-1]["kind"] == "rewrite"
+    r = run("iterate", "demo", "--as-of", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Jane Doe" in r.stdout  # version 1 = the original import
+    r = run("vacuum", "demo", "--retention-hours", "0")
+    assert json.loads(r.stdout.strip().splitlines()[-1])["removed"] > 0
