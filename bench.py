@@ -50,6 +50,7 @@ HEADLINE = [
     # round-2 additions (keep above list stable for cross-round diffing)
     "sim_ivf_topk",
     "dedup_chunks",
+    "dedup_winnow_substrings",
     "text_decontaminate",
     "x_histogram",
     "text_novelty_score",

@@ -39,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "benchmark_overlap",
     "duplicate_chunks",
+    "winnow_fingerprint_pairs",
 ]
 
 
@@ -483,4 +484,80 @@ def duplicate_chunks(
             F.count_distinct("doc").alias("n_docs"),
         )
         .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def winnow_fingerprint_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    window: int = 8,
+    min_shared: int = 3,
+    max_doc_freq: int = 64,
+    max_chars: int = 1200,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-substring detection via winnowing
+    (Schleimer/Wilkerson/Aiken, the MOSS fingerprint scheme) — the
+    blocking tier of exact-substring dedup ("Deduplicating Training
+    Data" finds verbatim ≥50-char overlaps; winnowing guarantees any
+    shared substring of length ≥ k+window-1 yields at least one shared
+    fingerprint, so candidate generation never misses a long overlap).
+
+    Pipeline (all JVM-side, no Python):
+      1. k-char gram hashes per position (``md5(substr)``; char
+         positions capped at ``max_chars`` so one pathological doc
+         cannot explode a partition — standard fingerprint budget);
+      2. winnow: min hash per sliding window of ``window`` positions
+         (one partition-local window function per doc), DISTINCT →
+         the selected fingerprints, density ~2/(window+1);
+      3. stop-fingerprint guard: hashes appearing in more than
+         ``max_doc_freq`` docs are boilerplate (license headers) and
+         are dropped — this caps the self-join bucket size, the same
+         role max_df plays in TF-IDF;
+      4. candidate pairs by fingerprint EQUI-join, scored by the
+         number of distinct shared fingerprints.
+
+    At 100 TB: the gram explode is partition-local (explode before any
+    shuffle); the only shuffles are the per-doc window, the distinct,
+    and the bucket-bounded self-join. All integer/string-exact — the
+    DuckDB oracle states the identical pipeline. ``use_md5=False``
+    swaps the gram hash for ``xxhash64`` (~an order of magnitude
+    cheaper per gram, same guarantee) — the default stays md5 only
+    because the correctness oracle must compute identical hashes.
+    """
+    eligible = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc"),
+        F.substring(F.col(text_col), 1, max_chars).alias("t"),
+    )
+    grams = eligible.select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        F.col("t"),
+    )
+    gram = F.expr(f"substring(t, pos, {k})")
+    grams = grams.select(
+        "doc", "pos", (F.md5(gram) if use_md5 else F.xxhash64(gram)).alias("h")
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    fps = (
+        grams.select("doc", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= max_doc_freq))
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .agg(F.countDistinct("l.fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

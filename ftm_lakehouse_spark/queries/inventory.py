@@ -3083,3 +3083,45 @@ def text_length_buckets(spark, sf_dir):
         .groupBy("lang", "len_bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@_register(
+    "dedup_winnow_substrings",
+    """
+    WITH eligible AS (
+        SELECT doc_id AS doc, substr(text, 1, 1200) AS t
+        FROM documents WHERE length(text) >= 24
+    ), grams AS (
+        SELECT doc, i.generate_series AS pos,
+               md5(substr(t, i.generate_series, 24)) AS h
+        FROM eligible, generate_series(1, 1177) AS i
+        WHERE i.generate_series <= length(t) - 23
+    ), winnowed AS (
+        SELECT DISTINCT doc,
+               min(h) OVER (PARTITION BY doc ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM grams
+    ), rare AS (
+        SELECT fp FROM winnowed GROUP BY fp
+        HAVING count(DISTINCT doc) > 1 AND count(DISTINCT doc) <= 64
+    ), fps AS (
+        SELECT w.doc, w.fp FROM winnowed w JOIN rare USING (fp)
+    )
+    SELECT l.doc AS a, r.doc AS b, count(DISTINCT l.fp) AS n_shared
+    FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc < r.doc
+    GROUP BY a, b
+    HAVING count(DISTINCT l.fp) >= 3
+    """,
+)
+def dedup_winnow_substrings(spark, sf_dir):
+    """Exact-substring dedup, blocking tier: winnowing fingerprints
+    (MOSS scheme). Any verbatim overlap of length >= k+window-1 = 31
+    chars between two documents is GUARANTEED to produce a shared
+    fingerprint — recall without all-pairs comparison. See
+    operators/dedupe.winnow_fingerprint_pairs for the scale analysis
+    (partition-local gram explode, per-doc window, boilerplate guard
+    capping join buckets)."""
+    from ftm_lakehouse_spark.operators.dedupe import winnow_fingerprint_pairs
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return winnow_fingerprint_pairs(d)

@@ -90,3 +90,27 @@ def test_duplicate_chunks_finds_repeated_passage(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_occurrences"] == 2 and out[0]["n_docs"] == 2
+
+
+def test_winnow_guarantees_long_overlap_detection(spark):
+    """Winnowing property: a verbatim overlap of length >= k+window-1
+    (31 chars here) MUST produce a shared fingerprint; unrelated docs
+    with no 24-char common substring must not pair."""
+    from ftm_lakehouse_spark.operators.dedupe import winnow_fingerprint_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " * 30 + shared + " unique tail one two three"),
+            (2, "totally different preamble here. " + shared + " BBB " * 30),
+            (3, "no overlap with anything else at all, " + "xyz " * 60),
+            (4, "another fully distinct document body, " + "qrs " * 60),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_fingerprint_pairs(docs, min_shared=1, max_doc_freq=4).collect()
+    }
+    assert (1, 2) in pairs  # the planted 63-char overlap is found
+    assert all(p == (1, 2) for p in pairs)  # and nothing else pairs
