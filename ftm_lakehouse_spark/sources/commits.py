@@ -90,14 +90,23 @@ class CommitLog:
         files_added: list[str] | None = None,
         files_removed: list[str] | None = None,
         read_version: int | None = None,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Atomically publish one write job; returns the version won.
 
         ``files_added`` / ``files_removed`` are data-dir-relative.
         ``read_version`` (rewrites): the snapshot version the rewrite
         was computed from — the dirty check compares append versions
         against it. Raises :class:`CommitConflict` if a concurrent
-        rewrite already retired any of ``files_removed``."""
+        rewrite already retired any of ``files_removed``.
+
+        ``txn`` = (app_id, txn_version): idempotent-writer fencing,
+        Delta's ``txnAppId``/``txnVersion`` contract. If a commit from
+        the same ``app_id`` with an equal-or-higher ``txn_version`` is
+        already in the log, this commit is a REPLAY (a restarted
+        streaming micro-batch re-running its foreachBatch) — nothing
+        is published and None is returned, which is what turns an
+        at-least-once sink into an exactly-once one."""
         removed = sorted(files_removed or [])
         record = {
             "version": 0,
@@ -109,8 +118,12 @@ class CommitLog:
         }
         if read_version is not None:
             record["read_version"] = read_version
+        if txn is not None:
+            record["txn"] = [txn[0], int(txn[1])]
         for _ in range(MAX_COMMIT_ATTEMPTS):
             head = self.current_version()
+            if txn is not None and self.txn_version(txn[0], head) >= int(txn[1]):
+                return None  # replayed batch — already committed
             if removed:
                 live = set(self.snapshot(head))
                 gone = [f for f in removed if f not in live]
@@ -127,6 +140,16 @@ class CommitLog:
                 return version
             # lost the race — another writer owns this version; retry
         raise CommitConflict("version allocation contention: too many lost races")
+
+    def txn_version(self, app_id: str, until: int | None = None) -> int:
+        """Highest ``txn_version`` committed by ``app_id`` (-1 if
+        none) — the idempotence watermark for exactly-once sinks."""
+        latest = -1
+        for rec in self.read(0, until):
+            t = rec.get("txn")
+            if t and t[0] == app_id:
+                latest = max(latest, int(t[1]))
+        return latest
 
     def _write_checkpoint(self, version: int) -> None:
         """Fold live state at ``version`` into one file. Content is a

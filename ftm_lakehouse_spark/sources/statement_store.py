@@ -228,10 +228,19 @@ class StatementStore:
         parts = sorted({_partition_of(f) for f in moved})
         return moved, parts
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Lock-free blind append: stage-move + one atomic commit.
         Crash between move and commit leaves untracked files that are
-        never read and that ``vacuum`` reaps after retention."""
+        never read and that ``vacuum`` reaps after retention.
+
+        ``txn`` = (app_id, txn_version) makes the append IDEMPOTENT
+        (Delta's txnAppId/txnVersion): a replayed write with an
+        already-committed version is skipped — the contract that turns
+        an at-least-once streaming ``foreachBatch`` sink into an
+        exactly-once one (streaming/journal.py passes its checkpoint
+        identity + epoch here)."""
+        if txn is not None and self.commits.txn_version(txn[0]) >= int(txn[1]):
+            return  # replayed micro-batch: already durable, skip the job
         df = df.select(*STATEMENT_SCHEMA.fieldNames())
         touched = df.select(*PARTITION_COLUMNS).distinct().collect()
         # advisory freshness stamped BEFORE data lands (crash-safe
@@ -242,7 +251,10 @@ class StatementStore:
         self._ensure_bootstrap()
         added, parts = self._stage_move(df)
         if added:
-            self.commits.commit("append", parts, sorted(added))
+            # the atomic replay re-check inside commit() closes the race
+            # two concurrent replays of one epoch could otherwise hit;
+            # a loser's staged files are untracked and vacuumed
+            self.commits.commit("append", parts, sorted(added), txn=txn)
         self.tags.touch("last_updated")
 
     @staticmethod

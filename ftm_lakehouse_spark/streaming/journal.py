@@ -54,10 +54,17 @@ class StreamingJournal:
             .dropDuplicatesWithinWatermark(["id", "fragment", "origin"])
         )
 
-        def sink(batch_df, _epoch: int) -> None:
+        # exactly-once: foreachBatch is at-least-once (a crash between
+        # the write and the checkpoint advance replays the epoch), so
+        # the append is fenced by (query identity, epoch) — the commit
+        # log skips any epoch it has already made durable (Delta's
+        # txnAppId/txnVersion idiom, reference journal I1 semantics)
+        txn_app = f"journal:{self.checkpoint_dir}"
+
+        def sink(batch_df, epoch: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.store.append(batch_df)
+            self.store.append(batch_df, txn=(txn_app, epoch))
 
         writer = (
             stream.writeStream.foreachBatch(sink)

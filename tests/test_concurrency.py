@@ -147,6 +147,39 @@ def test_conflicting_rewrites_detected(spark, lake_root):
     assert reaped  # the conflicting rewrite's orphans went
 
 
+def test_txn_append_is_exactly_once(spark, lake_root):
+    """Idempotent appends (Delta txnAppId/txnVersion): replaying a
+    micro-batch with an already-committed (app, epoch) is a no-op, a
+    higher epoch lands, and a stale epoch after a higher one is also
+    fenced (watermark semantics)."""
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("txn1")
+    df = entities_df(spark, JANE)
+    from ftm_lakehouse_spark.operators.explode import explode_entities
+
+    stmts = explode_entities(df, "txn1", origin="s", shards=ds.config.shards)
+    store = ds.store
+
+    store.append(stmts, txn=("stream-a", 0))
+    n1 = store.raw().count()
+    v1 = store.commits.current_version()
+    assert store.commits.txn_version("stream-a") == 0
+
+    store.append(stmts, txn=("stream-a", 0))  # replay → skipped
+    assert store.raw().count() == n1
+    assert store.commits.current_version() == v1
+
+    store.append(stmts, txn=("stream-a", 1))  # next epoch → lands
+    assert store.raw().count() == 2 * n1
+    assert store.commits.txn_version("stream-a") == 1
+
+    store.append(stmts, txn=("stream-a", 0))  # stale epoch → fenced
+    assert store.raw().count() == 2 * n1
+
+    store.append(stmts, txn=("stream-b", 0))  # other app unaffected
+    assert store.raw().count() == 3 * n1
+
+
 def test_lockfree_threaded_appends_distinct_versions(spark, lake_root):
     """N threads append with NO store lock: every append lands as its
     own commit version and every row is readable."""
