@@ -1,0 +1,146 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training.
+
+The tokenizer-training step of an LLM data pipeline, in the standard
+distributed formulation (Sennrich et al.'s algorithm, corpus-scale):
+
+  1. ONE pass over the corpus tokenizes and folds it to a distinct
+     word-frequency table — at 100 TB this is the only corpus-sized
+     job (a map-side-combined groupBy); every iteration after it runs
+     on the word table (≈ 10⁵–10⁷ rows, independent of corpus size).
+  2. Each merge iteration: explode adjacent symbol pairs weighted by
+     word count → groupBy pair → pick the global argmax (a 1-row
+     ``collect``, the only driver traffic per round) → rewrite the
+     symbol arrays with a leftmost-greedy fold (pure JVM higher-order
+     functions, no Python in the loop).
+  3. Deterministic throughout: ties break on (count desc, left asc,
+     right asc), so two runs — or two engines — produce the identical
+     merge table.
+
+``</w>`` marks word ends (the classic convention), so merges can span
+up to whole words but never cross them. The per-iteration
+``localCheckpoint`` cuts the otherwise exponentially nesting lambda
+plan; on a cluster swap for ``checkpoint`` (same call site).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.functions.text import tokens
+
+__all__ = ["bpe_train", "bpe_segment_words"]
+
+_EOW = "</w>"
+
+
+def _word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_symbols() -> F.Column:
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _merge_pair(symbols: F.Column, left: str, right: str) -> F.Column:
+    """Leftmost-greedy replacement of adjacent (left, right) with the
+    concatenated symbol — one fold, no UDF. The accumulator carries
+    (rewritten prefix, pending symbol); a merge consumes the pending
+    symbol so a freshly merged token never re-merges in the same
+    round (exactly Sennrich's non-overlapping replacement)."""
+    a, b = F.lit(left), F.lit(right)
+    stepped = F.aggregate(
+        symbols,
+        F.struct(
+            F.lit([]).cast("array<string>").alias("out"),
+            F.lit("").alias("prev"),
+        ),
+        lambda acc, s: F.when(
+            (acc["prev"] == a) & (s == b),
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(a, b))).alias("out"),
+                F.lit("").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["prev"] == "", acc["out"]).otherwise(
+                    F.concat(acc["out"], F.array(acc["prev"]))
+                ).alias("out"),
+                s.alias("prev"),
+            )
+        ),
+        lambda acc: F.when(acc["prev"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        ),
+    )
+    return stepped
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("symbols") - 1),
+        lambda i: F.struct(
+            F.element_at("symbols", i).alias("left"),
+            F.element_at("symbols", i + 1).alias("right"),
+        ),
+    )
+    return (
+        words.filter(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("n").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 40,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from a document corpus. Returns
+    a DataFrame (rank, left, right, merged, pair_count) in merge
+    order — the merge table IS the tokenizer artifact."""
+    spark = docs.sparkSession
+    words = (
+        _word_frequencies(docs, text_col)
+        .select("word", "n", _initial_symbols().alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            _adjacent_pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        merges.append((rank, left, right, left + right, cnt))
+        words = words.select(
+            "word", "n", _merge_pair(F.col("symbols"), left, right).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list (rank order) to a ``word`` column →
+    ``pieces array<string>``. Merges fold JVM-side; lineage is cut
+    every few applications to keep the expression tree bounded."""
+    out = words.select("word", _initial_symbols().alias("pieces"))
+    for i, (left, right) in enumerate(merges):
+        out = out.select("word", _merge_pair(F.col("pieces"), left, right).alias("pieces"))
+        if (i + 1) % 8 == 0:
+            out = out.localCheckpoint(eager=True)
+    return out

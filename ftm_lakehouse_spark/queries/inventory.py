@@ -3125,3 +3125,17 @@ def dedup_winnow_substrings(spark, sf_dir):
 
     d = _spread(load_table(spark, sf_dir, "documents"))
     return winnow_fingerprint_pairs(d)
+
+
+@_register("text_bpe_merges", None)  # iterative — rows-only check
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.py): one
+    corpus-sized word-count pass, then merge iterations over the small
+    distinct-word table. Deterministic tie-breaks make the merge table
+    run-stable, but the algorithm is iterative (argmax per round) —
+    not SQL-expressible, so this gate is rows-only; exactness vs an
+    independent pure-Python reference is pinned by tests/test_bpe.py."""
+    from ftm_lakehouse_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d.limit(300), num_merges=12)
