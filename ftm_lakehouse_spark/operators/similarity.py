@@ -32,6 +32,9 @@ __all__ = [
     "ann_lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -380,4 +383,147 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------- product quant
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    sample: int = 2048,
+    seed: int = 13,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al.): split the vector
+    into ``m`` subspaces and k-means each independently. Training is
+    driver-side numpy on a bounded sample (the codebook is
+    broadcast-size by construction, exactly like :func:`ivf_assign`'s
+    centroid table); the heavy steps — encode and search — are fully
+    distributed. Returns (m, ksub, dim/m) codebooks."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(len(C)):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j, : len(C)] = C
+        if len(C) < ksub:  # degenerate tiny sample: repeat last centroid
+            books[j, len(C) :] = C[-1]
+    return books
+
+
+def _pq_subdist(vec_col: str, codeword: F.Column, j: int, dsub: int) -> F.Column:
+    """Left-to-right squared-L2 fold between subvector j and a codeword
+    column — float-identical to a SQL ``+`` chain (the oracle
+    contract, same discipline as ``_with_centroid_dists``)."""
+    sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+    return F.aggregate(
+        F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_lit(books: np.ndarray, j: int) -> F.Column:
+    """Codebook j as a literal array<array<double>> column. Components
+    are CAST(... AS DOUBLE) — a bare fractional literal would parse as
+    DECIMAL in Spark SQL and poison the float-identity contract."""
+    inner = ",".join(
+        "array("
+        + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in books[j, c])
+        + ")"
+        for c in range(books.shape[1])
+    )
+    return F.expr(f"array({inner})")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` codeword ids (array<int> — 1 byte
+    of information per subspace at ksub<=256): per subspace, argmin of
+    the left-to-right distance folds over the ksub codewords. Pure JVM
+    expressions; the 100 TB index build is one projection pass, and the
+    stored code is ~dim*8/m× smaller than the raw vector."""
+    m, ksub, dsub = books.shape
+    out = corpus
+    code_cols = []
+    for j in range(m):
+        dists = [
+            _pq_subdist(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in books[j, c]]),
+                j,
+                dsub,
+            ).alias(f"_pd{j}_{c}")
+            for c in range(ksub)
+        ]
+        out = out.select("*", *dists)
+        arr = "array(" + ",".join(f"_pd{j}_{c}" for c in range(ksub)) + ")"
+        out = out.withColumn(
+            f"_c{j}",
+            F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int"),
+        ).drop(*[f"_pd{j}_{c}" for c in range(ksub)])
+        code_cols.append(f"_c{j}")
+    return out.select(
+        *corpus.columns, F.array(*[F.col(c) for c in code_cols]).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays un-quantized, the
+    corpus is scanned as codes, and the distance is the sum of
+    per-subspace distances between the query subvector and the SELECTED
+    codeword (looked up from the literal codebook by the stored code).
+    One broadcast of the (small) query set against the code table —
+    the PQ win at 100 TB is the scan reading m ints per row instead of
+    the full float vector; combine with :func:`ivf_assign` cells for
+    candidate pruning (IVF-PQ)."""
+    from pyspark.sql import Window
+
+    m, ksub, dsub = books.shape
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "code"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    joined = codes.crossJoin(F.broadcast(q))
+    adist = None
+    for j in range(m):
+        codeword = F.element_at(_codebook_lit(books, j), F.element_at("code", j + 1) + 1)
+        sub = F.slice(F.col("qv"), j * dsub + 1, dsub)
+        term = F.aggregate(
+            F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adist = term if adist is None else adist + term
+    ranked = joined.select("qid", F.col(id_col), adist.alias("adist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, F.round("adist", 6).alias("adist"), "rank")
     )

@@ -3139,3 +3139,88 @@ def text_bpe_merges(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d.limit(300), num_merges=12)
+
+
+def _pq_books(m: int = 4, ksub: int = 8, dim: int = 64, seed: int = 17):
+    import numpy as _np
+
+    dsub = dim // m
+    return _np.random.default_rng(seed).standard_normal((m, ksub, dsub))
+
+
+def _pq_oracle(m: int = 4, ksub: int = 8, dim: int = 64, seed: int = 17, k: int = 5) -> str:
+    """PQ encode + asymmetric-distance top-k as pure SQL over literal
+    codebooks. Every distance is a left-to-right ``+`` chain (matching
+    Spark's zip_with/aggregate fold exactly), codeword selection is
+    first-minimum on both engines, and the ADC lookup indexes the same
+    nested literal — so an 'approximate' quantization index is still a
+    full value-hash match."""
+    B = _pq_books(m, ksub, dim, seed)
+    dsub = dim // m
+    code_exprs = []
+    for j in range(m):
+        dists = ", ".join(
+            "(" + " + ".join(
+                f"(v[{j * dsub + i + 1}] - ({B[j, c, i]!r}))*(v[{j * dsub + i + 1}] - ({B[j, c, i]!r}))"
+                for i in range(dsub)
+            ) + ")"
+            for c in range(ksub)
+        )
+        code_exprs.append(
+            f"list_position([{dists}], list_min([{dists}])) - 1"
+        )
+    codes_sql = ", ".join(
+        f"({e}) AS c{j}" for j, e in enumerate(code_exprs)
+    )
+    cb = "[" + ",".join(
+        "[" + ",".join(
+            "[" + ",".join(repr(float(x)) for x in B[j, c]) + "]"
+            for c in range(ksub)
+        ) + "]"
+        for j in range(m)
+    ) + "]"
+    adist = " + ".join(
+        "(" + " + ".join(
+            f"(q.v[{j * dsub + i + 1}] - cb[{j + 1}][c.c{j} + 1][{i + 1}])"
+            f"*(q.v[{j * dsub + i + 1}] - cb[{j + 1}][c.c{j} + 1][{i + 1}])"
+            for i in range(dsub)
+        ) + ")"
+        for j in range(m)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), coded AS (
+        SELECT vec_id, v, {codes_sql} FROM base
+    ), q AS (
+        SELECT vec_id AS qid, v FROM base WHERE vec_id IN (0, 1, 2)
+    ), cbt AS (
+        SELECT {cb} AS cb
+    ), scored AS (
+        SELECT q.qid, c.vec_id, ({adist}) AS adist
+        FROM coded c, q, cbt
+    )
+    SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {k}
+    """
+
+
+@_register("sim_pq_adc_topk", _pq_oracle())
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product quantization (Jégou et al.): encode each vector to m
+    codeword ids (argmin per subspace over literal codebooks), then
+    asymmetric-distance top-k — the query stays exact, the corpus is
+    scanned as m-int codes (the 100 TB memory win; combine with IVF
+    cells for IVF-PQ pruning). Codebooks here are seeded literals so
+    the oracle can replay them; the k-means trainer (pq_train) is
+    pinned by pytest."""
+    from ftm_lakehouse_spark.operators.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return pq_adc_topk(e, queries, _pq_books(), k=5)

@@ -250,3 +250,40 @@ def test_pii_scrub_redacts(spark):
     assert got[2] == "server at <IP> port"
     assert got[3] == "call <PHONE> today"
     assert got[4] == "clean text stays untouched"
+
+
+def test_pq_quantization_quality(spark):
+    """pq_train learns codebooks that beat random ones: mean ADC
+    distance of each vector to its own code must be well under the
+    random-codebook baseline, and every query's rank-1 neighbor under
+    ADC is itself (codes preserve locality)."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from ftm_lakehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    trained = pq_train(e, m=4, ksub=8)
+    assert trained.shape == (4, 8, 16)
+    # determinism: same seed, same books
+    again = pq_train(e, m=4, ksub=8)
+    assert np.array_equal(trained, again)
+
+    q = e.filter("vec_id in (0, 1, 2, 3, 4)")
+    top1 = {
+        r["qid"]: r["vec_id"]
+        for r in pq_adc_topk(e, q, trained, k=1).collect()
+    }
+    assert top1 == {i: i for i in range(5)}  # self is nearest under ADC
+
+    # trained books reconstruct better than random ones
+    rng = np.random.default_rng(99)
+    random_books = rng.standard_normal(trained.shape)
+    def mean_self_dist(books):
+        rows = pq_adc_topk(e.limit(64), e.limit(64), books, k=1).collect()
+        return sum(r["adist"] for r in rows) / len(rows)
+    assert mean_self_dist(trained) < mean_self_dist(random_books)
