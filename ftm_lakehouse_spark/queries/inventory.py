@@ -3224,3 +3224,98 @@ def sim_pq_adc_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id").isin(0, 1, 2))
     return pq_adc_topk(e, queries, _pq_books(), k=5)
+
+
+def _ivfpq_oracle(
+    query_ids=(0, 1, 2),
+    k: int = 5,
+    nprobe: int = 2,
+    num_centroids: int = 8,
+    ivf_seed: int = 11,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    pq_seed: int = 17,
+) -> str:
+    """IVF-PQ as pure SQL: the ivf_topk oracle's cell assignment and
+    probe ranking chained into the pq oracle's code selection and ADC
+    lookup — every float op the same left-to-right chain as Spark's
+    folds, so the composed 'approximate' index is still a full value
+    hash match."""
+    B = _pq_books(m, ksub, dim, pq_seed)
+    dsub = dim // m
+    ivf_dists = _ivf_dists_sql(num_centroids, dim, ivf_seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    code_exprs = []
+    for j in range(m):
+        dists = ", ".join(
+            "(" + " + ".join(
+                f"(v[{j * dsub + i + 1}] - ({B[j, c, i]!r}))*(v[{j * dsub + i + 1}] - ({B[j, c, i]!r}))"
+                for i in range(dsub)
+            ) + ")"
+            for c in range(ksub)
+        )
+        code_exprs.append(f"(list_position([{dists}], list_min([{dists}])) - 1) AS c{j}")
+    codes_sql = ", ".join(code_exprs)
+    cb = "[" + ",".join(
+        "[" + ",".join(
+            "[" + ",".join(repr(float(x)) for x in B[j, c]) + "]"
+            for c in range(ksub)
+        ) + "]"
+        for j in range(m)
+    ) + "]"
+    adist = " + ".join(
+        "(" + " + ".join(
+            f"(p.qv[{j * dsub + i + 1}] - cb[{j + 1}][a.c{j} + 1][{i + 1}])"
+            f"*(p.qv[{j * dsub + i + 1}] - cb[{j + 1}][a.c{j} + 1][{i + 1}])"
+            for i in range(dsub)
+        ) + ")"
+        for j in range(m)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{ivf_dists}] AS ds FROM base
+    ), assigned AS (
+        SELECT vec_id, v,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS centroid,
+               {codes_sql}
+        FROM d
+    ), probe0 AS (
+        SELECT vec_id AS qid, v AS qv, unnest(ds) AS dist,
+               unnest(range(0, {num_centroids})) AS centroid
+        FROM d WHERE vec_id IN ({ids})
+    ), probe AS (
+        SELECT qid, qv, CAST(centroid AS INT) AS centroid FROM probe0
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY dist ASC, centroid ASC) <= {nprobe}
+    ), cbt AS (
+        SELECT {cb} AS cb
+    ), cand AS (
+        SELECT p.qid, a.vec_id AS cid, ({adist}) AS adist
+        FROM assigned a JOIN probe p ON a.centroid = p.centroid, cbt
+    )
+    SELECT qid, cid, round(adist, 6) AS adist, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT qid, cid, adist,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+        FROM cand
+    )
+    WHERE rnk <= {k}
+    """
+
+
+@_register("sim_ivfpq_topk", _ivfpq_oracle())
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (the FAISS production ANN architecture): IVF cells bound
+    WHICH rows are scanned (cell equi-join, ~nprobe/n_cells of the
+    corpus); PQ codes bound WHAT each row costs (m ints + codebook
+    lookup, no float vectors in the scan). Composition of the two
+    graded building blocks; seeded literal centroids + codebooks give
+    the full-oracle match."""
+    from ftm_lakehouse_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivfpq_topk(e, queries, _ivf_centroids(), _pq_books(), k=5, nprobe=2)

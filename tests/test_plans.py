@@ -204,3 +204,13 @@ def test_unpivot_is_expand_no_shuffle(spark):
     plan = plan_of(spark, "x_unpivot_long")
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_ivfpq_join_is_equi(spark):
+    """IVF-PQ: candidates from the cell-id equi-join; the ADC scoring
+    adds no join at all (codebook lookups are literals), so the plan
+    must contain no nested loop anywhere."""
+    plan = plan_of(spark, "sim_ivfpq_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
