@@ -1,0 +1,163 @@
+"""Incrementally maintained aggregates over the statement store.
+
+The reference publishes dataset statistics by recomputing them after
+each optimize (operation/maintenance.py → storage versions); at 100 TB
+a full-table re-aggregation per refresh is the single most expensive
+"small" query in the system. The MVCC commit log already knows exactly
+what changed, so a materialized aggregate can be maintained for the
+cost of the CHANGES:
+
+  * state is kept at ``(shard, bucket, origin) × keys`` granularity —
+    the physical partition prefix makes every maintenance action
+    partition-local;
+  * an **append** contributes a delta aggregate computed from ONLY the
+    appended files (file-exact read via the log, ``basePath`` restores
+    partition columns);
+  * a **rewrite** (merge/compact) invalidates its partitions' state
+    rows and recomputes them from the partitions' current live files —
+    additive measures cannot be "subtracted" out of an aggregate, but
+    partition-scoped state makes subtraction unnecessary;
+  * ``read()`` folds partitions out: one tiny aggregation over the
+    state table (|distinct keys| × |touched partitions| rows).
+
+Measures are the additive family (count + sums); non-additive measures
+(distinct counts, percentiles) need sketch state (HLL/KLL) and are out
+of scope here — ``x_approx_stats``'s sketches are the building block.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.model.statement import PARTITION_COLUMNS, STATEMENT_SCHEMA
+
+__all__ = ["IncrementalAggregate"]
+
+
+class IncrementalAggregate:
+    """A materialized ``groupBy(keys).agg(count, sum(col)...)`` over a
+    StatementStore's raw rows, maintained from the commit log."""
+
+    def __init__(self, store, path: str, keys: list[str], sums: list[str] | None = None):
+        self.store = store
+        self.path = path
+        self.keys = list(keys)
+        self.sums = list(sums or [])
+        self._fs = store._fs
+        self._meta = self._fs.join(path, "_view.json")
+        self._state = self._fs.join(path, "state")
+
+    # ------------------------------------------------------------ state
+    def version(self) -> int:
+        try:
+            return json.loads(self._fs.read_text(self._meta))["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _state_df(self) -> DataFrame:
+        spark = self.store.spark
+        if not self._fs.isdir(self._state):
+            schema = ", ".join(
+                [f"{c} string" for c in PARTITION_COLUMNS]
+                + [f"{k} string" for k in self.keys]
+                + ["n bigint"]
+                + [f"sum_{c} double" for c in self.sums]
+            )
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(self._state)
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in self.sums
+        ]
+        return df.groupBy(*PARTITION_COLUMNS, *self.keys).agg(*aggs)
+
+    def _merge_states(self, parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        aggs = [F.sum("n").alias("n")] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sums
+        ]
+        return out.groupBy(*PARTITION_COLUMNS, *self.keys).agg(*aggs)
+
+    # ---------------------------------------------------------- refresh
+    def refresh(self) -> dict:
+        """Advance the view to the store's current commit version.
+        Returns maintenance stats — ``files_read`` is the incremental
+        guarantee a test can pin (appended files + rewritten-partition
+        files, never the table)."""
+        store, fs = self.store, self._fs
+        head = store.commits.current_version()
+        last = self.version()
+        if head == last:
+            return {"version": head, "refreshed": False, "files_read": 0}
+
+        recs = store.commits.read(last, until=head)
+        rewritten: set[tuple[str, ...]] = set()
+        removed_in_span: set[str] = set()
+        for r in recs:
+            removed_in_span.update(r.get("files_removed", ()))
+            if r["kind"] == "rewrite":
+                rewritten.update(tuple(p) for p in r["partitions"])
+        append_files = [
+            f
+            for r in recs
+            if r["kind"] in ("append", "bootstrap")
+            for f in r["files_added"]
+            if f not in removed_in_span and _partition_of(f) not in rewritten
+        ]
+        rewritten_files = [
+            f for f in store.commits.snapshot(head) if _partition_of(f) in rewritten
+        ]
+
+        state = self._state_df()
+        parts = []
+        if rewritten:
+            # drop the rewritten partitions' state rows (concat-key isin
+            # — the partition list is small by construction)
+            ckey = F.concat_ws("/", *PARTITION_COLUMNS)
+            state = state.filter(~ckey.isin(["/".join(p) for p in sorted(rewritten)]))
+            if rewritten_files:
+                parts.append(self._aggregate(self._read(rewritten_files)))
+        parts.insert(0, state)
+        if append_files:
+            parts.append(self._aggregate(self._read(append_files)))
+        new_state = self._merge_states(parts) if len(parts) > 1 else parts[0]
+
+        stage = f"{self._state}.stage"
+        new_state.write.mode("overwrite").parquet(stage)
+        fs.delete(self._state)
+        fs.rename(stage, self._state)
+        fs.write_text_atomic(self._meta, json.dumps({"version": head}))
+        return {
+            "version": head,
+            "refreshed": True,
+            "files_read": len(append_files) + len(rewritten_files),
+            "rewritten_partitions": len(rewritten),
+        }
+
+    def _read(self, files: list[str]) -> DataFrame:
+        data = self.store._data_path()
+        return (
+            self.store.spark.read.option("basePath", data)
+            .schema(STATEMENT_SCHEMA)
+            .parquet(*[self._fs.join(data, f) for f in files])
+        )
+
+    # ------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        """The aggregate, partitions folded out: |keys|-grained rows."""
+        aggs = [F.sum("n").alias("n")] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sums
+        ]
+        return self._state_df().groupBy(*self.keys).agg(*aggs)
+
+
+def _partition_of(rel_file: str) -> tuple[str, ...]:
+    return tuple(
+        seg.split("=", 1)[1] for seg in rel_file.split("/")[:-1] if "=" in seg
+    )

@@ -1,0 +1,90 @@
+"""IncrementalAggregate: commit-log-maintained materialized aggregates
+— refreshes read O(changes) (pinned via the files_read stat), results
+always equal a full recompute, merges trigger partition-scoped
+recompute only."""
+
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.lakehouse import Lakehouse
+from ftm_lakehouse_spark.operators.matview import IncrementalAggregate
+
+from .test_lakehouse import ACME, JANE, PAY, entities_df
+
+
+def _full(ds):
+    return {
+        (r["schema"], r["n"])
+        for r in ds.store.raw().groupBy("schema").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _view(view):
+    return {(r["schema"], r["n"]) for r in view.read().collect()}
+
+
+def test_incremental_refresh_reads_only_changes(spark, lake_root, tmp_path):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv1")
+    view = IncrementalAggregate(ds.store, str(tmp_path / "view"), keys=["schema"])
+
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    r1 = view.refresh()
+    assert r1["refreshed"] and r1["files_read"] > 0
+    assert _view(view) == _full(ds)
+
+    # second refresh with no new commits: no-op
+    assert view.refresh() == {
+        "version": r1["version"],
+        "refreshed": False,
+        "files_read": 0,
+    }
+
+    # an append refreshes from ONLY the new files
+    ds.write_entities(entities_df(spark, ACME, PAY), origin="b")
+    new_files = len(ds.store.commits.read(r1["version"])[0]["files_added"])
+    r2 = view.refresh()
+    assert r2["files_read"] == new_files  # not the whole table
+    assert _view(view) == _full(ds)
+
+
+def test_merge_triggers_partition_scoped_recompute(spark, lake_root, tmp_path):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv2")
+    view = IncrementalAggregate(ds.store, str(tmp_path / "view"), keys=["schema"])
+
+    ds.write_entities(entities_df(spark, JANE), origin="stable")
+    ds.write_entities(entities_df(spark, JANE), origin="stable")  # dup → dirty
+    ds.write_entities(entities_df(spark, ACME), origin="other")
+    view.refresh()
+    before = _view(view)
+    assert before == _full(ds)
+
+    assert ds.merge() is True  # rewrites BOTH dirty partitions
+    snap_files = {
+        f for f in ds.store.commits.snapshot()
+    }
+    r = view.refresh()
+    assert r["refreshed"] and r["rewritten_partitions"] >= 1
+    # recompute read at most the live files of rewritten partitions
+    assert r["files_read"] <= len(snap_files)
+    assert _view(view) == _full(ds)  # dedupe reflected (fewer jane rows)
+    assert _view(view) != before
+
+
+def test_view_with_sum_measures(spark, lake_root, tmp_path):
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv3")
+    view = IncrementalAggregate(
+        ds.store, str(tmp_path / "view"), keys=["prop"], sums=["external"]
+    )
+    ds.write_entities(entities_df(spark, JANE, ACME), origin="a")
+    view.refresh()
+    got = {r["prop"]: (r["n"], r["sum_external"]) for r in view.read().collect()}
+    want = {
+        r["prop"]: (r["n"], r["s"])
+        for r in ds.store.raw()
+        .groupBy("prop")
+        .agg(F.count("*").alias("n"), F.sum(F.col("external").cast("double")).alias("s"))
+        .collect()
+    }
+    assert got == want
