@@ -22,6 +22,7 @@ from ftm_lakehouse_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "j_multiway_star",
+    "q5_local_supplier_volume",
     "j_semi_join_changed",
     "a_merge_dedupe_latest",
     "a_supersession_ties",

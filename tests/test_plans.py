@@ -214,3 +214,13 @@ def test_ivfpq_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q5_dims_broadcast_filter_pushed(spark):
+    """Q5: all dimension joins broadcast; the region-name predicate is
+    pushed to the region scan and the date range to the orders scan —
+    the fact table never shuffles on a dimension key."""
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
