@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 from datetime import datetime, timezone
 
-__all__ = ["CommitLog", "CommitConflict", "CHECKPOINT_INTERVAL"]
+__all__ = ["CommitLog", "CommitConflict", "LogTruncated", "CHECKPOINT_INTERVAL"]
 
 #: fold a checkpoint every N commits (Delta uses 10)
 CHECKPOINT_INTERVAL = 20
@@ -58,6 +58,13 @@ MAX_COMMIT_ATTEMPTS = 64
 class CommitConflict(RuntimeError):
     """A concurrent writer invalidated this commit (lost file liveness
     or version-allocation contention). Re-read the table and retry."""
+
+
+class LogTruncated(RuntimeError):
+    """The requested version range predates log cleanup — an exact
+    incremental answer is impossible; the caller falls back to a full
+    read (the same contract Delta gives a change-feed reader asking
+    for a vacuumed-away version)."""
 
 
 class CommitLog:
@@ -143,26 +150,95 @@ class CommitLog:
 
     def txn_version(self, app_id: str, until: int | None = None) -> int:
         """Highest ``txn_version`` committed by ``app_id`` (-1 if
-        none) — the idempotence watermark for exactly-once sinks."""
-        latest = -1
-        for rec in self.read(0, until):
+        none) — the idempotence watermark for exactly-once sinks.
+        Watermarks fold into checkpoints, so the answer survives log
+        cleanup."""
+        head = self.current_version() if until is None else until
+        cp = self._checkpoint_state(head)
+        base = cp["version"] if cp else 0
+        latest = int(cp.get("txns", {}).get(app_id, -1)) if cp else -1
+        for rec in self.read(base, head):
             t = rec.get("txn")
             if t and t[0] == app_id:
                 latest = max(latest, int(t[1]))
         return latest
 
     def _write_checkpoint(self, version: int) -> None:
-        """Fold live state at ``version`` into one file. Content is a
-        pure function of the log prefix, so overwrite is idempotent;
-        best-effort — a missed checkpoint only means a longer replay."""
+        """Fold the FULL protocol state at ``version`` into one file —
+        live files, per-app txn watermarks, and the dirty-tracking
+        maps — so replay (and therefore correctness) never needs
+        records older than the newest checkpoint, which is what makes
+        log cleanup safe. Content is a pure function of the log
+        prefix, so overwrite is idempotent; best-effort — a missed
+        checkpoint only means a longer replay."""
+        cp = self._checkpoint_state(version)
+        base = cp["version"] if cp else 0
+        files = set(cp["files"]) if cp else set()
+        txns = dict(cp.get("txns", {})) if cp else {}
+        cleared = dict(cp.get("cleared_at", {})) if cp else {}
+        appended = dict(cp.get("appended_at", {})) if cp else {}
+        for rec in self.read(base, version):
+            files.update(rec["files_added"])
+            files.difference_update(rec.get("files_removed", ()))
+            t = rec.get("txn")
+            if t:
+                txns[t[0]] = max(int(txns.get(t[0], -1)), int(t[1]))
+            self._fold_dirty(rec, cleared, appended)
         state = {
             "version": version,
-            "files": self.snapshot(version, use_checkpoint=False),
+            "files": sorted(files),
+            "txns": txns,
+            "cleared_at": cleared,
+            "appended_at": appended,
         }
         try:
             self._fs.write_text_atomic(self._checkpoint_path(version), json.dumps(state))
         except OSError:  # pragma: no cover - checkpoint is an optimization
             pass
+
+    @staticmethod
+    def _fold_dirty(rec: dict, cleared: dict, appended: dict) -> None:
+        if rec["kind"] == "rewrite":
+            rv = rec.get("read_version", rec["version"])
+            for p in rec["partitions"]:
+                key = "/".join(p)
+                cleared[key] = max(cleared.get(key, 0), rv)
+        elif rec["kind"] in ("append", "bootstrap") and rec["files_added"]:
+            for p in rec["partitions"]:
+                key = "/".join(p)
+                appended[key] = max(appended.get(key, 0), rec["version"])
+
+    def oldest_version(self) -> int:
+        """Lowest commit record still present (1 if never cleaned)."""
+        return min(self._versions(), default=1)
+
+    def cleanup(self, cutoff: "datetime") -> list[str]:
+        """Delete commit records that are (a) at or below the newest
+        checkpoint — its folded state fully replaces them — and
+        (b) older than ``cutoff``. Also drops all but the two newest
+        checkpoints. Bounds log growth for long-lived tables (Delta's
+        log-retention cleanup); exact ``files_since`` answers remain
+        available for any cursor inside the retention window."""
+        removed: list[str] = []
+        cps = sorted(
+            int(n[len("checkpoint-") : -5])
+            for n in self._fs.listdir(self.root)
+            if n.startswith("checkpoint-") and n.endswith(".json")
+        )
+        if not cps:
+            return removed
+        horizon = cps[-1]
+        for v in self._versions():
+            if v > horizon:
+                continue
+            rec = json.loads(self._fs.read_text(self._path(v)))
+            if datetime.fromisoformat(rec["ts"]) < cutoff:
+                self._fs.delete(self._path(v))
+                removed.append(f"{v:012d}.json")
+        for v in cps[:-2]:
+            self._fs.delete(self._checkpoint_path(v))
+            removed.append(f"checkpoint-{v:012d}.json")
+        return removed
 
     # ------------------------------------------------------------- read
     def read(self, since: int = 0, until: int | None = None) -> list[dict]:
@@ -173,7 +249,7 @@ class CommitLog:
                 out.append(json.loads(self._fs.read_text(self._path(v))))
         return sorted(out, key=lambda r: r["version"])
 
-    def _latest_checkpoint(self, at_or_before: int) -> tuple[int, set[str]]:
+    def _checkpoint_state(self, at_or_before: int) -> dict | None:
         cps = sorted(
             int(n[len("checkpoint-") : -5])
             for n in self._fs.listdir(self.root)
@@ -181,16 +257,29 @@ class CommitLog:
         )
         for v in reversed(cps):
             if v <= at_or_before:
-                state = json.loads(self._fs.read_text(self._checkpoint_path(v)))
-                return v, set(state["files"])
-        return 0, set()
+                return json.loads(self._fs.read_text(self._checkpoint_path(v)))
+        return None
+
+    def _latest_checkpoint(self, at_or_before: int) -> tuple[int, set[str]]:
+        state = self._checkpoint_state(at_or_before)
+        if state is None:
+            return 0, set()
+        return state["version"], set(state["files"])
 
     def snapshot(self, version: int | None = None, use_checkpoint: bool = True) -> list[str]:
         """Live data files at ``version`` (default: head) — the MVCC
         read set. Replays from the nearest checkpoint at or before the
-        target, so cost is O(CHECKPOINT_INTERVAL) record reads."""
+        target, so cost is O(CHECKPOINT_INTERVAL) record reads. Raises
+        :class:`LogTruncated` for a version whose records log cleanup
+        has removed (time travel expires with the retention window,
+        exactly like Delta after VACUUM + log cleanup)."""
         head = self.current_version() if version is None else version
         base, files = self._latest_checkpoint(head) if use_checkpoint else (0, set())
+        if head > base and base + 1 < self.oldest_version():
+            raise LogTruncated(
+                f"records ({base}, {head}] predate log cleanup; "
+                "this version is no longer reconstructible"
+            )
         for rec in self.read(since=base, until=head):
             files.update(rec["files_added"])
             files.difference_update(rec.get("files_removed", ()))
@@ -208,6 +297,11 @@ class CommitLog:
           ``files_added`` — the caller falls back to a pruned scan for
           those (pre-MVCC logs only).
         """
+        if since + 1 < self.oldest_version():
+            raise LogTruncated(
+                f"cursor {since} predates log cleanup (oldest record: "
+                f"{self.oldest_version()}); do a full read instead"
+            )
         commits = self.read(since)
         removed: set[str] = set()
         legacy_rewritten: set[tuple[str, ...]] = set()
@@ -233,20 +327,16 @@ class CommitLog:
         ``read_version``: an append that committed after the rewrite's
         snapshot was taken leaves the partition dirty even though the
         rewrite's own version is higher."""
-        cleared_at: dict[tuple[str, ...], int] = {}
-        appended_at: dict[tuple[str, ...], int] = {}
-        for c in self.read(0):
-            if c["kind"] == "rewrite":
-                rv = c.get("read_version", c["version"])
-                for p in c["partitions"]:
-                    key = tuple(p)
-                    cleared_at[key] = max(cleared_at.get(key, 0), rv)
-            elif c["kind"] in ("append", "bootstrap") and c["files_added"]:
-                for p in c["partitions"]:
-                    appended_at.setdefault(tuple(p), 0)
-                    appended_at[tuple(p)] = max(appended_at[tuple(p)], c["version"])
+        head = self.current_version()
+        cp = self._checkpoint_state(head)
+        base = cp["version"] if cp else 0
+        cleared = dict(cp.get("cleared_at", {})) if cp else {}
+        appended = dict(cp.get("appended_at", {})) if cp else {}
+        for c in self.read(base, head):
+            self._fold_dirty(c, cleared, appended)
         return sorted(
-            p for p, v in appended_at.items() if v > cleared_at.get(p, 0)
+            tuple(k.split("/")) for k, v in appended.items()
+            if v > cleared.get(k, 0)
         )
 
     def try_bootstrap(
@@ -266,10 +356,17 @@ class CommitLog:
         return self._fs.write_text_exclusive(self._path(1), json.dumps(record))
 
     def tracked_files(self) -> set[str]:
-        """Every file any commit ever added — the complement (files on
-        disk but never committed) is a crashed append's leftovers."""
-        out: set[str] = set()
-        for c in self.read(0):
+        """Every file the retained log knows about (checkpoint live set
+        ∪ later additions) — the complement (files on disk but never
+        committed) is a crashed append's leftovers. Files both added
+        and removed before the newest checkpoint are absent, but the
+        vacuum-before-cleanup ordering guarantees they were already
+        reaped while their records existed."""
+        head = self.current_version()
+        cp = self._checkpoint_state(head)
+        out: set[str] = set(cp["files"]) if cp else set()
+        base = cp["version"] if cp else 0
+        for c in self.read(base, head):
             out.update(c["files_added"])
         return out
 

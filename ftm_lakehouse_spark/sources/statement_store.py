@@ -459,6 +459,10 @@ class StatementStore:
                         fs.delete(p)
                         removed.append(f)
                 self._reap_empty_dirs(data)
+                # log cleanup AFTER file reaping: any file a cleaned
+                # record removed was just vacuumed while the record
+                # still existed (the ordering the protocol relies on)
+                removed.extend(self.commits.cleanup(cutoff_ts))
         return removed
 
     def _reap_empty_dirs(self, data: str) -> None:
@@ -527,8 +531,15 @@ class StatementStore:
         changes, the standard change-feed contract). Only legacy
         rewrite records without file lists fall back to a
         partition-pruned scan. An incremental consumer therefore reads
-        O(new data), not O(table)."""
-        files, legacy_rewritten = self.commits.files_since(version)
+        O(new data), not O(table). A cursor that predates log cleanup
+        cannot be answered incrementally — the read degrades to the
+        full table (the caller sees a superset, the safe direction)."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+        try:
+            files, legacy_rewritten = self.commits.files_since(version)
+        except LogTruncated:
+            return self.raw()
         data = self._data_path()
         parts = []
         if files:

@@ -138,6 +138,55 @@ def test_dataset_time_travel(spark, lake_root):
     assert ds.statements(as_of=v1).count() < ds.statements(as_of=v2).count()
 
 
+def test_log_cleanup_preserves_protocol_state(spark, lake_root):
+    """Log cleanup (Delta log-retention): commit records at or below
+    the newest checkpoint age out, yet snapshot / dirty tracking / txn
+    watermarks stay exact (they fold into the checkpoint), recent
+    cursors stay file-exact, and pre-cleanup cursors degrade safely
+    (full read; expired time travel raises)."""
+    import pytest as _pytest
+
+    from ftm_lakehouse_spark.operators.explode import explode_entities
+    from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("cl7")
+    stmts = explode_entities(
+        entities_df(spark, JANE), "cl7", origin="a", shards=ds.config.shards
+    ).localCheckpoint(eager=True)
+    # 22 commits crosses the checkpoint interval (20); a txn append
+    # and a merge exercise the folded watermark + dirty maps
+    for i in range(20):
+        ds.store.append(stmts)
+    ds.store.append(stmts, txn=("stream-x", 7))
+    assert ds.merge() is True  # rewrite commit
+    head = ds.store.commits.current_version()
+    assert head == 22  # 21 appends + 1 rewrite
+    pre_files = set(ds.store.commits.snapshot())
+    pre_dirty = ds.store.dirty_partitions()
+    rows = ds.store.raw().count()
+
+    reaped = ds.store.vacuum(retention_hours=0)
+    assert any(f.endswith(".json") for f in reaped)  # records cleaned
+    assert ds.store.commits.oldest_version() > 1
+
+    # protocol state intact after cleanup
+    assert set(ds.store.commits.snapshot()) == pre_files
+    assert ds.store.raw().count() == rows
+    assert ds.store.dirty_partitions() == pre_dirty
+    assert ds.store.commits.txn_version("stream-x") == 7
+    ds.store.append(stmts, txn=("stream-x", 7))  # replay still fenced
+    assert ds.store.commits.current_version() == head
+
+    # recent cursor: still file-exact; ancient cursor: safe full read
+    ds.store.append(stmts)
+    assert ds.store.raw_since(head).count() > 0
+    assert ds.store.raw_since(1).count() == ds.store.raw().count()
+    # expired time travel says so instead of answering wrong
+    with _pytest.raises(LogTruncated):
+        ds.store.raw(as_of=2)
+
+
 def test_canonical_since_incremental_entities(spark, lake_root):
     lake = Lakehouse(spark, lake_root)
     ds = lake.dataset("cl5")
