@@ -52,6 +52,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "dedup_chunks",
     "dedup_winnow_substrings",
+    "pipeline_pretrain_corpus",
     "text_decontaminate",
     "x_histogram",
     "text_novelty_score",

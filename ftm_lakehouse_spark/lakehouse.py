@@ -148,14 +148,21 @@ class Dataset:
     def merge(self, grace_days: int = 30, force: bool = False) -> bool:
         return self.store.merge(grace_days=grace_days, force=force)
 
-    def optimize(self, grace_days: int = 30, force: bool = False) -> None:
-        """merge → compact → publish a statistics snapshot (reference
-        OptimizeOperation, operation/maintenance.py:28-49; vacuum is a
-        no-op here because the partition swap already removes replaced
-        files). The snapshot is checksum-deduped, so an optimize that
-        changes nothing publishes nothing (reference versions store)."""
+    def optimize(
+        self,
+        grace_days: int = 30,
+        force: bool = False,
+        retention_hours: float = 168.0,
+    ) -> None:
+        """merge → compact → vacuum → publish a statistics snapshot
+        (reference OptimizeOperation, operation/maintenance.py:28-49).
+        Vacuum reaps files retired before the retention window — time
+        travel inside the window stays readable (Delta semantics). The
+        snapshot is checksum-deduped, so an optimize that changes
+        nothing publishes nothing (reference versions store)."""
         self.merge(grace_days=grace_days, force=force)
         self.store.compact()
+        self.store.vacuum(retention_hours=retention_hours)
         self.versions.put("statistics", self.stats())
 
     # ----------------------------------------------------------- diffs

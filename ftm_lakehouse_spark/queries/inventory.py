@@ -3375,3 +3375,114 @@ def q5_local_supplier_volume(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+def _pipeline_oracle() -> str:
+    """The end-to-end pretraining-corpus pipeline as ONE SQL statement
+    — each stage's set is the embedded, ALREADY-VERIFIED oracle of its
+    standalone gate (DuckDB allows WITH inside subqueries, so the
+    composition literally reuses the texts that hash-matched on their
+    own). Auxiliary sets (near-dup pairs, decontamination survivors,
+    mix membership) are computed over the full corpus and applied as
+    parallel drop conditions — mirrored exactly by the Spark side."""
+    quality = QUERIES["text_quality_score"][1]
+    pairs = QUERIES["dedup_minhash_lsh"][1]
+    decon = QUERIES["text_decontaminate"][1]
+    mix = QUERIES["sample_temperature_mix"][1]
+    return f"""
+    WITH keepers AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+           md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\[\\]. -]{{6,}}[0-9]', '<PHONE>', 'g')) AS text_hash,
+           len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+               x -> x <> '')) AS n_tokens
+    FROM documents d
+    JOIN (SELECT doc_id FROM ({quality})
+          WHERE stopword_ratio >= 0.02 AND digit_ratio <= 0.3) q USING (doc_id)
+    JOIN (SELECT doc_id FROM keepers WHERE doc_id = keeper) k USING (doc_id)
+    JOIN (SELECT doc_id FROM ({decon})) dc USING (doc_id)
+    JOIN (SELECT doc_id FROM ({mix})) mx USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT b FROM ({pairs}))
+    """
+
+
+@_register("pipeline_pretrain_corpus", _pipeline_oracle())
+def pipeline_pretrain_corpus(spark, sf_dir):
+    """CAPSTONE: the full pretraining-corpus pipeline as one DataFrame
+    composition — quality filter (C4-style ratios) ∘ exact dedup
+    (md5 keeper) ∘ MinHash-LSH near-dup drop ∘ benchmark
+    decontamination (8-word shingles vs the held-out slice) ∘
+    temperature-scaled language rebalancing ∘ PII scrub, emitting
+    (doc_id, lang, source, scrubbed-text md5, token count). Every
+    stage is the SAME operator its standalone gate grades; the oracle
+    embeds those verified SQL texts, so a hash match here proves the
+    COMPOSITION, not just the parts. At 100 TB each stage is an
+    equi-join/groupBy over hash keys — the whole pipeline is one
+    Catalyst plan, no materialization barriers between stages."""
+    from pyspark.sql import Window as W_
+
+    from ftm_lakehouse_spark.functions.text import pii_scrub
+    from ftm_lakehouse_spark.operators.dedupe import (
+        benchmark_overlap,
+        minhash_lsh_pairs,
+    )
+    from ftm_lakehouse_spark.operators.sampling import temperature_mix
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+
+    # quality (the text_quality_score expressions)
+    n = F.greatest(F.length("text"), F.lit(1))
+    words = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z]+"), "")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "that")])
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda x: F.array_contains(stop, x))).cast("double")
+        / F.greatest(F.size(words), F.lit(1)),
+        6,
+    )
+    digit_ratio = F.round(
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / n, 6
+    )
+    quality_ok = d.filter((stop_ratio >= 0.02) & (digit_ratio <= 0.3)).select("doc_id")
+
+    # exact dedup keepers
+    keeper = F.min("doc_id").over(W_.partitionBy(F.md5("text")))
+    exact_ok = d.select("doc_id", keeper.alias("keeper")).filter(
+        F.col("doc_id") == F.col("keeper")
+    ).select("doc_id")
+
+    # near-dup drops (full-corpus pairs, same params as the gate)
+    near_drop = (
+        minhash_lsh_pairs(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+
+    # decontamination survivors (text_decontaminate shape)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    bad = benchmark_overlap(corpus, bench, n=8).select("doc_id").distinct()
+    decon_ok = corpus.join(bad, "doc_id", "left_anti").select("doc_id")
+
+    # temperature mix membership (full corpus basis, alpha=0.7)
+    mix_ok = temperature_mix(d, "lang", alpha=0.7).select("doc_id")
+
+    toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    return (
+        d.join(quality_ok, "doc_id")
+        .join(exact_ok, "doc_id")
+        .join(decon_ok, "doc_id")
+        .join(mix_ok, "doc_id")
+        .join(near_drop, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(pii_scrub(F.col("text"))).alias("text_hash"),
+            F.size(toks).alias("n_tokens"),
+        )
+    )
