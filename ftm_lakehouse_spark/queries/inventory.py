@@ -3486,3 +3486,80 @@ def pipeline_pretrain_corpus(spark, sf_dir):
             F.size(toks).alias("n_tokens"),
         )
     )
+
+
+@_register(
+    "w_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(CAST(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS avg7,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS frame_n
+    FROM events
+    """,
+)
+def w_moving_avg(spark, sf_dir):
+    """Sliding-frame smoothing: 7-row trailing average per user — the
+    time-series companion to w_running_total's cumulative frame. One
+    shuffle on user_id; both engines accumulate the frame in the same
+    (ts, event_id) order, round(6) covers the last-ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg7"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
+@_register(
+    "x_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM customer
+    WHERE c_custkey <= 100
+    GROUP BY c_nationkey
+    """,
+)
+def x_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): collect + sort + join
+    keeps the result order-deterministic regardless of shuffle order
+    (collect_list alone is nondeterministic — the sort is the point).
+    Small-group guard (c_custkey <= 100) because a concatenated string
+    is a driver-sized artifact, not a 100 TB one."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "f_like_prefix",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE 'ECO%' AND p_name LIKE '%widget%'
+    """,
+)
+def f_like_prefix(spark, sf_dir):
+    """LIKE pushdown family: a prefix pattern compiles to a
+    StringStartsWith parquet filter (file/row-group skipping on
+    min/max), the infix to a post-scan contains — the plan shows which
+    predicate reached the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("ECO%") & F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_name", "p_type")

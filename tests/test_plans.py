@@ -224,3 +224,11 @@ def test_q5_dims_broadcast_filter_pushed(spark):
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(r_name,ASIA)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_like_prefix_pushes_startswith(spark):
+    """f_like_prefix: the prefix LIKE must reach the parquet scan as a
+    StringStartsWith pushed filter (min/max file skipping); the infix
+    pattern stays a post-scan contains."""
+    plan = plan_of(spark, "f_like_prefix")
+    assert "StringStartsWith(p_type,ECO" in plan
