@@ -48,26 +48,42 @@ class IncrementalAggregate:
         self.sums = list(sums or [])
         self._fs = store._fs
         self._meta = self._fs.join(path, "_view.json")
-        self._state = self._fs.join(path, "state")
 
     # ------------------------------------------------------------ state
-    def version(self) -> int:
+    def _meta_doc(self) -> dict:
         try:
-            return json.loads(self._fs.read_text(self._meta))["version"]
+            return json.loads(self._fs.read_text(self._meta))
         except FileNotFoundError:
-            return 0
+            return {"version": 0}
+
+    def version(self) -> int:
+        return self._meta_doc()["version"]
+
+    def _state_dir(self) -> str | None:
+        """Directory the CURRENT meta references, or None. State dirs
+        are versioned (``state-{version}``) and the meta flip is the
+        single atomic commit point: a crash mid-refresh leaves the old
+        meta pointing at the old (intact) directory — never a meta
+        that claims a version whose state is gone. ``state`` (bare) is
+        the pre-versioning legacy layout, still readable."""
+        name = self._meta_doc().get("state", "state")
+        d = self._fs.join(self.path, name)
+        return d if self._fs.isdir(d) else None
+
+    def _empty_state(self) -> DataFrame:
+        schema = ", ".join(
+            [f"{c} string" for c in PARTITION_COLUMNS]
+            + [f"{k} string" for k in self.keys]
+            + ["n bigint"]
+            + [f"sum_{c} double" for c in self.sums]
+        )
+        return self.store.spark.createDataFrame([], schema)
 
     def _state_df(self) -> DataFrame:
-        spark = self.store.spark
-        if not self._fs.isdir(self._state):
-            schema = ", ".join(
-                [f"{c} string" for c in PARTITION_COLUMNS]
-                + [f"{k} string" for k in self.keys]
-                + ["n bigint"]
-                + [f"sum_{c} double" for c in self.sums]
-            )
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(self._state)
+        d = self._state_dir()
+        if d is None:
+            return self._empty_state()
+        return self.store.spark.read.parquet(d)
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count("*").alias("n")] + [
@@ -89,12 +105,36 @@ class IncrementalAggregate:
         """Advance the view to the store's current commit version.
         Returns maintenance stats — ``files_read`` is the incremental
         guarantee a test can pin (appended files + rewritten-partition
-        files, never the table)."""
+        files, never the table).
+
+        Falls back to a FULL rebuild from ``snapshot(head)`` when an
+        exact incremental answer is impossible: (a) log cleanup
+        removed records in ``(last, head]`` — ``read`` would silently
+        return fewer records and the appended files in them would
+        never be aggregated (the same case ``raw_since`` surfaces as
+        :class:`LogTruncated`); (b) the state directory the meta
+        references is missing (crash damage / manual deletion) —
+        folding a span onto an empty state would be permanently,
+        silently wrong."""
         store, fs = self.store, self._fs
         head = store.commits.current_version()
         last = self.version()
-        if head == last:
+        truncated = last + 1 < store.commits.oldest_version()
+        damaged = last > 0 and self._state_dir() is None
+        if head == last and not damaged:
             return {"version": head, "refreshed": False, "files_read": 0}
+        if truncated or damaged:
+            files = store.commits.snapshot(head)
+            new_state = (
+                self._aggregate(self._read(files)) if files else self._empty_state()
+            )
+            self._swap(new_state, head)
+            return {
+                "version": head,
+                "refreshed": True,
+                "files_read": len(files),
+                "rebuilt": True,
+            }
 
         recs = store.commits.read(last, until=head)
         rewritten: set[tuple[str, ...]] = set()
@@ -127,18 +167,35 @@ class IncrementalAggregate:
         if append_files:
             parts.append(self._aggregate(self._read(append_files)))
         new_state = self._merge_states(parts) if len(parts) > 1 else parts[0]
-
-        stage = f"{self._state}.stage"
-        new_state.write.mode("overwrite").parquet(stage)
-        fs.delete(self._state)
-        fs.rename(stage, self._state)
-        fs.write_text_atomic(self._meta, json.dumps({"version": head}))
+        self._swap(new_state, head)
         return {
             "version": head,
             "refreshed": True,
             "files_read": len(append_files) + len(rewritten_files),
             "rewritten_partitions": len(rewritten),
         }
+
+    def _swap(self, new_state: DataFrame, head: int) -> None:
+        """Publish new state: write a VERSIONED directory, atomically
+        flip the meta to reference it, delete superseded directories
+        last. A crash at any point leaves a consistent view (old meta →
+        old dir, or new meta → new dir); a concurrent ``read()`` that
+        resolved the old meta keeps reading the old directory until the
+        next refresh's final sweep — acceptable staleness, never a
+        missing-state window (the delete-then-rename swap this replaces
+        had exactly that window)."""
+        fs = self._fs
+        name = f"state-{head:012d}"
+        target = fs.join(self.path, name)
+        new_state.write.mode("overwrite").parquet(target)
+        fs.write_text_atomic(
+            self._meta, json.dumps({"version": head, "state": name})
+        )
+        for entry in fs.listdir(self.path):
+            if entry != name and (
+                entry == "state" or entry.startswith("state-") or entry.endswith(".stage")
+            ):
+                fs.delete(fs.join(self.path, entry))
 
     def _read(self, files: list[str]) -> DataFrame:
         data = self.store._data_path()

@@ -218,7 +218,14 @@ class CommitLog:
         (b) older than ``cutoff``. Also drops all but the two newest
         checkpoints. Bounds log growth for long-lived tables (Delta's
         log-retention cleanup); exact ``files_since`` answers remain
-        available for any cursor inside the retention window."""
+        available for any cursor inside the retention window.
+
+        Only a contiguous PREFIX is ever deleted: iteration stops at
+        the first record it keeps, so cross-driver clock skew on
+        record timestamps can delay cleanup but can never punch an
+        interior hole in the version sequence (``read``/``snapshot``
+        guard truncation solely via ``oldest_version``, so interior
+        holes would be silently skipped, not detected)."""
         removed: list[str] = []
         cps = sorted(
             int(n[len("checkpoint-") : -5])
@@ -230,11 +237,12 @@ class CommitLog:
         horizon = cps[-1]
         for v in self._versions():
             if v > horizon:
-                continue
+                break
             rec = json.loads(self._fs.read_text(self._path(v)))
-            if datetime.fromisoformat(rec["ts"]) < cutoff:
-                self._fs.delete(self._path(v))
-                removed.append(f"{v:012d}.json")
+            if datetime.fromisoformat(rec["ts"]) >= cutoff:
+                break
+            self._fs.delete(self._path(v))
+            removed.append(f"{v:012d}.json")
         for v in cps[:-2]:
             self._fs.delete(self._checkpoint_path(v))
             removed.append(f"checkpoint-{v:012d}.json")
@@ -356,18 +364,24 @@ class CommitLog:
         return self._fs.write_text_exclusive(self._path(1), json.dumps(record))
 
     def tracked_files(self) -> set[str]:
-        """Every file the retained log knows about (checkpoint live set
-        ∪ later additions) — the complement (files on disk but never
-        committed) is a crashed append's leftovers. Files both added
-        and removed before the newest checkpoint are absent, but the
-        vacuum-before-cleanup ordering guarantees they were already
-        reaped while their records existed."""
+        """Every file any RETAINED record mentions — checkpoint live
+        set ∪ adds AND removes of all retained records (folded from
+        version 0, not just past the newest checkpoint). Removes must
+        count as tracked: a file added long ago but retired recently
+        has its add folded away by a checkpoint, yet must survive
+        vacuum's untracked-file sweep until its REMOVING commit ages
+        past retention (``removed_before`` owns that reaping) — or
+        time travel inside the retention window would read deleted
+        files. The complement (on disk, in no retained record) is a
+        crashed append's leftovers: cleanup only deletes records older
+        than the vacuum cutoff, so any file whose records are all gone
+        was already reaped while they existed."""
         head = self.current_version()
         cp = self._checkpoint_state(head)
         out: set[str] = set(cp["files"]) if cp else set()
-        base = cp["version"] if cp else 0
-        for c in self.read(base, head):
+        for c in self.read(0, head):
             out.update(c["files_added"])
+            out.update(c.get("files_removed", ()))
         return out
 
     def removed_before(self, cutoff: datetime) -> set[str]:

@@ -224,7 +224,22 @@ class HadoopFS:
             parent = jd.getParent()
             if parent is not None:
                 self._fs.mkdirs(parent)
-            return bool(self._fs.rename(self._p(tmp), jd))
+            if bool(self._fs.rename(self._p(tmp), jd)):
+                return True
+            # rename returning false means EITHER the destination
+            # exists (a genuine lost race — the caller retries on the
+            # next version) OR a persistent non-contention failure
+            # (permissions, quota, transient IO). Only report a race
+            # when the destination actually exists; anything else must
+            # surface as the error it is, not burn 64 retry loops and
+            # masquerade as "version allocation contention".
+            if bool(self._fs.exists(jd)):
+                return False
+            raise OSError(
+                f"exclusive create failed for {p} and no competing "
+                "file exists — not a version race (check permissions/"
+                "quota/storage health)"
+            )
         finally:
             self._fs.delete(self._p(tmp), False)
 

@@ -197,3 +197,100 @@ def test_canonical_since_incremental_entities(spark, lake_root):
     got = ds.store.canonical_since(v)
     ids = {r["entity_id"] for r in got.select("entity_id").distinct().collect()}
     assert ids == {"acme", "pay1"}  # jane untouched since the cursor
+
+
+def test_vacuum_keeps_recently_retired_files_after_checkpoint_fold(
+    spark, lake_root, monkeypatch
+):
+    """A file ADDED long ago but RETIRED recently must survive vacuum
+    even after checkpoints fold its add record away: the untracked-file
+    sweep's mtime gate reflects add-time, so only the retained removing
+    record keeps it safe — time travel inside the retention window
+    depends on it (round-2 ADVICE, high)."""
+    import json as _json
+    import os
+    import time
+    from datetime import datetime, timedelta, timezone
+
+    from ftm_lakehouse_spark.sources import commits as commits_mod
+
+    monkeypatch.setattr(commits_mod, "CHECKPOINT_INTERVAL", 4)
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("cl8")
+    for _ in range(4):  # commits 1-4; checkpoint-4 folds the adds
+        ds.write_entities(entities_df(spark, JANE), origin="a")
+    v_pre = ds.store.commits.current_version()
+    assert v_pre == 4
+    assert ds.merge() is True  # commit 5 retires the appended files NOW
+    rewrite = ds.store.commits.read(4)[0]
+    retired = rewrite["files_removed"]
+    assert retired
+    for _ in range(3):  # commits 6-8; checkpoint-8 excludes retired files
+        ds.write_entities(entities_df(spark, ACME), origin="b")
+    assert ds.store.commits.current_version() == 8
+
+    # age BOTH the retired files' mtimes (add-time) and the add
+    # records' timestamps past retention; the REMOVING commit 5 stays
+    # recent — the exact state of a table whose history aged while a
+    # rewrite just happened
+    data = ds.store._data_path()
+    old_epoch = time.time() - 30 * 24 * 3600
+    for f in retired:
+        os.utime(os.path.join(data, f), (old_epoch, old_epoch))
+    old_iso = (datetime.now(timezone.utc) - timedelta(days=30)).isoformat()
+    for v in (1, 2, 3, 4):
+        p = ds.store.commits._path(v)
+        rec = _json.loads(ds.store._fs.read_text(p))
+        rec["ts"] = old_iso
+        os.remove(p)
+        with open(p, "w") as fh:
+            fh.write(_json.dumps(rec))
+
+    # vacuum #1: files survive (records 1-4 still present during the
+    # sweep), then log cleanup ages records 1-4 out
+    reaped = ds.store.vacuum(retention_hours=168)
+    assert all(not f.endswith(".parquet") for f in reaped)
+    assert ds.store.commits.oldest_version() == 5
+    # vacuum #2: the add records are GONE — only commit 5's
+    # files_removed keeps the retired files tracked
+    reaped2 = ds.store.vacuum(retention_hours=168)
+    for f in retired:
+        assert f not in reaped2
+        assert ds.store._fs.exists(ds.store._fs.join(data, f))
+    # time travel inside the retention window still reads them
+    assert ds.store.raw(as_of=v_pre).count() > ds.store.raw(as_of=5).count()
+
+
+def test_log_cleanup_never_punches_interior_holes(tmp_path, monkeypatch):
+    """Cross-driver clock skew: a record with a FUTURE timestamp sits
+    between old records. Cleanup must stop at it (contiguous-prefix
+    delete) — interior holes would be silently skipped by read()/
+    snapshot(), whose truncation guard only checks oldest_version()
+    (round-2 ADVICE, low)."""
+    import json as _json
+    from datetime import datetime, timedelta, timezone
+
+    from ftm_lakehouse_spark.sources import commits as commits_mod
+    from ftm_lakehouse_spark.sources.commits import CommitLog
+    from ftm_lakehouse_spark.sources.fs import LocalFS
+
+    monkeypatch.setattr(commits_mod, "CHECKPOINT_INTERVAL", 4)
+    fs = LocalFS()
+    root = str(tmp_path / "log")
+    fs.mkdirs(root)
+    log = CommitLog(fs, root)
+    for i in range(1, 6):  # commits 1-5, checkpoint at 4
+        log.commit("append", [("s", str(i))], files_added=[f"f{i}.parquet"])
+    pre = log.snapshot()
+    old_iso = (datetime.now(timezone.utc) - timedelta(days=30)).isoformat()
+    future_iso = (datetime.now(timezone.utc) + timedelta(hours=6)).isoformat()
+    for v, ts in ((1, old_iso), (2, future_iso), (3, old_iso), (4, old_iso)):
+        p = log._path(v)
+        rec = _json.loads(fs.read_text(p))
+        rec["ts"] = ts
+        fs.write_text_atomic(p, _json.dumps(rec))
+
+    removed = log.cleanup(datetime.now(timezone.utc) - timedelta(days=1))
+    assert removed == ["000000000001.json"]  # stops at the skewed record 2
+    assert log.oldest_version() == 2  # contiguous: no hole at 3/4
+    assert log.snapshot() == pre

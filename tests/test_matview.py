@@ -88,3 +88,69 @@ def test_view_with_sum_measures(spark, lake_root, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rebuild_after_log_truncation(spark, lake_root, tmp_path, monkeypatch):
+    """Log cleanup removed records inside the view's refresh span →
+    refresh must detect it and fall back to a full rebuild instead of
+    silently folding an incomplete span (round-2 ADVICE, medium)."""
+    from datetime import datetime, timezone
+
+    from ftm_lakehouse_spark.sources import commits as commits_mod
+
+    monkeypatch.setattr(commits_mod, "CHECKPOINT_INTERVAL", 4)
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv4")
+    view = IncrementalAggregate(ds.store, str(tmp_path / "view"), keys=["schema"])
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    view.refresh()
+    assert view.version() == 1
+    for _ in range(4):  # commits 2-5; checkpoint at 4
+        ds.write_entities(entities_df(spark, ACME), origin="b")
+    removed = ds.store.commits.cleanup(datetime.now(timezone.utc))
+    assert removed  # records (1..4] gone — the view's span is truncated
+    assert ds.store.commits.oldest_version() > view.version() + 1
+
+    r = view.refresh()
+    assert r["refreshed"] and r.get("rebuilt") is True
+    assert _view(view) == _full(ds)
+
+
+def test_rebuild_when_state_directory_missing(spark, lake_root, tmp_path):
+    """Meta references a state directory that is gone (crash damage) —
+    refresh must rebuild, not fold new changes onto an empty state
+    (round-2 ADVICE, medium)."""
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv5")
+    view = IncrementalAggregate(ds.store, str(tmp_path / "view"), keys=["schema"])
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    view.refresh()
+    d = view._state_dir()
+    assert d is not None
+    view._fs.delete(d)
+
+    ds.write_entities(entities_df(spark, ACME, PAY), origin="b")
+    r = view.refresh()
+    assert r.get("rebuilt") is True
+    assert _view(view) == _full(ds)
+
+
+def test_state_swap_is_versioned_and_cleaned(spark, lake_root, tmp_path):
+    """Each refresh publishes state-{version} and flips the meta
+    atomically; superseded directories are deleted LAST so no reader
+    ever observes a meta pointing at a missing directory."""
+    import json
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("mv6")
+    view = IncrementalAggregate(ds.store, str(tmp_path / "view"), keys=["schema"])
+    ds.write_entities(entities_df(spark, JANE), origin="a")
+    view.refresh()
+    ds.write_entities(entities_df(spark, ACME), origin="b")
+    view.refresh()
+
+    meta = json.loads(view._fs.read_text(view._meta))
+    dirs = [n for n in view._fs.listdir(view.path) if n.startswith("state")]
+    assert dirs == [meta["state"]]  # exactly one state dir, the referenced one
+    assert meta["state"] == f"state-{meta['version']:012d}"
+    assert _view(view) == _full(ds)

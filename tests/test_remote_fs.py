@@ -81,3 +81,37 @@ def test_merge_reaps_tombstoned_partition_over_uri(spark, tmp_path):
     # grace 0 → tombstone reaped; jane's partition produces no output
     ds.merge(grace_days=0)
     assert ds.count() == 0
+
+
+def test_exclusive_write_distinguishes_race_from_failure(spark, tmp_path):
+    """A rename that fails with NO competing destination is a real
+    error (permissions/quota/IO), not a lost version race — it must
+    raise, not burn 64 retries as phantom contention (round-2 ADVICE,
+    low). A rename refused because the destination EXISTS is the
+    genuine race and still returns False."""
+    import pytest
+
+    from ftm_lakehouse_spark.sources.fs import HadoopFS
+
+    root = f"file://{tmp_path}/xw"
+    hfs = HadoopFS(root, spark)
+    hfs.mkdirs(root)
+    target = hfs.join(root, "0001.json")
+    assert hfs.write_text_exclusive(target, "a") is True
+
+    class _RenameAlwaysFails:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def rename(self, src, dst):
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    hfs._fs = _RenameAlwaysFails(hfs._fs)
+    # destination exists → lost race, False
+    assert hfs.write_text_exclusive(target, "b") is False
+    # destination absent → persistent failure, surfaced as the error it is
+    with pytest.raises(OSError, match="not a version race"):
+        hfs.write_text_exclusive(hfs.join(root, "0002.json"), "c")
