@@ -3494,8 +3494,20 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     stage is the SAME operator its standalone gate grades; the oracle
     embeds those verified SQL texts, so a hash match here proves the
     COMPOSITION, not just the parts. At 100 TB each stage is an
-    equi-join/groupBy over hash keys — the whole pipeline is one
-    Catalyst plan, no materialization barriers between stages."""
+    equi-join/groupBy over hash keys.
+
+    The corpus projection feeds SIX independent subtrees (quality,
+    exact-dedup window, MinHash pairs, decontamination, temperature
+    mix, final join) and Catalyst does not deduplicate common
+    subtrees — left as one lazy plan the scan+projection re-executes
+    per branch (round-2 bench: ~4× the sum of the stages). So the
+    shared projection is materialized ONCE (eager localCheckpoint,
+    lineage-truncated, executor-local) and every branch reads it back.
+    The trade: "one plan, no barriers" buys nothing when the branches
+    are reads of the SAME relation — a barrier that turns 6 scans into
+    1 is the 100 TB play too (there you'd persist(MEMORY_AND_DISK) or
+    materialize stage outputs to the lakehouse instead; same
+    structure, durable medium)."""
     from pyspark.sql import Window as W_
 
     from ftm_lakehouse_spark.functions.text import pii_scrub
@@ -3505,7 +3517,11 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     )
     from ftm_lakehouse_spark.operators.sampling import temperature_mix
 
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+    ).localCheckpoint(eager=True)
 
     # quality (the text_quality_score expressions)
     n = F.greatest(F.length("text"), F.lit(1))
