@@ -212,30 +212,131 @@ class Dataset:
             .text(out_dir)
         )
 
+    def documents(self, public_url_prefix: str | None = None) -> DataFrame:
+        """Streamable document metadata over the archive-derived File
+        entities (reference DocumentRepository.collect,
+        repository/documents.py:88-117): one row per document × resolved
+        folder path, columns ``id checksum name mimetype path size
+        updated_at public_url``."""
+        from ftm_lakehouse_spark.operators.documents import documents
+
+        prefix = public_url_prefix or self._public_prefix()
+        return documents(self.entities(), public_url_prefix=prefix)
+
+    def _public_prefix(self) -> str | None:
+        if not self.config.public_url_prefix:
+            return None
+        return self.config.public_url_prefix.format(dataset=self.config.name)
+
+    def _has_documents(self) -> bool:
+        """Reference export_csv short-circuit (documents.py:118-124):
+        one cheap probe on the schema filter before any document work —
+        file-skips on the clustered schema column."""
+        from ftm_lakehouse_spark.operators.documents import DOCUMENT_SCHEMATA
+
+        doc_schemas = [s for s in DOCUMENT_SCHEMATA if s != "Folder"]
+        probe = (
+            self.store.live()
+            .filter(F.col("schema").isin(doc_schemas) & (F.col("prop") == "contentHash"))
+            .take(1)
+        )
+        return bool(probe)
+
+    def export_documents_csv(
+        self, out_dir: str, compression: str | None = None
+    ) -> bool:
+        """documents.csv export (reference operation/export.py:118-120
+        + repository/documents.py:118-131). Returns False when the
+        dataset holds no documents (nothing written — the reference
+        short-circuit)."""
+        if not self._has_documents():
+            return False
+        df = self.documents().sort("id")
+        codec, zst = self._resolve_codec(compression)
+        df.write.mode("overwrite").option("header", True).option(
+            "compression", codec
+        ).csv(out_dir)
+        if zst:
+            self._recompress_zstd(out_dir)
+        return True
+
+    def _resource_entry(self, out_root: str, name: str, mime: str) -> dict | None:
+        """index.json resource descriptor (reference
+        helpers/dataset.py:10-38 make_resource → DataResource): name,
+        url (public prefix or storage uri), size, sha256 checksum,
+        timestamp, mime_type. Spark artifacts are part-file
+        DIRECTORIES — size sums the parts and the checksum folds them
+        in sorted order, so the value is deterministic for a given
+        export."""
+        import hashlib
+
+        fs = self._fs
+        p = fs.join(out_root, name)
+        if not fs.exists(p):
+            return None
+        if fs.isdir(p):
+            files = [
+                fs.join(p, f)
+                for f in fs.listdir(p)
+                if f.startswith("part-") and not f.endswith(".crc")
+            ]
+        else:
+            files = [p]
+        h = hashlib.sha256()
+        size = 0
+        for f in files:
+            data = fs.read_bytes(f)
+            h.update(data)
+            size += len(data)
+        prefix = self._public_prefix()
+        url = f"{prefix.rstrip('/')}/{name}" if prefix else p
+        return {
+            "name": name,
+            "url": url,
+            "size": size,
+            "checksum": h.hexdigest(),
+            "checksum_algorithm": "sha256",
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "mime_type": mime,
+        }
+
     def make(self, out_root: str | None = None, force: bool = False) -> dict:
         """The full publish workflow (reference MakeOperation,
         operation/make.py:14-25): optimize, then regenerate every export
-        artifact — statements.csv, entities.ftm.json, statistics.json,
-        index.json — skipping everything if no write happened since the
-        last make (freshness tags, reference operation/base.py:56-70)."""
+        artifact — statements.csv, entities.ftm.json, documents.csv
+        (when the dataset holds documents), statistics.json, index.json
+        — skipping everything if no write happened since the last make
+        (freshness tags, reference operation/base.py:56-70)."""
         out_root = out_root or self._fs.join(self.path, "exports")
         if not force and self.store.tags.is_latest("last_made", ["last_updated"]):
             return {"skipped": True}
         self.optimize(force=force)
         self.export_statements_csv(self._fs.join(out_root, "statements.csv"))
         self.export_entities_json(self._fs.join(out_root, "entities.ftm.json"))
+        self.export_documents_csv(self._fs.join(out_root, "documents.csv"))
         stats = self.stats()
         self._fs.write_text_atomic(
             self._fs.join(out_root, "statistics.json"),
             json.dumps(stats, default=str),
         )
+        artifact_mimes = [
+            ("statements.csv", "text/csv"),
+            ("entities.ftm.json", "application/json+ftm"),
+            ("documents.csv", "text/csv"),
+            ("statistics.json", "application/json"),
+        ]
+        resources = [
+            r
+            for name, mime in artifact_mimes
+            if (r := self._resource_entry(out_root, name, mime)) is not None
+        ]
         index = {
             "name": self.config.name,
             "title": self.config.title,
             "entity_count": stats["entity_count"],
             "schemata": stats["things"]["schemata"],
             "updated_at": datetime.now(timezone.utc).isoformat(),
-            "resources": ["statements.csv", "entities.ftm.json", "statistics.json"],
+            "resources": resources,
         }
         self._fs.write_text_atomic(
             self._fs.join(out_root, "index.json"), json.dumps(index, default=str)

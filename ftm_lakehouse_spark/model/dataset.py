@@ -18,6 +18,12 @@ class DatasetConfig:
     title: str | None = None
     shards: int = 0
     compression: str | None = "zstd"
+    public_url_prefix: str | None = None
+    """Public URL prefix for published artifacts and archive blobs,
+    templated with ``{dataset}`` (reference DatasetModel
+    ``public_url_prefix`` + jinja render, model/dataset.py:34-38 /
+    util.py:155-164; str.format here — no template engine needed for
+    one variable)."""
     metadata: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -80,6 +80,13 @@ class LocalFS:
         with open(p) as fh:
             return fh.read()
 
+    def read_bytes(self, p: str) -> bytes:
+        with open(p, "rb") as fh:
+            return fh.read()
+
+    def filesize(self, p: str) -> int:
+        return os.path.getsize(p)
+
     def write_text_atomic(self, p: str, data: str) -> None:
         os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
@@ -185,6 +192,9 @@ class HadoopFS:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode("utf-8")
+
+    def read_bytes(self, p: str) -> bytes:
         jp = self._p(p)
         if not self._fs.exists(jp):
             raise FileNotFoundError(p)
@@ -193,7 +203,10 @@ class HadoopFS:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         finally:
             stream.close()
-        return bytes(data).decode("utf-8")
+        return bytes(data)
+
+    def filesize(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._p(p)).getLen())
 
     def write_text_atomic(self, p: str, data: str) -> None:
         # create-temp + rename-over: rename is atomic on HDFS/file;
