@@ -126,6 +126,119 @@ class NdjsonApi:
         return {"accepted": len(ok), "rejected": bad}
 
 
+def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
+    """Serve :class:`NdjsonApi` over a real socket with the stdlib —
+    the fallback transport for images without fastapi (the reference
+    serves api/routes/* through FastAPI/uvicorn; same routes here).
+    Returns an un-started :class:`http.server.ThreadingHTTPServer` —
+    call ``serve_forever()`` (or use :func:`serve_in_thread`).
+
+    Transport notes: responses stream line-by-line straight from
+    ``toLocalIterator`` — a result set never materializes in server
+    memory. HTTP/1.0 close-delimited framing keeps the stdlib handler
+    trivial (no chunked encoding); each request runs on its own thread
+    (ThreadingHTTPServer), which is safe because Spark actions are
+    thread-safe on one SparkSession. This is the test/dev transport —
+    production would front the SAME NdjsonApi with fastapi/uvicorn."""
+    import http.server
+    import urllib.parse
+
+    api = NdjsonApi(lakehouse)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"  # close-delimited streaming
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _json(self, obj, status: int = 200):
+            body = json.dumps(obj, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _stream(self, lines: Iterator[str]):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            for line in lines:
+                self.wfile.write(line.encode("utf-8"))
+
+        def _route(self):
+            parsed = urllib.parse.urlsplit(self.path)
+            parts = [p for p in parsed.path.split("/") if p]
+            params = {
+                k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()
+            }
+            return parts, params
+
+        def do_GET(self):
+            try:
+                parts, params = self._route()
+                if len(parts) == 2 and parts[1] == "entities":
+                    return self._stream(
+                        api.entities(
+                            parts[0],
+                            schema=params.get("schema"),
+                            limit=int(params.get("limit", 100)),
+                        )
+                    )
+                if len(parts) == 2 and parts[1] == "statements":
+                    return self._stream(
+                        api.statements(
+                            parts[0],
+                            origin=params.get("origin"),
+                            limit=int(params.get("limit", 1000)),
+                        )
+                    )
+                if len(parts) == 3 and parts[1] == "entities":
+                    ent = api.get_entity(parts[0], parts[2])
+                    if ent is None:
+                        return self._json({"error": "entity not found"}, 404)
+                    return self._json(ent)
+                if len(parts) == 2 and parts[1] == "stats":
+                    return self._json(api.stats(parts[0]))
+                return self._json({"error": "no such route"}, 404)
+            except BrokenPipeError:  # client hung up mid-stream
+                pass
+            except Exception as e:  # surface, don't kill the thread
+                try:
+                    self._json({"error": str(e)}, 500)
+                except BrokenPipeError:
+                    pass
+
+        def do_POST(self):
+            try:
+                parts, params = self._route()
+                if len(parts) == 2 and parts[1] == "entities":
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n).decode("utf-8")
+                    res = api.write_entities(
+                        parts[0],
+                        body.splitlines(),
+                        origin=params.get("origin", "default"),
+                    )
+                    return self._json(res)
+                return self._json({"error": "no such route"}, 404)
+            except Exception as e:
+                self._json({"error": str(e)}, 500)
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_in_thread(lakehouse, host: str = "127.0.0.1", port: int = 0):
+    """Boot :func:`serve` on a daemon thread; returns (server,
+    base_url). ``server.shutdown()`` stops it."""
+    import threading
+
+    server = serve(lakehouse, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"
+
+
 def create_app(lakehouse):
     """FastAPI adapter over :class:`NdjsonApi`. Raises if FastAPI is
     unavailable (the handlers themselves stay testable without it)."""

@@ -90,3 +90,86 @@ def test_create_app_matches_environment():
             create_app(None)
     else:  # pragma: no cover - fastapi present in some environments
         assert create_app.__name__ == "create_app"
+
+
+# ---------------------------------------------------------------- http
+# The API served over a REAL socket (stdlib ThreadingHTTPServer — the
+# fallback transport for images without fastapi). Round-trips NDJSON
+# reads, point lookups, stats and the bulk journal write through
+# urllib against localhost.
+
+
+@pytest.fixture()
+def http_api(api):
+    from ftm_lakehouse_spark.api import serve_in_thread
+
+    server, base = serve_in_thread(api.lakehouse)
+    yield base
+    server.shutdown()
+    server.server_close()
+
+
+def _get(url):
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.read().decode("utf-8")
+
+
+def test_http_entities_stream(http_api):
+    status, body = _get(f"{http_api}/demo/entities?limit=10")
+    assert status == 200
+    out = [json.loads(ln) for ln in body.splitlines() if ln]
+    assert {o["entity_id"] for o in out} == {"jane", "acme"}
+    # schema filter through the query string
+    status, body = _get(f"{http_api}/demo/entities?schema=Company")
+    out = [json.loads(ln) for ln in body.splitlines() if ln]
+    assert [o["entity_id"] for o in out] == ["acme"]
+
+
+def test_http_statements_and_stats(http_api):
+    status, body = _get(f"{http_api}/demo/statements?origin=bulk&limit=5")
+    assert status == 200
+    rows = [json.loads(ln) for ln in body.splitlines() if ln]
+    assert 0 < len(rows) <= 5
+    assert all(r["origin"] == "bulk" for r in rows)
+    status, body = _get(f"{http_api}/demo/stats")
+    assert status == 200
+    assert json.loads(body)["entity_count"] == 2
+
+
+def test_http_point_lookup_and_404(http_api):
+    import urllib.error
+    import urllib.request
+
+    status, body = _get(f"{http_api}/demo/entities/jane")
+    assert status == 200 and json.loads(body)["entity_id"] == "jane"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/demo/entities/ghost", timeout=60)
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/demo/nothing", timeout=60)
+    assert e.value.code == 404
+
+
+def test_http_bulk_journal_write(http_api):
+    import urllib.request
+
+    lines = "\n".join(
+        [
+            json.dumps({"id": "pay1", "schema": "Payment",
+                        "properties": {"amountEur": ["7"]}}),
+            "garbage line",
+        ]
+    )
+    req = urllib.request.Request(
+        f"{http_api}/demo/entities?origin=api",
+        data=lines.encode("utf-8"),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read().decode("utf-8"))
+    assert res == {"accepted": 1, "rejected": 1}
+    # the write is immediately visible through the read route
+    status, body = _get(f"{http_api}/demo/entities/pay1")
+    assert status == 200 and json.loads(body)["schema"] == "Payment"
