@@ -42,9 +42,19 @@ provides the same contract from first principles:
 from __future__ import annotations
 
 import json
+import os
+import time
+import uuid
 from datetime import datetime, timezone
 
-__all__ = ["CommitLog", "CommitConflict", "LogTruncated", "CHECKPOINT_INTERVAL"]
+__all__ = [
+    "CommitLog",
+    "CommitConflict",
+    "LogTruncated",
+    "LockClient",
+    "FileLockClient",
+    "CHECKPOINT_INTERVAL",
+]
 
 #: fold a checkpoint every N commits (Delta uses 10)
 CHECKPOINT_INTERVAL = 20
@@ -67,10 +77,124 @@ class LogTruncated(RuntimeError):
     for a vacuumed-away version)."""
 
 
+class LockClient:
+    """External mutual exclusion for stores whose put-if-absent is not
+    atomic — the delta-rs S3 "lock client" contract (their DynamoDB
+    implementation): hold the lock across check-exists + write so two
+    drivers can never both publish the same version. Implementations:
+    a DynamoDB/ZooKeeper/etcd client on a real deployment;
+    :class:`FileLockClient` wherever SOME filesystem with atomic create
+    is reachable. Modern S3 offers conditional writes (If-None-Match),
+    which make the native put-if-absent atomic again — prefer that
+    where the SDK supports it and skip the lock entirely."""
+
+    def acquire(self, key: str) -> str:
+        """Block until the lock for ``key`` is held; returns a token
+        that must be passed to :meth:`release`."""
+        raise NotImplementedError
+
+    def release(self, key: str, token: str) -> None:
+        raise NotImplementedError
+
+
+class FileLockClient(LockClient):
+    """Lock via an exclusive ``.lock`` file with a TTL lease — correct
+    on any filesystem whose exclusive create is atomic (the local/HDFS
+    case; NOT raw S3, where this class is only useful pointed at a
+    different, atomic store than the data). Expired leases are broken,
+    so a crashed holder stalls writers for at most ``ttl_seconds``."""
+
+    def __init__(self, fs, ttl_seconds: float = 300.0, poll_seconds: float = 0.05):
+        self._fs = fs
+        self.ttl = ttl_seconds
+        self.poll = poll_seconds
+
+    def _lock_path(self, key: str) -> str:
+        return key.rstrip("/") + ".lock"
+
+    def acquire(self, key: str) -> str:
+        path = self._lock_path(key)
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        deadline = time.monotonic() + self.ttl * 2
+        while time.monotonic() < deadline:
+            payload = json.dumps({"token": token, "expires": time.time() + self.ttl})
+            if self._fs.write_text_exclusive(path, payload):
+                return token
+            try:
+                held = json.loads(self._fs.read_text(path))
+                if float(held.get("expires", 0)) < time.time():
+                    # expired lease — break it and re-race for the file
+                    self._fs.delete(path)
+                    continue
+            except (FileNotFoundError, ValueError):
+                continue  # holder released between our attempt and read
+            time.sleep(self.poll)
+        raise CommitConflict(f"could not acquire commit lock {path}")
+
+    def release(self, key: str, token: str) -> None:
+        path = self._lock_path(key)
+        try:
+            held = json.loads(self._fs.read_text(path))
+        except (FileNotFoundError, ValueError):
+            return
+        if held.get("token") == token:
+            self._fs.delete(path)
+
+
 class CommitLog:
-    def __init__(self, fs, root: str):
+    def __init__(self, fs, root: str, lock_client: LockClient | None = None):
         self._fs = fs
         self.root = root
+        self._lock = lock_client
+        #: per-writer nonce embedded in every record — makes a commit
+        #: payload unique so the non-atomic-store read-back fence can
+        #: tell WHOSE bytes actually landed
+        self._writer = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
+
+    def _publish(self, version: int, payload: str) -> bool:
+        """Put-if-absent of one record — the pluggable atomicity seam.
+
+        Strategy, in order of preference:
+
+        1. **Lock client** (when configured): hold the external lock
+           across exists-check + plain write — correct on ANY store.
+        2. **Native atomic create** (``fs.atomic_put_if_absent``):
+           os.link locally, rename-without-overwrite on HDFS —
+           exactly one racer wins, nothing else needed.
+        3. **Non-atomic store, no lock** (S3A copy-rename without
+           conditional writes): single-writer deployments are fine; a
+           SECOND writer is a broken deployment assumption, so fence
+           as loudly as possible — exists-check first (catches the
+           common late racer), then read back after writing: foreign
+           bytes under our version file mean a concurrent writer
+           overwrote us, surfaced as :class:`CommitConflict` instead
+           of silent last-writer-wins. The check-write-read window is
+           small but real — that residue is precisely why delta-rs
+           mandates a lock client (or S3 conditional writes) there.
+        """
+        path = self._path(version)
+        if self._lock is not None:
+            token = self._lock.acquire(self.root)
+            try:
+                if self._fs.exists(path):
+                    return False  # lost the version race cleanly
+                self._fs.write_text_atomic(path, payload)
+                return True
+            finally:
+                self._lock.release(self.root, token)
+        if getattr(self._fs, "atomic_put_if_absent", True):
+            return self._fs.write_text_exclusive(path, payload)
+        if self._fs.exists(path):
+            return False
+        won = self._fs.write_text_exclusive(path, payload)
+        if won and self._fs.read_text(path) != payload:
+            raise CommitConflict(
+                f"non-atomic store: a concurrent writer overwrote commit "
+                f"{version} after this writer published it — this store "
+                "cannot host multiple log writers without a lock client "
+                "(or conditional-write support); see CommitLog.LockClient"
+            )
+        return won
 
     def _path(self, version: int) -> str:
         return self._fs.join(self.root, f"{version:012d}.json")
@@ -119,6 +243,7 @@ class CommitLog:
             "version": 0,
             "kind": kind,
             "ts": datetime.now(timezone.utc).isoformat(),
+            "writer": self._writer,
             "partitions": [list(p) for p in partitions],
             "files_added": sorted(files_added or []),
             "files_removed": removed,
@@ -141,7 +266,7 @@ class CommitLog:
                     )
             version = head + 1
             record["version"] = version
-            if self._fs.write_text_exclusive(self._path(version), json.dumps(record)):
+            if self._publish(version, json.dumps(record)):
                 if version % CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(version)
                 return version
@@ -357,11 +482,12 @@ class CommitLog:
             "version": 1,
             "kind": "bootstrap",
             "ts": datetime.now(timezone.utc).isoformat(),
+            "writer": self._writer,
             "partitions": [list(p) for p in partitions],
             "files_added": sorted(files),
             "files_removed": [],
         }
-        return self._fs.write_text_exclusive(self._path(1), json.dumps(record))
+        return self._publish(1, json.dumps(record))
 
     def tracked_files(self) -> set[str]:
         """Every file any RETAINED record mentions — checkpoint live

@@ -53,6 +53,12 @@ def get_fs(path: str, spark=None):
 class LocalFS:
     """os/shutil implementation — the zero-overhead default."""
 
+    #: ``write_text_exclusive`` here is a true atomic put-if-absent
+    #: (os.link). Stores where it degrades to copy-then-rename (S3A
+    #: without conditional writes) set False so the commit log can
+    #: apply its non-atomic-store fencing.
+    atomic_put_if_absent = True
+
     def join(self, base: str, *parts: str) -> str:
         return os.path.join(base, *parts)
 
@@ -160,6 +166,11 @@ class HadoopFS:
         self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
             self._jvm.java.net.URI.create(uri), self._conf
         )
+        # rename-without-overwrite is atomic on HDFS/file/abfs but a
+        # COPY on S3A — there the commit log must fence or take a lock
+        # client (delta-rs documents the same constraint for S3)
+        scheme = uri.split("://", 1)[0].lower()
+        self.atomic_put_if_absent = scheme not in ("s3", "s3a", "s3n")
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)

@@ -1,0 +1,122 @@
+"""Commit-log atomicity strategies (round-2 VERDICT item 5): native
+atomic create, the read-back fence on non-atomic stores (S3A
+copy-rename), and the delta-rs-style lock client. No Spark needed —
+the log is pure control plane."""
+
+import json
+import threading
+
+import pytest
+
+from ftm_lakehouse_spark.sources.commits import (
+    CommitConflict,
+    CommitLog,
+    FileLockClient,
+)
+from ftm_lakehouse_spark.sources.fs import LocalFS
+
+
+class NonAtomicFS(LocalFS):
+    """Models S3A without conditional writes: 'exclusive' create is a
+    blind overwrite that always reports success — last writer wins
+    silently unless the log fences."""
+
+    atomic_put_if_absent = False
+
+    def __init__(self):
+        self.interloper = None  # (path_suffix, content) injected mid-race
+
+    def write_text_exclusive(self, p, data):
+        self.write_text_atomic(p, data)
+        if self.interloper and p.endswith(self.interloper[0]):
+            # a concurrent writer's copy lands right after ours —
+            # the S3A copy-rename hazard, deterministically simulated
+            self.write_text_atomic(p, self.interloper[1])
+        return True
+
+
+def _log(tmp_path, fs=None, name="log", **kw):
+    fs = fs or LocalFS()
+    root = str(tmp_path / name)
+    fs.mkdirs(root)
+    return CommitLog(fs, root, **kw), fs
+
+
+def test_non_atomic_store_single_writer_still_works(tmp_path):
+    log, _ = _log(tmp_path, NonAtomicFS())
+    assert log.commit("append", [("s",)], files_added=["a.parquet"]) == 1
+    assert log.commit("append", [("s",)], files_added=["b.parquet"]) == 2
+    assert log.snapshot() == ["a.parquet", "b.parquet"]
+
+
+def test_non_atomic_store_late_racer_loses_cleanly(tmp_path):
+    """A second writer arriving AFTER a version is visible loses via
+    the exists-check and retries the next version — no overwrite."""
+    fs = NonAtomicFS()
+    log_a, _ = _log(tmp_path, fs)
+    log_b = CommitLog(fs, log_a.root)
+    assert log_a.commit("append", [("s",)], files_added=["a.parquet"]) == 1
+    assert log_b.commit("append", [("s",)], files_added=["b.parquet"]) == 2
+    rec1 = json.loads(fs.read_text(log_a._path(1)))
+    assert rec1["files_added"] == ["a.parquet"]  # not clobbered
+
+
+def test_non_atomic_store_detects_simultaneous_overwrite_loudly(tmp_path):
+    """The S3A hazard itself: a concurrent copy lands between our
+    write and read-back. Must raise CommitConflict naming the broken
+    deployment assumption — NOT report success while another writer's
+    record sits under our version number."""
+    fs = NonAtomicFS()
+    log, _ = _log(tmp_path, fs)
+    foreign = json.dumps({"version": 1, "kind": "append", "writer": "other",
+                          "partitions": [], "files_added": ["theirs.parquet"],
+                          "files_removed": [], "ts": "2026-01-01T00:00:00+00:00"})
+    fs.interloper = ("000000000001.json", foreign)
+    with pytest.raises(CommitConflict, match="lock client"):
+        log.commit("append", [("s",)], files_added=["ours.parquet"])
+
+
+def test_lock_client_serializes_writers_on_non_atomic_store(tmp_path):
+    """With the lock client, the same non-atomic store hosts multiple
+    writers correctly: the lock holds across check+write, so every
+    commit gets a distinct version and no record is overwritten."""
+    fs = NonAtomicFS()
+    # lock files themselves need an atomic create — point the lock
+    # client at a store that has one (the delta-rs DynamoDB split:
+    # data on S3, lock elsewhere)
+    lock_fs = LocalFS()
+    log_a, _ = _log(tmp_path, fs, lock_client=FileLockClient(lock_fs))
+    log_b = CommitLog(fs, log_a.root, lock_client=FileLockClient(lock_fs))
+
+    results = []
+
+    def writer(log, tag):
+        for i in range(5):
+            v = log.commit("append", [("s",)], files_added=[f"{tag}{i}.parquet"])
+            results.append((tag, v))
+
+    t1 = threading.Thread(target=writer, args=(log_a, "a"))
+    t2 = threading.Thread(target=writer, args=(log_b, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    versions = sorted(v for _, v in results)
+    assert versions == list(range(1, 11))  # every commit a distinct version
+    assert len(log_a.snapshot()) == 10  # nothing lost, nothing clobbered
+    # lock released: no stale .lock file remains
+    assert not lock_fs.exists(log_a.root.rstrip("/") + ".lock")
+
+
+def test_expired_lock_lease_is_broken(tmp_path):
+    fs = LocalFS()
+    root = str(tmp_path / "log")
+    fs.mkdirs(root)
+    # a crashed holder left an expired lease behind
+    fs.write_text_exclusive(
+        root + ".lock", json.dumps({"token": "dead", "expires": 0})
+    )
+    client = FileLockClient(fs, ttl_seconds=60)
+    token = client.acquire(root)  # breaks the lease instead of stalling
+    held = json.loads(fs.read_text(root + ".lock"))
+    assert held["token"] == token
+    client.release(root, token)
+    assert not fs.exists(root + ".lock")
