@@ -159,8 +159,11 @@ class Query:
             if self.start:
                 ranked = ranked.filter(F.col("_rank") > self.start)
             return ranked.select("entity_id")
-        # offset without limit: a global rank is unavoidable (rare path)
-        ranked = keyed.withColumn("_rank", F.row_number().over(W.orderBy(*order)))
+        # offset without limit (rare path): a GLOBAL rank, computed
+        # two-phase — range shuffle + per-partition row_number +
+        # broadcast prefix offsets (packing.global_cumsum's pattern)
+        # instead of the textbook single-partition global window
+        ranked = _global_rank(keyed, order)
         if self.start:
             ranked = ranked.filter(F.col("_rank") > self.start)
         return ranked.select("entity_id")
@@ -184,6 +187,48 @@ class Query:
         for prop, op, value in self.prop_filters:
             df = df.filter((F.col("prop") == prop) & _OPS[op](F.col("value"), value))
         return df
+
+
+def _global_rank(keyed: DataFrame, order: list[Column]) -> DataFrame:
+    """Global ``row_number`` over ``order`` without a SinglePartition
+    window: ``repartitionByRange`` on the order expressions makes
+    partition ids follow the global order (ties are safe — ``order``
+    always ends in the unique entity_id tiebreak, so keys are total),
+    each partition ranks locally in parallel, and per-partition counts
+    are prefix-summed into broadcast offsets. One range shuffle + one
+    #partitions-row broadcast — survives any entity cardinality."""
+    ranged = keyed.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_run = W.partitionBy("_pid").orderBy(*order)
+    w_all = W.partitionBy("_pid")
+    # local rank AND partition count in one window node; lazy
+    # checkpoint so the offsets branch reuses (not recomputes) the
+    # keyed subtree while the declared plan stays inspectable
+    local = ranged.select(
+        "*",
+        F.row_number().over(w_run).alias("_lrn"),
+        F.count("*").over(w_all).alias("_pn"),
+    ).localCheckpoint(eager=False)
+    offsets = (
+        local.select("_pid", "_pn")
+        .distinct()
+        .withColumn(
+            "_poff",
+            F.coalesce(
+                F.sum("_pn").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_poff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", (F.col("_lrn") + F.col("_poff")).cast("long"))
+        .drop("_pid", "_lrn", "_pn", "_poff")
+    )
 
 
 def _bucket_of(schema: str) -> str:

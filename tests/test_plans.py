@@ -232,3 +232,47 @@ def test_like_prefix_pushes_startswith(spark):
     pattern stays a post-scan contains."""
     plan = plan_of(spark, "f_like_prefix")
     assert "StringStartsWith(p_type,ECO" in plan
+
+
+def test_offset_without_limit_avoids_single_partition_rank(spark, lake_root):
+    """The offset-without-limit entity slice ranks two-phase (range
+    shuffle + per-partition row_number + broadcast prefix offsets) —
+    never a SinglePartition global window over entity cardinality
+    (round-2 VERDICT item 7). Correctness against the limited path."""
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.plans.query import Query
+
+    from .test_lakehouse import entities_df
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("oslice")
+    people = [
+        {"id": f"p{i:02d}", "schema": "Person",
+         "properties": {"name": [f"N{(i * 7) % 20:02d}-{i:02d}"]}}
+        for i in range(20)
+    ]
+    ds.write_entities(entities_df(spark, *people))
+
+    q_offset = Query().where(schema="Person").order_by("name")[5:]
+    got = sorted(
+        e["properties"]["name"][0] for e in ds.entities(q_offset).collect()
+    )
+    all_sorted = sorted(f"N{(i * 7) % 20:02d}-{i:02d}" for i in range(20))
+    assert got == all_sorted[5:]  # 15 survivors, exactly the tail
+
+    # plan pin: the ranking subtree plans a RANGE exchange and ranks
+    # per physical partition (_pid). The checkpoint barrier hides the
+    # subtree from explain, so neutralize it for the pin only.
+    import pyspark.sql.classic.dataframe as _cdf
+
+    orig = _cdf.DataFrame.localCheckpoint
+    _cdf.DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        ids = q_offset.matching_ids(ds.store.live())
+        plan = ids._sc._jvm.PythonSQLUtils.explainString(
+            ids._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        _cdf.DataFrame.localCheckpoint = orig
+    assert "rangepartitioning" in plan.lower()
+    assert "_pid" in plan  # the row_number window is keyed by partition id
