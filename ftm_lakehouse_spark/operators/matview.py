@@ -34,7 +34,46 @@ from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.model.statement import PARTITION_COLUMNS, STATEMENT_SCHEMA
 
-__all__ = ["IncrementalAggregate"]
+__all__ = ["IncrementalAggregate", "partial_aggregate", "merge_partials", "fold_partitions"]
+
+
+def partial_aggregate(
+    df: DataFrame,
+    partition_cols: list[str],
+    keys: list[str],
+    sums: list[str],
+    sum_cast: str = "double",
+) -> DataFrame:
+    """One slice's contribution to the view: count + sums at
+    (partitions × keys) grain. The additive-state building block —
+    what an append's delta and a rewrite's recompute both produce."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.col(c).cast(sum_cast)).alias(f"sum_{c}") for c in sums
+    ]
+    return df.groupBy(*partition_cols, *keys).agg(*aggs)
+
+
+def merge_partials(
+    parts: list[DataFrame], partition_cols: list[str], keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Fold partial states into one: additive measures sum, so state ∪
+    delta re-aggregates exactly — the algebra that makes incremental
+    maintenance equal a full recompute."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums
+    ]
+    return out.groupBy(*partition_cols, *keys).agg(*aggs)
+
+
+def fold_partitions(state: DataFrame, keys: list[str], sums: list[str]) -> DataFrame:
+    """The read side: partitions folded out, |keys|-grained rows."""
+    aggs = [F.sum("n").alias("n")] + [
+        F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums
+    ]
+    return state.groupBy(*keys).agg(*aggs)
 
 
 class IncrementalAggregate:
@@ -86,19 +125,10 @@ class IncrementalAggregate:
         return self.store.spark.read.parquet(d)
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in self.sums
-        ]
-        return df.groupBy(*PARTITION_COLUMNS, *self.keys).agg(*aggs)
+        return partial_aggregate(df, list(PARTITION_COLUMNS), self.keys, self.sums)
 
     def _merge_states(self, parts: list[DataFrame]) -> DataFrame:
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        aggs = [F.sum("n").alias("n")] + [
-            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sums
-        ]
-        return out.groupBy(*PARTITION_COLUMNS, *self.keys).agg(*aggs)
+        return merge_partials(parts, list(PARTITION_COLUMNS), self.keys, self.sums)
 
     # ---------------------------------------------------------- refresh
     def refresh(self) -> dict:
@@ -208,10 +238,7 @@ class IncrementalAggregate:
     # ------------------------------------------------------------- read
     def read(self) -> DataFrame:
         """The aggregate, partitions folded out: |keys|-grained rows."""
-        aggs = [F.sum("n").alias("n")] + [
-            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sums
-        ]
-        return self._state_df().groupBy(*self.keys).agg(*aggs)
+        return fold_partitions(self._state_df(), self.keys, self.sums)
 
 
 def _partition_of(rel_file: str) -> tuple[str, ...]:

@@ -75,9 +75,9 @@ GRADE_ORDER = [
     "w_range_frame",
     "w_sessionize",
     "o_entity_slice",
-    "o_topk_per_group",
+    "i_matview_refresh",
     "u_union_branches",
-    "u_intersect_except",
+    "i_canonical_since",
     "x_asof_join",
     "x_range_join",
     "j_interval_attribution",
@@ -1539,6 +1539,14 @@ def ftm_canonicalize(spark, sf_dir):
     first_seen fold in one query."""
     from ftm_lakehouse_spark.operators.merge import canonicalize
 
+    return canonicalize(_events_as_statements(spark, sf_dir)).select(
+        "id", "entity_id", "prop", "fragment", "first_seen", "last_seen", "deleted_at"
+    )
+
+
+def _events_as_statements(spark, sf_dir):
+    """Events → deterministic statement rows (the ftm_canonicalize
+    mapping, shared by the incremental gate)."""
     ev = load_table(spark, sf_dir, "events")
     minute = F.date_trunc("minute", F.col("ts"))
     stmts = ev.select(
@@ -1568,9 +1576,7 @@ def ftm_canonicalize(spark, sf_dir):
         .alias("fragment"),
         F.when(F.col("event_type") == "error", minute).alias("deleted_at"),
     )
-    return canonicalize(stmts).select(
-        "id", "entity_id", "prop", "fragment", "first_seen", "last_seen", "deleted_at"
-    )
+    return stmts
 
 
 def _embedding_cosine_oracle(
@@ -3651,3 +3657,91 @@ def f_like_prefix(spark, sf_dir):
     return p.filter(
         F.col("p_type").like("ECO%") & F.col("p_name").like("%widget%")
     ).select("p_partkey", "p_name", "p_type")
+
+
+# =====================================================================
+# I — incremental maintenance, oracle-checked (round-2 VERDICT item 8:
+# the canonical_since / matview refresh algebra had pytest pins but no
+# value-hash gate)
+# =====================================================================
+
+def _canonical_since_oracle() -> str:
+    """Scoped incremental recompute == full recompute restricted to the
+    changed entities: the oracle literally filters the ALREADY-VERIFIED
+    ftm_canonicalize oracle to the changed-id set, so a hash match
+    proves the semi-join-scoped merge returns byte-identical canonical
+    state for every touched entity."""
+    canon = QUERIES["ftm_canonicalize"][1]
+    return f"""
+    SELECT * FROM ({canon})
+    WHERE entity_id IN (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) FROM events
+        WHERE event_type = 'purchase' AND user_id % 7 = 0
+    )
+    """
+
+
+@_register("i_canonical_since", _canonical_since_oracle())
+def i_canonical_since(spark, sf_dir):
+    """The canonical_since composition (statement_store.py:495-502):
+    changed ids (here: entities touched by the 'new' slice — purchase
+    events stand in for post-cursor commits) → broadcast left-semi
+    scope over raw rows → the SAME canonicalize stack. O(changed
+    entities), not O(table), and provably equal to a full recompute
+    restricted to those entities."""
+    from ftm_lakehouse_spark.operators.merge import canonicalize
+
+    stmts = _events_as_statements(spark, sf_dir)
+    changed = (
+        stmts.filter(
+            (F.col("prop") == "purchase")
+            & (F.col("entity_id").cast("long") % 7 == 0)
+        )
+        .select("entity_id")
+        .distinct()
+    )
+    scoped = stmts.join(F.broadcast(changed), "entity_id", "left_semi")
+    return canonicalize(scoped).select(
+        "id", "entity_id", "prop", "fragment", "first_seen", "last_seen", "deleted_at"
+    )
+
+
+@_register(
+    "i_matview_refresh",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i_matview_refresh(spark, sf_dir):
+    """The matview maintenance algebra (operators/matview.py), oracle-
+    checked: 'state' built from the base slice, a 'delta' partial from
+    the new slice (a commit's appended files), merged at partition ×
+    key grain, partitions folded out on read — and the result must
+    hash-equal ONE direct aggregation over everything. Decimal sums
+    keep the partial-fold exact, so incremental == full to the bit."""
+    from ftm_lakehouse_spark.operators.matview import (
+        fold_partitions,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "pid", (F.dayofweek("ts") - 1).cast("long")
+    )
+    old = ev.filter(F.col("event_id") % 3 != 0)  # folded state
+    new = ev.filter(F.col("event_id") % 3 == 0)  # the refresh span
+    state = partial_aggregate(
+        old, ["pid"], ["event_type"], ["value"], sum_cast="decimal(12,4)"
+    )
+    delta = partial_aggregate(
+        new, ["pid"], ["event_type"], ["value"], sum_cast="decimal(12,4)"
+    )
+    merged = merge_partials([state, delta], ["pid"], ["event_type"], ["value"])
+    return fold_partitions(merged, ["event_type"], ["value"]).select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
