@@ -57,6 +57,12 @@ HEADLINE = [
     "x_histogram",
     "text_novelty_score",
     "sample_pack_sequences",
+    # round-3 additions
+    "text_repetition_stats",
+    "doc_chunk_overlap",
+    "text_unigram_logprob",
+    "sim_kmeans_update",
+    "dedup_semantic",
 ]
 
 

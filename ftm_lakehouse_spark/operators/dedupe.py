@@ -40,6 +40,7 @@ __all__ = [
     "benchmark_overlap",
     "duplicate_chunks",
     "winnow_fingerprint_pairs",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -560,4 +561,61 @@ def winnow_fingerprint_pairs(
         .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .agg(F.countDistinct("l.fp").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means blocking — cluster the embedding space, then compare pairs
+    only WITHIN a cluster. The insight is the same as every blocked
+    dedup tier in this module: semantically-duplicate pairs are
+    cosine-close, cosine-close vectors share a nearest centroid (for
+    reasonable k), so an equi-join on the cell id finds them without an
+    O(n²) cross join. Misses only pairs straddling a cell boundary —
+    the recall/cost trade SemDeDup accepts by design.
+
+    ``centroids`` come from :func:`~.similarity.kmeans_train`
+    (full-corpus distributed Lloyd's) or a seeded sample; they are
+    broadcast-size literals, so the assignment is a JVM-side argmin —
+    no shuffle until the cell-local pair join. Keeper policy is the
+    caller's; by convention the lower id (``a``) is kept.
+
+    Returns (a, b, cell, cosine) with a < b and cosine >= threshold.
+    """
+    from ftm_lakehouse_spark.functions.vectors import dot_product, l2_norm
+    from ftm_lakehouse_spark.operators.similarity import ivf_assign
+
+    assigned, _ = ivf_assign(
+        vectors.select(id_col, vec_col), centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = assigned.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.col("centroid").alias("cell"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cosine = dot_product(F.col("l.vec"), F.col("r.vec")) / (
+        F.col("l.norm") * F.col("r.norm")
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.cell").alias("cell"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -36,6 +36,8 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",
+    "kmeans_update",
+    "kmeans_train",
 ]
 
 
@@ -592,3 +594,80 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+# ------------------------------------------------------ distributed k-means
+def kmeans_update(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd's update step: assign every vector to its
+    nearest centroid (broadcast centroid literals, JVM-side argmin —
+    the :func:`ivf_assign` machinery) and recompute per-cell means.
+
+    Returns ``(centroid, n, mean: array<double>)`` — k rows. The whole
+    step is ONE shuffle: per-dimension ``avg`` columns with map-side
+    partial aggregation, so at 100 TB each executor reduces its
+    partitions to k×dim partial sums before anything moves. No driver
+    collect of the corpus; the only small data is the centroid table.
+
+    Reference point: the sample-based trainer in :func:`ivf_assign`
+    (and FAISS's default) trains on a bounded sample; this is the
+    full-corpus variant for when the sample under-represents the tail.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    assigned, _ = ivf_assign(corpus, centroids=C, vec_col=vec_col)
+    agg = assigned.groupBy("centroid").agg(
+        F.count("*").alias("n"),
+        *[
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"_m{i}")
+            for i in range(dim)
+        ],
+    )
+    return agg.select(
+        "centroid",
+        "n",
+        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mean"),
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the full corpus.
+
+    Init is deterministic (seeded hyperplane-free sample: the k rows
+    with the smallest ``md5(seed:id)`` — stable under partitioning and
+    engine), then ``iters`` rounds of :func:`kmeans_update`. Per round
+    only k×dim doubles reach the driver; the corpus never does. Empty
+    cells keep their previous centroid (FAISS behavior).
+
+    This is the trainer to feed :func:`ivf_assign` / :func:`ivfpq_topk`
+    when the corpus is too skewed for sample-based training."""
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+    else:
+        picked = (
+            corpus.select(
+                F.col(vec_col).alias("v"),
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(k)
+            .collect()
+        )
+        C = np.array([r["v"] for r in picked], dtype=np.float64)
+    for _ in range(iters):
+        rows = kmeans_update(corpus, C, vec_col=vec_col).collect()
+        for r in rows:
+            if r["n"] > 0:
+                C[r["centroid"]] = np.array(r["mean"], dtype=np.float64)
+    return C

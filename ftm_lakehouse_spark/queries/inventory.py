@@ -3745,3 +3745,293 @@ def i_matview_refresh(spark, sf_dir):
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# =====================================================================
+# T3 — round-3 training-pipeline depth: repetition filters, chunking,
+# corpus LM scoring, distributed k-means, semantic dedup
+# =====================================================================
+
+_WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@_register(
+    "text_repetition_stats",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), s AS (
+        SELECT doc_id, ws,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        FROM w
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w
+    ), bc AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), mx AS (
+        SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_words, n_distinct,
+           round(1.0 - (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+               AS dup_word_frac,
+           CAST(coalesce(max_bg, 0) AS BIGINT) AS top_bigram_n,
+           round((2.0 * CAST(coalesce(max_bg, 0) AS DOUBLE))
+                 / CAST(n_words AS DOUBLE), 6) AS top_bigram_frac
+    FROM s LEFT JOIN mx ON s.doc_id = mx.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of duplicated words and the mass of the most-repeated
+    word bigram — the standard signals for machine-generated or
+    boilerplate-looped text. All JVM-side: split → array_distinct for
+    the word tier; a transform-generated bigram array → explode →
+    count → max for the n-gram tier. One shuffle on (doc_id, bigram),
+    partial-aggregated map-side; at 100 TB this is a per-doc-local
+    computation that never joins the corpus against itself."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = d.select(
+        "doc_id",
+        words.alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    return base.join(bc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.coalesce(F.col("max_bg"), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.round(
+            (F.lit(2.0) * F.coalesce(F.col("max_bg"), F.lit(0)).cast("double"))
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+@_register(
+    "doc_chunk_overlap",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), s AS (
+        SELECT doc_id, ws, len(ws) AS n FROM w
+    ), c AS (
+        SELECT doc_id, ws,
+               CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+        FROM s
+    ), e AS (
+        SELECT doc_id, ws, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+        FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+               AS chunk_hash
+    FROM e
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking (window 32 words, stride 24 —
+    the RAG / context-window prep step): each document explodes into
+    ceil((n-W)/S)+1 chunks via a sequence + slice, no UDF, no shuffle
+    at all (chunking is row-local; the explode multiplies rows in
+    place). Chunk identity travels as md5(text) so downstream exact
+    chunk-dedup (dedup_chunks) keys on a 32-byte hash, not the text.
+    Integer chunk-count arithmetic (div, not float ceil) keeps the
+    row set bit-identical across engines."""
+    W_, S_ = 32, 24
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = d.select("doc_id", words.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= W_, F.lit(1)).otherwise(
+        F.expr(f"CAST(div(n - {W_} + {S_ - 1}, {S_}) + 1 AS INT)")
+    )
+    chunks = base.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("cw", F.expr(f"slice(ws, chunk_idx * {S_} + 1, {W_})"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("cw").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
+    )
+
+
+@_register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, term FROM toks, unnest(t) AS u(term)
+    ), lm AS (
+        SELECT term, count(*) AS cnt FROM words GROUP BY term
+    ), n AS (SELECT count(*) AS total FROM words),
+    scored AS (
+        SELECT w.doc_id,
+               CAST(round(ln(CAST(lm.cnt AS DOUBLE) / CAST(n.total AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lp
+        FROM words w JOIN lm USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality scoring (the CCNet/KenLM pattern, unigram
+    tier): train the LM on the corpus itself (one term-count
+    aggregation), broadcast-join the logprob table back onto the token
+    stream, and score each document by mean token logprob — low
+    scores flag gibberish, high scores flag degenerate/repetitive
+    text. Two shuffles total (term counts, per-doc fold) and the LM
+    table is broadcast-size by Heaps' law even at 100 TB (vocabulary
+    grows sublinearly). Per-token logprobs round to 9dp then sum as
+    decimals, so the per-doc fold is order-independent and the ln()
+    cross-engine agreement is at the rounded digit, not the ulp."""
+    from ftm_lakehouse_spark.functions.text import tokens
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    lm = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = words.count()
+    scored = words.join(F.broadcast(lm), "term").select(
+        "doc_id",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.lit(float(total))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+    )
+
+
+def _kmeans_update_oracle(num_centroids: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """SQL replay of one distributed Lloyd's step against the seeded
+    literal centroids: argmin assignment (the sim_ivf_assign machinery)
+    then per-(cell, dimension) decimal-exact means. The decimal cast
+    makes the sum order-independent, so the distributed fold and
+    DuckDB's serial fold agree to the bit."""
+    dists = _ivf_dists_sql(num_centroids, dim, seed)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{dists}] AS ds FROM base
+    ), a AS (
+        SELECT v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS centroid FROM d
+    ), e AS (
+        SELECT centroid, CAST(g.i - 1 AS INT) AS dim,
+               CAST(v[CAST(g.i AS INT)] AS DECIMAL(24,12)) AS x
+        FROM a, generate_series(1, {dim}) AS g(i)
+    )
+    SELECT centroid, dim, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(x) AS DOUBLE) / count(*), 9) AS mean
+    FROM e GROUP BY centroid, dim
+    """
+
+
+@_register("sim_kmeans_update", _kmeans_update_oracle())
+def sim_kmeans_update(spark, sf_dir):
+    """One full-corpus distributed Lloyd's update (similarity.
+    kmeans_update algebra): broadcast-literal argmin assignment, then
+    per-cell per-dimension means — the building block kmeans_train
+    loops, graded here in long (cell, dim) form with decimal-exact
+    sums so incremental == serial to the bit. At 100 TB this is ONE
+    shuffle per iteration: map-side partial sums reduce each executor
+    to k×dim cells before anything moves. The trainer loop itself
+    (deterministic init, empty-cell retention) is pinned by pytest
+    against a numpy reference."""
+    from ftm_lakehouse_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_assign(e, centroids=_ivf_centroids())
+    ex = assigned.select(
+        "centroid", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    return (
+        ex.groupBy("centroid", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("double").cast("decimal(24,12)")).alias("s"),
+        )
+        .select(
+            F.col("centroid").cast("int").alias("centroid"),
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("mean"),
+        )
+    )
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.4, num_centroids: int = 8, dim: int = 64, seed: int = 11
+) -> str:
+    dists = _ivf_dists_sql(num_centroids, dim, seed)
+    cos = (
+        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+        " * sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{dists}] AS ds FROM base
+    ), a AS (
+        SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+        FROM d
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b, l.cell AS cell, {cos} AS cosine
+    FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@_register("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means blocking — candidates are pairs sharing a nearest centroid
+    (equi-join on the cell id; the corpus never self-joins across
+    cells), verified by exact rounded cosine. Centroids here are the
+    seeded literals the oracle can replay; production feeds
+    similarity.kmeans_train output. Threshold 0.4 because the
+    synthetic corpus plants no true near-dups (max pairwise cosine
+    ~0.51) and a 0-row gate would be vacuous."""
+    from ftm_lakehouse_spark.operators.dedupe import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, _ivf_centroids(), threshold=0.4)

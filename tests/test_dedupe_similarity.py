@@ -287,3 +287,78 @@ def test_pq_quantization_quality(spark):
         rows = pq_adc_topk(e.limit(64), e.limit(64), books, k=1).collect()
         return sum(r["adist"] for r in rows) / len(rows)
     assert mean_self_dist(trained) < mean_self_dist(random_books)
+
+
+# --------------------------------------------------------- k-means
+def test_kmeans_train_matches_numpy_lloyds(spark):
+    """The distributed trainer must reproduce serial Lloyd's exactly:
+    same deterministic init, same assignments, same means (float noise
+    aside), same empty-cell retention."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import kmeans_train
+
+    rng = np.random.default_rng(3)
+    X = np.vstack(
+        [
+            rng.standard_normal((40, 8)) + 10.0,
+            rng.standard_normal((40, 8)) - 10.0,
+            rng.standard_normal((40, 8)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        ["vec_id", "embedding"],
+    )
+    init = X[:4].copy()
+    got = kmeans_train(df, k=4, iters=3, init=init)
+
+    # serial reference
+    C = init.copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    assert np.allclose(got, C, atol=1e-9)
+
+
+def test_kmeans_train_deterministic_init(spark):
+    """Seeded hash init is stable under repartitioning."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import kmeans_train
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((60, 4))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    df1 = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df2 = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+    c1 = kmeans_train(df1, k=3, iters=2, seed=11)
+    c2 = kmeans_train(df2, k=3, iters=2, seed=11)
+    assert np.allclose(c1, c2)
+
+
+def test_semantic_dedup_blocks_by_cell(spark):
+    """SemDeDup pairs: only within-cell pairs are candidates; planted
+    near-identical vectors in the same cluster are found, equally-close
+    vectors straddling clusters are (by design) not."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.dedupe import semantic_dedup_pairs
+
+    base = np.eye(4)
+    rows = []
+    # two near-identical vectors near e1 (same cell), one lone near e2
+    rows.append((0, [1.0, 0.01, 0.0, 0.0]))
+    rows.append((1, [1.0, 0.02, 0.0, 0.0]))
+    rows.append((2, [0.0, 1.0, 0.01, 0.0]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    out = semantic_dedup_pairs(df, base, threshold=0.9).collect()
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert all(2 not in p for p in pairs)
