@@ -591,6 +591,7 @@ def semantic_dedup_pairs(
     from ftm_lakehouse_spark.functions.vectors import dot_product, l2_norm
     from ftm_lakehouse_spark.operators.similarity import ivf_assign
 
+    par = vectors.sparkSession.sparkContext.defaultParallelism
     assigned, _ = ivf_assign(
         vectors.select(id_col, vec_col), centroids=centroids,
         id_col=id_col, vec_col=vec_col,
@@ -600,14 +601,19 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("vec"),
         F.col("centroid").alias("cell"),
         l2_norm(F.col(vec_col)).alias("norm"),
-    )
-    l, r = base.alias("l"), base.alias("r")
-    cosine = dot_product(F.col("l.vec"), F.col("r.vec")) / (
-        F.col("l.norm") * F.col("r.norm")
-    )
-    return (
-        l.join(
-            r,
+    ).localCheckpoint(eager=False)
+    # candidate generation moves only (doc, cell): the cell key has k
+    # distinct values, so anything heavier through this join would both
+    # skew and serialize. The cosine verify — the real compute, one
+    # fold per pair — happens AFTER re-hydration through the
+    # high-cardinality id joins, which spread pairs across the cluster
+    # regardless of k (the same narrow-candidates-then-hydrate shape as
+    # embedding_near_dups / minhash_lsh_pairs).
+    ids = base.select("doc", "cell")
+    cand = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
             (F.col("l.cell") == F.col("r.cell"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
@@ -615,7 +621,20 @@ def semantic_dedup_pairs(
             F.col("l.doc").alias("a"),
             F.col("r.doc").alias("b"),
             F.col("l.cell").alias("cell"),
-            F.round(cosine, 6).alias("cosine"),
+        )
+        .repartition(par, "a")
+    )
+    hydrated = cand.join(
+        base.select(F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")),
+        "a",
+    ).join(
+        base.select(F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")),
+        "b",
+    )
+    cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        hydrated.select(
+            "a", "b", "cell", F.round(cosine, 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

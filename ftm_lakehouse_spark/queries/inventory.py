@@ -3924,8 +3924,11 @@ def text_unigram_logprob(spark, sf_dir):
 
     d = _spread(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    lm = words.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = words.count()
+    # the LM is vocabulary-sized: materialize it once (it feeds both the
+    # total-token count and the broadcast join) instead of re-tokenizing
+    # the corpus for a separate count() pass
+    lm = words.groupBy("term").agg(F.count("*").alias("cnt")).localCheckpoint(eager=True)
+    total = lm.agg(F.sum("cnt")).first()[0]
     scored = words.join(F.broadcast(lm), "term").select(
         "doc_id",
         F.round(

@@ -276,3 +276,44 @@ def test_offset_without_limit_avoids_single_partition_rank(spark, lake_root):
         _cdf.DataFrame.localCheckpoint = orig
     assert "rangepartitioning" in plan.lower()
     assert "_pid" in plan  # the row_number window is keyed by partition id
+
+
+def test_semantic_dedup_join_is_equi(spark):
+    # SemDeDup candidates come from the cell equi-join — never a
+    # nested-loop cross product, at any corpus size
+    plan = plan_of(spark, "dedup_semantic")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    # count Exchange operator detail headers ("(7) Exchange"), not the
+    # tree-summary duplicates
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_chunking_has_no_shuffle(spark):
+    # chunking is row-local: explode multiplies rows in place; the only
+    # allowed Exchange is the small-table spread repartition
+    plan = plan_of(spark, "doc_chunk_overlap")
+    assert _n_exchanges(plan) <= 1  # the _spread() repartition only
+    assert "Generate" in plan  # the explode
+
+
+def test_kmeans_update_single_shuffle(spark):
+    # one Lloyd's step = ONE aggregation shuffle (plus the explode's
+    # input ordering): partial sums reduce map-side before the
+    # (centroid, dim) exchange
+    plan = plan_of(spark, "sim_kmeans_update")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert _n_exchanges(plan) <= 2
+
+
+def test_unigram_lm_join_is_broadcast(spark):
+    # the LM table is vocabulary-sized (Heaps' law) — must broadcast,
+    # never shuffle the token stream on the term key
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
