@@ -102,6 +102,12 @@ from ftm_lakehouse_spark.model.ontology import SCHEMA_BUCKETS  # noqa: E402
 
 BUCKETS = ("thing", "interval", "document", "page", "pages", "mention")
 
+#: Buckets whose ``value`` column carries long text (document bodies,
+#: page text) — they take the LARGE parquet writer profile
+#: (reference writer_for_bucket, small-vs-large split at
+#: storage/parquet.py:487-541).
+LARGE_VALUE_BUCKETS = frozenset({"document", "page", "pages"})
+
 #: The synthesized checksum property name carried by every entity
 #: emission (reference BASE_ID: helpers/statements.py:102-144).
 BASE_ID_PROP = "id"

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.model.dataset import DatasetConfig
 from ftm_lakehouse_spark.model.statement import (
+    LARGE_VALUE_BUCKETS,
     PARTITION_COLUMNS,
     STATEMENT_SCHEMA,
     WRITE_SORT_COLUMNS,
@@ -203,28 +204,51 @@ class StatementStore:
         parts = sorted({_partition_of(f) for f in files})
         self.commits.try_bootstrap(parts, files)
 
-    def _stage_move(self, df: DataFrame) -> tuple[set[str], list[tuple[str, ...]]]:
+    def _stage_move(
+        self, df: DataFrame, buckets: set[str] | None = None
+    ) -> tuple[set[str], list[tuple[str, ...]]]:
         """Write ``df`` via a private stage directory, then move each
         (uniquely-named) file into the table. Returns (data-dir-relative
         files, partitions touched). The private stage removes the stock
         committer's shared ``_temporary`` hazard, so ANY number of
         writers — threads or drivers — can run this concurrently; files
-        become *visible* only when the caller's commit record lands."""
+        become *visible* only when the caller's commit record lands.
+
+        Writer profiles are per BUCKET (reference
+        storage/parquet.py:487-541 splits its append by bucket for
+        exactly this): document-family buckets carry long text values
+        and get the large profile (zstd, smaller row groups, no value
+        dictionary); thing/interval buckets get the small profile
+        (snappy, big row groups, dictionaries). Parquet writer options
+        are per write JOB in Spark, so the batch splits into one job
+        per profile actually present — the partition pruning on the
+        ``bucket`` partition column makes each job scan only its slice."""
         fs = self._fs
-        stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        (
-            self._cluster_for_write(df)
-            .write.mode("overwrite")
-            .options(**self._write_options())
-            .partitionBy(*PARTITION_COLUMNS)
-            .parquet(stage)
-        )
         data = self._data_path()
         moved: set[str] = set()
-        for rel in sorted(fs.parquet_files(stage)):
-            fs.rename(fs.join(stage, rel), fs.join(data, rel))
-            moved.add(rel)
-        fs.delete(stage)
+        if buckets is None:
+            # callers that already enumerated their partitions pass the
+            # bucket set in — this fallback is an extra scan of df
+            buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
+        groups = [
+            (True, sorted(b for b in buckets if b in LARGE_VALUE_BUCKETS)),
+            (False, sorted(b for b in buckets if b not in LARGE_VALUE_BUCKETS)),
+        ]
+        for large, members in groups:
+            if not members:
+                continue
+            stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
+            (
+                self._cluster_for_write(df.filter(F.col("bucket").isin(members)))
+                .write.mode("overwrite")
+                .options(**self._write_options(large=large))
+                .partitionBy(*PARTITION_COLUMNS)
+                .parquet(stage)
+            )
+            for rel in sorted(fs.parquet_files(stage)):
+                fs.rename(fs.join(stage, rel), fs.join(data, rel))
+                moved.add(rel)
+            fs.delete(stage)
         parts = sorted({_partition_of(f) for f in moved})
         return moved, parts
 
@@ -249,7 +273,7 @@ class StatementStore:
         for r in touched:
             self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
         self._ensure_bootstrap()
-        added, parts = self._stage_move(df)
+        added, parts = self._stage_move(df, buckets={r["bucket"] for r in touched})
         if added:
             # the atomic replay re-check inside commit() closes the race
             # two concurrent replays of one epoch could otherwise hit;
@@ -258,16 +282,37 @@ class StatementStore:
         self.tags.touch("last_updated")
 
     @staticmethod
-    def _write_options() -> dict[str, str]:
+    def _write_options(large: bool = False) -> dict[str, str]:
         """Parquet bloom filters on the point-lookup keys: with files
         clustered by entity_id, min/max stats skip most files and the
         bloom filter kills the rest without decoding pages (the engine's
-        substitute for Delta ZORDER on lookups)."""
-        return {
+        substitute for Delta ZORDER on lookups).
+
+        Two writer profiles (reference ``writer_for_bucket``, small vs
+        large): document-family buckets hold multi-KB ``value`` strings
+        — zstd buys 2-3× over snappy on text, the 32 MB row group keeps
+        per-group memory bounded when single values are large, and the
+        ``value`` dictionary is disabled because long high-cardinality
+        strings only bloat dictionary pages before falling back anyway.
+        Small-value buckets keep snappy (cheapest decode on the hot
+        merge/query path), 128 MB row groups, default dictionaries."""
+        base = {
             "parquet.bloom.filter.enabled#entity_id": "true",
             "parquet.bloom.filter.expected.ndv#entity_id": "1000000",
             "parquet.bloom.filter.enabled#id": "true",
         }
+        if large:
+            base |= {
+                "compression": "zstd",
+                "parquet.block.size": str(32 * 1024 * 1024),
+                "parquet.enable.dictionary#value": "false",
+            }
+        else:
+            base |= {
+                "compression": "snappy",
+                "parquet.block.size": str(128 * 1024 * 1024),
+            }
+        return base
 
     def _cluster_for_write(self, df: DataFrame) -> DataFrame:
         """Distribute rows for writing: partition columns + an

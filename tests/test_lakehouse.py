@@ -299,3 +299,32 @@ def test_numeric_property_sort(spark, lake_root):
     assert first_lex[0]["properties"]["amountEur"] == ["100"]  # "100" < "2" lexically
     assert first_num[0]["properties"]["amountEur"] == ["2"]    # 2 < 30 < 100
     assert sorted(lex) == sorted(num)  # same membership at full size
+
+
+def test_per_bucket_writer_profiles(spark, lake_root):
+    """Document-family buckets get the large writer profile (zstd),
+    thing/interval buckets the small one (snappy) — the reference's
+    writer_for_bucket split (storage/parquet.py:487-541)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lh = Lakehouse(spark, str(lake_root))
+    ds = lh.dataset("profiles")
+    art = {
+        "id": "art1",
+        "schema": "Article",
+        "properties": {"title": ["T"], "bodyText": ["lorem ipsum " * 200]},
+    }
+    ds.write_entities(entities_df(spark, JANE, art))
+
+    root = os.path.join(str(lake_root), "profiles", "statements")
+    codecs = {}
+    for path in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        bucket = [s.split("=", 1)[1] for s in path.split(os.sep) if s.startswith("bucket=")][0]
+        meta = pq.ParquetFile(path).metadata
+        codecs.setdefault(bucket, set()).add(
+            meta.row_group(0).column(0).compression
+        )
+    assert codecs["document"] == {"ZSTD"}
+    assert codecs["thing"] == {"SNAPPY"}
