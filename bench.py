@@ -63,6 +63,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "sim_kmeans_update",
     "dedup_semantic",
+    "pipeline_embedding_curation",
 ]
 
 

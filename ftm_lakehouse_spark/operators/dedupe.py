@@ -566,10 +566,11 @@ def winnow_fingerprint_pairs(
 
 def semantic_dedup_pairs(
     vectors: DataFrame,
-    centroids,
+    centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
     k-means blocking — cluster the embedding space, then compare pairs
@@ -586,16 +587,22 @@ def semantic_dedup_pairs(
     no shuffle until the cell-local pair join. Keeper policy is the
     caller's; by convention the lower id (``a``) is kept.
 
+    ``assigned`` short-circuits the assignment: a DataFrame already
+    carrying ``centroid`` (e.g. a persisted IVF index, or a pipeline
+    stage that assigned once and reuses it for dedup AND search) is
+    used as-is instead of recomputing the argmin.
+
     Returns (a, b, cell, cosine) with a < b and cosine >= threshold.
     """
     from ftm_lakehouse_spark.functions.vectors import dot_product, l2_norm
     from ftm_lakehouse_spark.operators.similarity import ivf_assign
 
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    assigned, _ = ivf_assign(
-        vectors.select(id_col, vec_col), centroids=centroids,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if assigned is None:
+        assigned, _ = ivf_assign(
+            vectors.select(id_col, vec_col), centroids=centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
     base = assigned.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),

@@ -94,7 +94,7 @@ GRADE_ORDER = [
     "sim_ivfpq_topk",
     "text_lang_id",
     "text_quality_score",
-    "sample_hash_based",
+    "pipeline_embedding_curation",
     "sample_temperature_mix",
     "sample_pack_sequences",
 ]
@@ -4038,3 +4038,98 @@ def dedup_semantic(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(e, _ivf_centroids(), threshold=0.4)
+
+
+def _embedding_curation_oracle(
+    threshold: float = 0.4, num_centroids: int = 8, dim: int = 64, seed: int = 11
+) -> str:
+    """The capstone's stages replayed as one SQL text: each CTE is the
+    (independently verified) oracle of its standalone gate — argmin
+    assignment (sim_ivf_assign), within-cell cosine pairs
+    (dedup_semantic), int8 quantization (sim_quantize_int8) — so a hash
+    match here proves the COMPOSITION, mirroring
+    pipeline_pretrain_corpus on the documents side."""
+    dists = _ivf_dists_sql(num_centroids, dim, seed)
+    cos = (
+        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+        " * sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, label, v, [{dists}] AS ds FROM base
+    ), a AS (
+        SELECT vec_id, label, v,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+        FROM d
+    ), dups AS (
+        SELECT DISTINCT r.vec_id AS vec_id
+        FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        WHERE {cos} >= {threshold}
+    ), kept AS (
+        SELECT * FROM a WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    ), s AS (
+        SELECT vec_id, label, cell, v,
+               greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                        1e-12) AS scale
+        FROM kept
+    ), q AS (
+        SELECT vec_id, label, cell, scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+        FROM s
+    )
+    SELECT vec_id, CAST(label AS INT) AS label, cell,
+           round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_sum(q) AS BIGINT) AS q_sum
+    FROM q
+    """
+
+
+@_register("pipeline_embedding_curation", _embedding_curation_oracle())
+def pipeline_embedding_curation(spark, sf_dir):
+    """CAPSTONE (embeddings side): the vector-corpus curation pipeline
+    — cell assignment (IVF coarse quantizer) ∘ SemDeDup purge (drop the
+    higher id of every within-cell near-dup pair) ∘ int8 quantization
+    of the survivors — composed end-to-end. The assignment runs ONCE
+    (eager localCheckpoint) and feeds both the dedup pair join and the
+    kept-set — the subtree-reuse lesson pipeline_pretrain_corpus
+    learned in round 2, applied from the start. Each stage is the same
+    operator its standalone gate grades, and the oracle embeds those
+    verified SQL texts, so the hash match proves the composition.
+
+    At 100 TB: assignment is a broadcast argmin (no shuffle), the purge
+    joins are cell-equi + id-anti (never all-pairs), quantization is
+    row-local — the pipeline's only shuffles are the SemDeDup pair
+    generation and its id-hydration."""
+    from ftm_lakehouse_spark.functions.vectors import quantize_int8
+    from ftm_lakehouse_spark.operators.dedupe import semantic_dedup_pairs
+    from ftm_lakehouse_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_assign(e, centroids=_ivf_centroids())
+    assigned = assigned.localCheckpoint(eager=True)
+    pairs = semantic_dedup_pairs(
+        e, threshold=0.4, assigned=assigned
+    )
+    dups = pairs.select(F.col("b").alias("vec_id")).distinct()
+    kept = assigned.join(dups, "vec_id", "left_anti")
+    qz = kept.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("centroid").alias("cell"),
+        quantize_int8(F.col("embedding")).alias("qz"),
+    )
+    return qz.select(
+        "vec_id",
+        "label",
+        "cell",
+        F.round(F.col("qz.scale"), 6).alias("scale"),
+        F.aggregate(
+            F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.aggregate(
+            F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+    )
