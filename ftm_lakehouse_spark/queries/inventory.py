@@ -4133,3 +4133,159 @@ def pipeline_embedding_curation(spark, sf_dir):
             F.col("qz.q"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("q_sum"),
     )
+
+
+def _cms_oracle(d: int = 4, w: int = 64) -> str:
+    """CMS replay: the same md5-derived row hashes, the same (row,
+    bucket) count table, the same min-over-rows estimate — integer
+    counts end to end, so the gate is exact despite the sketch being
+    'approximate' (the approximation is in WHAT it stores, not in any
+    engine-dependent arithmetic)."""
+    hashes = ", ".join(
+        f"CAST(('0x' || substring(md5('cms{i}:' || term), 1, 8)) AS BIGINT) % {w} AS h{i}"
+        for i in range(d)
+    )
+    rows_union = " UNION ALL ".join(
+        f"SELECT {i} AS row, h{i} AS bucket FROM h" for i in range(d)
+    )
+    sketch_joins = " ".join(
+        f"JOIN sketch s{i} ON s{i}.row = {i} AND s{i}.bucket = dt.h{i}"
+        for i in range(d)
+    )
+    least = ", ".join(f"s{i}.c" for i in range(d))
+    return f"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), words AS (
+        SELECT term FROM toks, unnest(t) AS u(term)
+    ), h AS (
+        SELECT term, {hashes} FROM words
+    ), sketch AS (
+        SELECT row, bucket, count(*) AS c FROM ({rows_union}) GROUP BY row, bucket
+    ), truec AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM words GROUP BY term
+    ), dt AS (
+        SELECT term, {", ".join(f"min(h{i}) AS h{i}" for i in range(d))}
+        FROM h GROUP BY term
+    )
+    SELECT dt.term, truec.true_cnt,
+           CAST(least({least}) AS BIGINT) AS est_cnt
+    FROM dt JOIN truec USING (term) {sketch_joins}
+    """
+
+
+@_register("x_countmin_sketch", _cms_oracle())
+def x_countmin_sketch(spark, sf_dir):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: d=4 seeded md5 row hashes × w=64 counters, estimate =
+    min over rows — the fixed-size mergeable sketch for heavy-hitter
+    detection when the true frequency table would not fit. The sketch
+    build is one groupBy over (row, bucket) — d×w cells regardless of
+    corpus size, merging by addition across partitions, windows, or
+    days (the property that makes it a streaming-state primitive).
+    Estimates never undercount; the gate emits true vs estimated
+    counts for every term so the overcount distribution is visible.
+    Integer arithmetic end to end — a FULL-oracle gate for an
+    'approximate' data structure."""
+    from ftm_lakehouse_spark.functions.text import tokens
+
+    D_, W_ = 4, 64
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def bucket(i):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), F.col("term"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % W_
+        )
+
+    h = words.select("term", *[bucket(i).alias(f"h{i}") for i in range(D_)])
+    cells = h.select(
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(D_)])).alias(
+            "row", "bucket"
+        )
+    )
+    sketch = cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    truec = words.groupBy("term").agg(F.count("*").cast("bigint").alias("true_cnt"))
+    dt = h.groupBy("term").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(D_)]
+    )
+    est = dt.join(truec, "term")
+    for i in range(D_):
+        si = sketch.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"h{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(si), f"h{i}")
+    return est.select(
+        "term",
+        "true_cnt",
+        F.least(*[F.col(f"c{i}") for i in range(D_)]).cast("bigint").alias("est_cnt"),
+    )
+
+
+@_register(
+    "sample_interleave_sources",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('order:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rank_in_source
+        FROM documents
+    ), dims AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx,
+               CAST(count(*) OVER () AS BIGINT) AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           (r.rank_in_source - 1) * d.n_sources + d.source_idx AS global_pos
+    FROM ranked r JOIN dims d USING (source)
+    """,
+)
+def sample_interleave_sources(spark, sf_dir):
+    """Deterministic training-order construction: shuffle each source
+    by a content hash (stable under partitioning, reruns, and engine),
+    then round-robin interleave the sources into one global position —
+    ``pos = (rank_in_source - 1) * n_sources + source_idx`` — so a
+    sequential reader sees sources evenly mixed from step 0 (the
+    data-ordering requirement for training, where a source-sorted
+    corpus would make early steps see one distribution).
+
+    No global sort and no single-partition window: the only window
+    partitions by source (parallel across sources), the source
+    dimension is a broadcast-size distinct, and the global position is
+    arithmetic. A 100 TB corpus interleaves with one shuffle on the
+    source key; writers then range-partition on global_pos to emit
+    ordered shards."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    wsrc = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wsrc).cast("bigint").alias("rank_in_source"),
+    )
+    srcs = sorted(r["source"] for r in d.select("source").distinct().collect())
+    dims = spark.createDataFrame(
+        [(s, i, len(srcs)) for i, s in enumerate(srcs)],
+        "source string, source_idx bigint, n_sources bigint",
+    )
+    return ranked.join(F.broadcast(dims), "source").select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (
+            (F.col("rank_in_source") - 1) * F.col("n_sources")
+            + F.col("source_idx")
+        ).alias("global_pos"),
+    )
