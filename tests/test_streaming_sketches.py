@@ -1,0 +1,93 @@
+"""Streaming CMS: bounded-state frequency estimation.
+
+The invariants: stream == batch (the same cells, built statefully),
+merge algebra is exact, state never exceeds d×w rows, and estimates
+never undercount."""
+
+from pyspark.sql import functions as F
+
+from ftm_lakehouse_spark.streaming.sketches import (
+    cms_estimate,
+    cms_sketch,
+    merge_sketches,
+)
+
+D, W = 4, 32
+
+
+def _keys(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["k"])
+
+
+def test_stream_sketch_matches_batch(spark, tmp_path):
+    values = [f"k{i % 7}" for i in range(200)] + ["rare1", "rare2"]
+    df = _keys(spark, values)
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+
+    batch = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_sketch(df, "k", D, W).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        cms_sketch(stream, "k", D, W)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_state").collect()
+    }
+    assert streamed == batch
+    # bounded state: never more than d×w cells
+    assert len(streamed) <= D * W
+
+
+def test_merge_is_exact(spark):
+    a = _keys(spark, ["x"] * 5 + ["y"] * 3)
+    b = _keys(spark, ["x"] * 2 + ["z"] * 7)
+    both = _keys(spark, ["x"] * 7 + ["y"] * 3 + ["z"] * 7)
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in merge_sketches(
+            cms_sketch(a, "k", D, W), cms_sketch(b, "k", D, W)
+        ).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_sketch(both, "k", D, W).collect()
+    }
+    assert merged == direct
+
+
+def test_estimates_never_undercount_and_bound_error(spark):
+    import collections
+
+    values = [f"hot{i % 3}" for i in range(300)] + [f"cold{i}" for i in range(50)]
+    df = _keys(spark, values)
+    sk = cms_sketch(df, "k", D, W)
+    keys = _keys(spark, sorted(set(values)))
+    est = {r["k"]: r["est_cnt"] for r in cms_estimate(sk, keys, "k", D, W).collect()}
+    true = collections.Counter(values)
+    for k, tc in true.items():
+        assert est[k] >= tc
+    # heavy hitters stand out: every hot key estimate beats every
+    # plausible cold estimate + the εN overcount bound isn't blown
+    n = len(values)
+    eps_bound = (2.718 / W) * n * 3  # generous multiple of e/w·N
+    for k, tc in true.items():
+        assert est[k] - tc <= eps_bound
+
+
+def test_unseen_keys_estimate_small(spark):
+    df = _keys(spark, ["a"] * 10)
+    sk = cms_sketch(df, "k", D, W)
+    est = {r["k"]: r["est_cnt"] for r in cms_estimate(sk, _keys(spark, ["zzz"]), "k", D, W).collect()}
+    # may collide with 'a' cells, but min-over-rows keeps it <= true N
+    assert 0 <= est["zzz"] <= 10
