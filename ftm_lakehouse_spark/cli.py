@@ -81,6 +81,36 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("vacuum", help="reap files older than the retention window")
     s.add_argument("dataset")
     s.add_argument("--retention-hours", type=float, default=168.0)
+
+    s = sub.add_parser("crawl", help="archive a directory tree and ingest Document/Folder entities")
+    s.add_argument("dataset")
+    s.add_argument("src_dir")
+    s.add_argument("--origin", default="crawl")
+    s.add_argument("--no-entities", action="store_true",
+                   help="archive blobs only, skip entity ingestion")
+
+    s = sub.add_parser("head", help="print archive metadata for a content hash")
+    s.add_argument("dataset")
+    s.add_argument("content_hash")
+
+    s = sub.add_parser("download", help="copy all archive blobs to a local directory")
+    s.add_argument("dataset")
+    s.add_argument("target")
+
+    s = sub.add_parser("stream", help="stream a pre-exported artifact byte-to-byte to stdout")
+    s.add_argument("dataset")
+    s.add_argument("--what", choices=("entities", "statements", "documents"),
+                   default="entities")
+
+    s = sub.add_parser("unlock", help="forcibly release the commit-log lock file")
+    s.add_argument("dataset")
+
+    s = sub.add_parser("configure", help="create or update a dataset config sidecar")
+    s.add_argument("dataset")
+    s.add_argument("--title", default=None)
+    s.add_argument("--shards", type=int, default=None)
+    s.add_argument("--compression", default=None)
+    s.add_argument("--public-url-prefix", default=None)
     return p
 
 
@@ -155,6 +185,79 @@ def main(argv: list[str] | None = None) -> int:
             retention_hours=args.retention_hours
         )
         print(json.dumps({"removed": len(removed)}))
+    elif args.cmd == "crawl":
+        n = lake.dataset(args.dataset).crawl(
+            args.src_dir, origin=args.origin, make_entities=not args.no_entities
+        )
+        print(json.dumps({"archived": n, "entities": not args.no_entities}))
+    elif args.cmd == "head":
+        meta = lake.dataset(args.dataset).archive.get_meta(args.content_hash)
+        if meta is None:
+            print("not found", file=sys.stderr)
+            return 1
+        print(json.dumps(meta))
+    elif args.cmd == "download":
+        n = lake.dataset(args.dataset).archive.download_all(args.target)
+        print(json.dumps({"downloaded": n}))
+    elif args.cmd == "stream":
+        # reference streams the published artifact byte-to-byte
+        # (cli/entities.py:42-57) instead of a python re-serialization
+        ds = lake.dataset(args.dataset)
+        name = {
+            "entities": "entities.ftm.json",
+            "statements": "statements.csv",
+            "documents": "documents.csv",
+        }[args.what]
+        art = ds._fs.join(ds.path, "exports", name)
+        if not ds._fs.exists(art):
+            print(f"artifact {name} not published — run `make` first", file=sys.stderr)
+            return 1
+        if ds._fs.isdir(art):
+            # Spark writes an artifact as a directory of ordered part
+            # files — stream them in name order (the write was sorted),
+            # decompressing like the reference's decompress_stream
+            # (cli/entities.py:52-57)
+            import os as _os
+
+            def _stream(path: str) -> None:
+                if path.endswith(".zst"):
+                    import pyarrow as _pa
+
+                    with _pa.input_stream(path, compression="zstd") as fh:
+                        sys.stdout.write(fh.read().decode("utf-8"))
+                elif path.endswith(".gz"):
+                    import gzip as _gzip
+
+                    with _gzip.open(path, "rt") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), ""):
+                            sys.stdout.write(chunk)
+                else:
+                    with open(path) as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), ""):
+                            sys.stdout.write(chunk)
+
+            for part in sorted(_os.listdir(art)):
+                if part.startswith("_") or part.endswith(".crc"):
+                    continue
+                _stream(_os.path.join(art, part))
+        else:
+            sys.stdout.write(ds._fs.read_text(art))
+    elif args.cmd == "unlock":
+        released = lake.dataset(args.dataset).unlock()
+        print("lock released" if released else "no lock held")
+    elif args.cmd == "configure":
+        kw = {
+            k: v
+            for k, v in (
+                ("title", args.title),
+                ("shards", args.shards),
+                ("compression", args.compression),
+                ("public_url_prefix", args.public_url_prefix),
+            )
+            if v is not None
+        }
+        ds = lake.dataset(args.dataset, **kw)
+        print(json.dumps(ds.config.__dict__, default=str))
     elif args.cmd == "diff":
         # I6: cursor stored as a deduped version artifact
         from datetime import datetime, timezone

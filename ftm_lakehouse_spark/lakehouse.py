@@ -228,6 +228,39 @@ class Dataset:
             return None
         return self.config.public_url_prefix.format(dataset=self.config.name)
 
+    @property
+    def archive(self):
+        """The dataset's content-addressed blob archive (reference
+        archive repository; CLI ``crawl``/``head``/``download``)."""
+        from ftm_lakehouse_spark.sources.archive import BlobArchive
+
+        return BlobArchive(self._fs.join(self.path, "archive"))
+
+    def crawl(self, src_dir: str, origin: str = "crawl", make_entities: bool = True) -> int:
+        """Archive every file under ``src_dir`` and (optionally) ingest
+        the Document/Folder entity tree (reference CLI ``crawl``,
+        cli/crawl.py:15-33 → operation/crawl). Returns files archived."""
+        from ftm_lakehouse_spark.sources.archive import crawl_to_entities
+
+        files = self.archive.crawl(src_dir)
+        if make_entities and files:
+            self.write_entities(crawl_to_entities(self.spark, files), origin=origin)
+        return len(files)
+
+    def unlock(self) -> bool:
+        """Forcibly release the commit-log lock file (reference CLI
+        ``unlock``, cli/maintenance.py:130-144). Only meaningful when a
+        LockClient is configured AND its holder died inside the lease;
+        the default put-if-absent protocol takes no locks at all. Safe
+        because commits re-validate with a read-back fence — breaking a
+        live writer's lock degrades to a CommitConflict, never a
+        corrupt log. No-op (False) if no lock file exists."""
+        lock_path = self.store.commits.root.rstrip("/") + ".lock"
+        if not self._fs.exists(lock_path):
+            return False
+        self._fs.delete(lock_path)
+        return True
+
     def _has_documents(self) -> bool:
         """Reference export_csv short-circuit (documents.py:118-124):
         one cheap probe on the schema filter before any document work —

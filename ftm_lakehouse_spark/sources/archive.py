@@ -106,6 +106,37 @@ class BlobArchive:
         blob = os.path.join(self._blob_dir(checksum), "blob")
         return blob if os.path.exists(blob) else None
 
+    def get_meta(self, checksum: str) -> dict | None:
+        """Metadata object for a content hash (reference CLI
+        ``archive head``, cli/archive.py:36-42)."""
+        p = os.path.join(self._blob_dir(checksum), "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def list(self) -> list[dict]:
+        """All archived file metadata (reference ``archive ls``)."""
+        out = []
+        for root, _dirs, files in os.walk(self.root):
+            if "meta.json" in files:
+                with open(os.path.join(root, "meta.json")) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["name"])
+
+    def download_all(self, target: str) -> int:
+        """Copy every blob out under its original name (reference
+        ``archive download``, cli/archive.py:64-68)."""
+        n = 0
+        for meta in self.list():
+            dst = os.path.join(target, meta["name"])
+            os.makedirs(os.path.dirname(dst) or target, exist_ok=True)
+            shutil.copyfile(
+                os.path.join(self._blob_dir(meta["checksum"]), "blob"), dst
+            )
+            n += 1
+        return n
+
     def crawl(self, src_dir: str) -> list[ArchivedFile]:
         """Archive every file under ``src_dir`` (relative names kept)."""
         out = []

@@ -92,3 +92,51 @@ def test_cli_smoke(tmp_path):
     assert "Jane Doe" in r.stdout  # version 1 = the original import
     r = run("vacuum", "demo", "--retention-hours", "0")
     assert json.loads(r.stdout.strip().splitlines()[-1])["removed"] > 0
+
+
+def test_cli_archive_and_publish_surface(tmp_path):
+    """The reference CLI's archive/publish verbs: crawl → head →
+    download → make → stream → unlock/configure."""
+    root = str(tmp_path / "lake")
+    docs = tmp_path / "docs" / "reports"
+    docs.mkdir(parents=True)
+    (docs / "a.txt").write_text("alpha report")
+    (docs / "b.csv").write_text("x,y\n1,2\n")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "ftm_lakehouse_spark", "--root", root, *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+
+    r = run("configure", "demo", "--shards", "2", "--title", "Demo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout)["title"] == "Demo"
+
+    r = run("crawl", "demo", str(tmp_path / "docs"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["archived"] == 2
+
+    import hashlib
+
+    checksum = hashlib.sha256(b"alpha report").hexdigest()
+    r = run("head", "demo", checksum)
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["name"] == "reports/a.txt" and meta["size"] == 12
+
+    r = run("download", "demo", str(tmp_path / "out"))
+    assert json.loads(r.stdout.strip().splitlines()[-1])["downloaded"] == 2
+    assert (tmp_path / "out" / "reports" / "a.txt").read_text() == "alpha report"
+
+    r = run("make", "demo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run("stream", "demo", "--what", "documents")
+    assert "a.txt" in r.stdout
+    r = run("stream", "demo", "--what", "entities")
+    assert "a.txt" in r.stdout and '"Folder"' in r.stdout
+
+    r = run("unlock", "demo")
+    assert "no lock held" in r.stdout
