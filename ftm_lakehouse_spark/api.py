@@ -81,6 +81,42 @@ class NdjsonApi:
     def stats(self, dataset: str) -> dict:
         return self.lakehouse.dataset(dataset).stats()
 
+    def version(self, dataset: str) -> dict:
+        """Current commit-log version (reference
+        api/routes/entities.py:65-69 statements/version): the cursor an
+        incremental consumer polls before calling raw_since."""
+        return {"version": self.lakehouse.dataset(dataset).store.commits.current_version()}
+
+    def delete_entity(self, dataset: str, entity_id: str, origin: str | None = None) -> dict:
+        """Tombstone an entity (reference DELETE route,
+        api/routes/entities.py:52-57)."""
+        self.lakehouse.dataset(dataset).delete_entity(entity_id, origin=origin)
+        return {"deleted": entity_id}
+
+    #: the job registry (reference api/routes/operations.py:17-40
+    #: derives it from the operation package; three ops, listed plainly)
+    OPERATIONS = ("optimize", "make", "vacuum")
+
+    def run_operation(self, dataset: str, name: str, **kw) -> dict:
+        """Run a maintenance job (reference POST _api/operations).
+        Body = {"name": ..., optional args}; unknown names 404 at the
+        transport layer via KeyError."""
+        ds = self.lakehouse.dataset(dataset)
+        if name == "optimize":
+            changed = ds.merge(
+                grace_days=int(kw.get("grace_days", 30)),
+                force=bool(kw.get("force", False)),
+            )
+            return {"op": name, "changed": changed}
+        if name == "make":
+            return {"op": name} | ds.make(force=bool(kw.get("force", False)))
+        if name == "vacuum":
+            removed = ds.store.vacuum(
+                retention_hours=float(kw.get("retention_hours", 168.0))
+            )
+            return {"op": name, "removed": len(removed)}
+        raise KeyError(name)
+
     def write_entities(
         self, dataset: str, lines: Iterable[str], origin: str = "default"
     ) -> dict:
@@ -200,6 +236,8 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                     return self._json(ent)
                 if len(parts) == 2 and parts[1] == "stats":
                     return self._json(api.stats(parts[0]))
+                if len(parts) == 2 and parts[1] == "version":
+                    return self._json(api.version(parts[0]))
                 return self._json({"error": "no such route"}, 404)
             except BrokenPipeError:  # client hung up mid-stream
                 pass
@@ -221,6 +259,24 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         origin=params.get("origin", "default"),
                     )
                     return self._json(res)
+                if len(parts) == 2 and parts[1] == "operations":
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n).decode("utf-8") or "{}")
+                    name = body.pop("name", None)
+                    if name not in NdjsonApi.OPERATIONS:
+                        return self._json({"error": f"unknown operation {name!r}"}, 404)
+                    return self._json(api.run_operation(parts[0], name, **body))
+                return self._json({"error": "no such route"}, 404)
+            except Exception as e:
+                self._json({"error": str(e)}, 500)
+
+        def do_DELETE(self):
+            try:
+                parts, params = self._route()
+                if len(parts) == 3 and parts[1] == "entities":
+                    return self._json(
+                        api.delete_entity(parts[0], parts[2], origin=params.get("origin"))
+                    )
                 return self._json({"error": "no such route"}, 404)
             except Exception as e:
                 self._json({"error": str(e)}, 500)

@@ -173,3 +173,61 @@ def test_http_bulk_journal_write(http_api):
     # the write is immediately visible through the read route
     status, body = _get(f"{http_api}/demo/entities/pay1")
     assert status == 200 and json.loads(body)["schema"] == "Payment"
+
+
+def _req(url, method="GET", data=None):
+    import urllib.request
+
+    req = urllib.request.Request(url, method=method, data=data)
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read().decode("utf-8")
+
+
+def test_http_version_operations_delete(http_api):
+    """The reference's remaining route families over a real socket:
+    statements/version, POST operations (the job registry), DELETE
+    entity (routes/entities.py:52-69, routes/operations.py:43-55)."""
+    status, body = _req(f"{http_api}/demo/version")
+    assert status == 200
+    v0 = json.loads(body)["version"]
+    assert v0 >= 1
+
+    # run an optimize job through the operations route
+    status, body = _req(
+        f"{http_api}/demo/operations",
+        method="POST",
+        data=json.dumps({"name": "optimize", "force": True}).encode(),
+    )
+    assert status == 200
+    assert json.loads(body)["op"] == "optimize"
+    status, body = _req(f"{http_api}/demo/version")
+    assert json.loads(body)["version"] > v0  # the rewrite committed
+
+    # unknown operation → 404
+    import urllib.error
+
+    try:
+        _req(
+            f"{http_api}/demo/operations",
+            method="POST",
+            data=json.dumps({"name": "dropdb"}).encode(),
+        )
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+    # delete appends a tombstone; the live view hides the entity only
+    # after the merge reaps it (the reference's dedup-only-after-merge
+    # contract) — so DELETE then optimize then 404
+    status, body = _req(f"{http_api}/demo/entities/jane", method="DELETE")
+    assert status == 200 and json.loads(body)["deleted"] == "jane"
+    _req(
+        f"{http_api}/demo/operations",
+        method="POST",
+        data=json.dumps({"name": "optimize", "force": True}).encode(),
+    )
+    try:
+        _req(f"{http_api}/demo/entities/jane")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
