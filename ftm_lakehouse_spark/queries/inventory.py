@@ -4289,3 +4289,139 @@ def sample_interleave_sources(spark, sf_dir):
             + F.col("source_idx")
         ).alias("global_pos"),
     )
+
+
+def _bloom_oracle(k: int = 4, words: int = 32, wbits: int = 32) -> str:
+    """Bloom replay: same md5-derived bit positions, same 32×32-bit
+    word layout (bits stay in the non-negative BIGINT range, so >> is
+    identical logical shift on both engines), same k-way AND."""
+    m = words * wbits
+    hashes = ", ".join(
+        f"CAST(('0x' || substring(md5('bloom{j}:' || term), 1, 8)) AS BIGINT) % {m} AS p{j}"
+        for j in range(k)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT p{j} // {wbits} AS word, 1::BIGINT << (p{j} % {wbits}) AS mask FROM bh"
+        for j in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN sketch s{j} ON s{j}.word = qh.p{j} // {wbits}" for j in range(k)
+    )
+    present = " AND ".join(
+        f"((coalesce(s{j}.bits, 0) >> (qh.p{j} % {wbits})) & 1) = 1" for j in range(k)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS term
+        FROM toks
+    ), words_all AS (
+        SELECT DISTINCT doc_id, term FROM bg
+    ), build AS (
+        SELECT DISTINCT term FROM words_all WHERE doc_id % 2 = 0
+    ), probe AS (
+        SELECT DISTINCT term FROM words_all WHERE doc_id % 2 = 1
+    ), bh AS (
+        SELECT term, {hashes} FROM build
+    ), sketch AS (
+        SELECT word, bit_or(mask) AS bits FROM ({cells}) GROUP BY word
+    ), qh AS (
+        SELECT term, {hashes} FROM probe
+    )
+    SELECT qh.term,
+           ({present}) AS maybe_present,
+           (qh.term IN (SELECT term FROM build)) AS actually_present
+    FROM qh {joins}
+    """
+
+
+@_register("x_bloom_filter", _bloom_oracle())
+def x_bloom_filter(spark, sf_dir):
+    """Bloom filter as a DataFrame aggregate: the build half's
+    bigram vocabulary folds into a 1024-bit filter (32 BIGINT words ×
+    32 bits, k=4 seeded hashes) with one bit_or aggregation; the probe
+    half then tests membership with k broadcast joins against the
+    32-row sketch. Emits (term, maybe_present, actually_present) so
+    the false-positive set — present-in-filter, absent-in-build — is
+    graded, never a false negative (the gate would fail if one ever
+    appeared). The build side is one shuffle to ≤32 rows; probes never
+    shuffle — the membership primitive for 100 TB anti-join
+    prefiltering (skip the expensive join for keys the filter
+    rejects), same shape as parquet's row-group bloom but engine-level
+    and mergeable (words OR together)."""
+    from ftm_lakehouse_spark.functions.text import tokens
+
+    K_, WORDS_, WBITS_ = 4, 32, 32
+    m = WORDS_ * WBITS_
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    # bigram membership: the larger key space loads the filter enough
+    # to exercise true negatives AND false positives at test scale
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    words_all = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(bigrams).alias("term"))
+        .distinct()
+    )
+    build = words_all.filter(F.col("doc_id") % 2 == 0).select("term").distinct()
+    probe = words_all.filter(F.col("doc_id") % 2 == 1).select("term").distinct()
+
+    def pos(j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}:"), F.col("term"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    bh = build.select("term", *[pos(j).alias(f"p{j}") for j in range(K_)])
+    cells = bh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(f"p{j}") / WBITS_).cast("long").alias("word"),
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % {WBITS_} AS INT))"
+                        ).alias("mask"),
+                    )
+                    for j in range(K_)
+                ]
+            )
+        ).alias("c")
+    ).select("c.word", "c.mask")
+    sketch = cells.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+    qh = probe.select("term", *[pos(j).alias(f"p{j}") for j in range(K_)])
+    out = qh
+    for j in range(K_):
+        sj = sketch.select(F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}"))
+        out = out.withColumn(f"_w{j}", (F.col(f"p{j}") / WBITS_).cast("long")).join(
+            F.broadcast(sj), f"_w{j}", "left"
+        )
+    present = None
+    for j in range(K_):
+        pj = F.expr(
+            f"(shiftright(coalesce(_b{j}, CAST(0 AS BIGINT)),"
+            f" CAST(p{j} % {WBITS_} AS INT)) & 1) = 1"
+        )
+        present = pj if present is None else (present & pj)
+    actually = F.col("_hit").isNotNull()
+    return (
+        out.join(
+            build.select("term", F.lit(1).alias("_hit")), "term", "left"
+        )
+        .select(
+            "term",
+            present.alias("maybe_present"),
+            actually.alias("actually_present"),
+        )
+    )
