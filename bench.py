@@ -64,6 +64,9 @@ HEADLINE = [
     "sim_kmeans_update",
     "dedup_semantic",
     "pipeline_embedding_curation",
+    "x_countmin_sketch",
+    "x_bloom_filter",
+    "sample_interleave_sources",
 ]
 
 
