@@ -196,11 +196,31 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
             self.wfile.write(body)
 
         def _stream(self, lines: Iterator[str]):
+            # materialize the first line BEFORE committing the 200: a
+            # plan error (bad dataset, missing table) surfaces as a
+            # clean 500 instead of a half-sent stream
+            it = iter(lines)
+            try:
+                first = next(it, None)
+            except Exception as e:
+                return self._json({"error": str(e)}, 500)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.end_headers()
-            for line in lines:
-                self.wfile.write(line.encode("utf-8"))
+            if first is None:
+                return
+            try:
+                self.wfile.write(first.encode("utf-8"))
+                for line in it:
+                    self.wfile.write(line.encode("utf-8"))
+            except BrokenPipeError:
+                raise  # client hung up — handled by the caller
+            except Exception:
+                # mid-stream failure AFTER the 200 + body started: a
+                # 500 status line appended here would be read as DATA
+                # by an NDJSON client — close the connection instead
+                # (clean truncation, the close-delimited contract)
+                self.close_connection = True
 
         def _route(self):
             parsed = urllib.parse.urlsplit(self.path)

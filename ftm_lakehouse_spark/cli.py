@@ -212,29 +212,43 @@ def main(argv: list[str] | None = None) -> int:
         if not ds._fs.exists(art):
             print(f"artifact {name} not published — run `make` first", file=sys.stderr)
             return 1
+        if "://" in art:
+            # same stance as the zstd export post-pass: part streaming
+            # is a local-path operation; remote roots get an explicit
+            # error, not an os.listdir traceback on a URI string
+            print(
+                "stream reads artifact parts from a local path; for "
+                f"remote roots copy {art} down first",
+                file=sys.stderr,
+            )
+            return 1
         if ds._fs.isdir(art):
             # Spark writes an artifact as a directory of ordered part
             # files — stream them in name order (the write was sorted),
-            # decompressing like the reference's decompress_stream
-            # (cli/entities.py:52-57)
+            # decompressing in bounded chunks like the reference's
+            # decompress_stream (cli/entities.py:52-57)
             import os as _os
+
+            out = sys.stdout.buffer  # bytes out: chunking must never
+            # split a multi-byte character, so don't decode at all
 
             def _stream(path: str) -> None:
                 if path.endswith(".zst"):
                     import pyarrow as _pa
 
                     with _pa.input_stream(path, compression="zstd") as fh:
-                        sys.stdout.write(fh.read().decode("utf-8"))
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            out.write(chunk)
                 elif path.endswith(".gz"):
                     import gzip as _gzip
 
-                    with _gzip.open(path, "rt") as fh:
-                        for chunk in iter(lambda: fh.read(1 << 20), ""):
-                            sys.stdout.write(chunk)
+                    with _gzip.open(path, "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            out.write(chunk)
                 else:
-                    with open(path) as fh:
-                        for chunk in iter(lambda: fh.read(1 << 20), ""):
-                            sys.stdout.write(chunk)
+                    with open(path, "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            out.write(chunk)
 
             for part in sorted(_os.listdir(art)):
                 if part.startswith("_") or part.endswith(".crc"):

@@ -318,9 +318,11 @@ class Dataset:
         h = hashlib.sha256()
         size = 0
         for f in files:
-            data = fs.read_bytes(f)
-            h.update(data)
-            size += len(data)
+            # chunked: the checksum of a multi-GB artifact must not
+            # materialize the file on the driver
+            for chunk in fs.read_chunks(f):
+                h.update(chunk)
+            size += fs.filesize(f)
         prefix = self._public_prefix()
         url = f"{prefix.rstrip('/')}/{name}" if prefix else p
         return {
@@ -346,7 +348,12 @@ class Dataset:
         self.optimize(force=force)
         self.export_statements_csv(self._fs.join(out_root, "statements.csv"))
         self.export_entities_json(self._fs.join(out_root, "entities.ftm.json"))
-        self.export_documents_csv(self._fs.join(out_root, "documents.csv"))
+        docs_path = self._fs.join(out_root, "documents.csv")
+        if not self.export_documents_csv(docs_path) and self._fs.exists(docs_path):
+            # the dataset no longer holds documents: a previously
+            # published documents.csv must not be re-advertised (it
+            # would republish deleted content with a fresh checksum)
+            self._fs.delete(docs_path)
         stats = self.stats()
         self._fs.write_text_atomic(
             self._fs.join(out_root, "statistics.json"),
@@ -485,6 +492,18 @@ class Lakehouse:
             if config_kw.get("shards") not in (None, cfg.shards):
                 # immutable after first write (reference model/dataset.py:25-30)
                 raise ValueError(f"shards is immutable for dataset {name!r}")
+            # mutable fields (title, compression, public_url_prefix,
+            # metadata) DO update an existing sidecar — `configure` on
+            # an existing dataset must not silently discard changes
+            updates = {
+                k: v for k, v in config_kw.items() if k != "shards"
+                and getattr(cfg, k, None) != v
+            }
+            if updates:
+                cfg = DatasetConfig(
+                    **{**cfg.__dict__, **updates}
+                )
+                cfg.dump(cfg_path, fs=self._fs)
         else:
             cfg = DatasetConfig(name=name, **config_kw)
             cfg.dump(cfg_path, fs=self._fs)

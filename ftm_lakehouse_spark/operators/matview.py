@@ -218,11 +218,22 @@ class IncrementalAggregate:
         name = f"state-{head:012d}"
         target = fs.join(self.path, name)
         new_state.write.mode("overwrite").parquet(target)
+        prev = None
+        try:
+            prev = json.loads(fs.read_text(self._meta)).get("state")
+        except (FileNotFoundError, ValueError):
+            pass
         fs.write_text_atomic(
             self._meta, json.dumps({"version": head, "state": name})
         )
+        # the immediately-previous directory SURVIVES this refresh — a
+        # concurrent read() that resolved the old meta just before the
+        # flip still has a lazy plan pointed at it; only the next
+        # refresh's sweep removes it (the documented grace window —
+        # deleting it here would reopen the missing-state race)
+        keep = {name, prev}
         for entry in fs.listdir(self.path):
-            if entry != name and (
+            if entry not in keep and (
                 entry == "state" or entry.startswith("state-") or entry.endswith(".stage")
             ):
                 fs.delete(fs.join(self.path, entry))

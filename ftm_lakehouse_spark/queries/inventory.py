@@ -4181,52 +4181,25 @@ def x_countmin_sketch(spark, sf_dir):
     """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the token
     stream: d=4 seeded md5 row hashes × w=64 counters, estimate =
     min over rows — the fixed-size mergeable sketch for heavy-hitter
-    detection when the true frequency table would not fit. The sketch
-    build is one groupBy over (row, bucket) — d×w cells regardless of
-    corpus size, merging by addition across partitions, windows, or
-    days (the property that makes it a streaming-state primitive).
+    detection when the true frequency table would not fit. Built on
+    streaming/sketches.cms_sketch + cms_estimate — the SAME cell
+    mapping the streaming stateful aggregation runs, so this gate's
+    oracle transitively pins the streaming module's batch face (the
+    stream==batch equality is pinned by test_streaming_sketches).
     Estimates never undercount; the gate emits true vs estimated
     counts for every term so the overcount distribution is visible.
     Integer arithmetic end to end — a FULL-oracle gate for an
     'approximate' data structure."""
     from ftm_lakehouse_spark.functions.text import tokens
+    from ftm_lakehouse_spark.streaming.sketches import cms_estimate, cms_sketch
 
     D_, W_ = 4, 64
     d = _spread(load_table(spark, sf_dir, "documents"))
     words = d.select(F.explode(tokens(F.col("text"))).alias("term"))
-
-    def bucket(i):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), F.col("term"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % W_
-        )
-
-    h = words.select("term", *[bucket(i).alias(f"h{i}") for i in range(D_)])
-    cells = h.select(
-        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(D_)])).alias(
-            "row", "bucket"
-        )
-    )
-    sketch = cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    sketch = cms_sketch(words, "term", d=D_, w=W_)
     truec = words.groupBy("term").agg(F.count("*").cast("bigint").alias("true_cnt"))
-    dt = h.groupBy("term").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(D_)]
-    )
-    est = dt.join(truec, "term")
-    for i in range(D_):
-        si = sketch.filter(F.col("row") == i).select(
-            F.col("bucket").alias(f"h{i}"), F.col("c").alias(f"c{i}")
-        )
-        est = est.join(F.broadcast(si), f"h{i}")
-    return est.select(
-        "term",
-        "true_cnt",
-        F.least(*[F.col(f"c{i}") for i in range(D_)]).cast("bigint").alias("est_cnt"),
-    )
+    est = cms_estimate(sketch, truec.select("term"), "term", d=D_, w=W_)
+    return truec.join(est, "term").select("term", "true_cnt", "est_cnt")
 
 
 @_register(

@@ -123,13 +123,44 @@ class FileLockClient(LockClient):
             try:
                 held = json.loads(self._fs.read_text(path))
                 if float(held.get("expires", 0)) < time.time():
-                    # expired lease — break it and re-race for the file
-                    self._fs.delete(path)
+                    self._break_lease(path, held)
                     continue
             except (FileNotFoundError, ValueError):
                 continue  # holder released between our attempt and read
             time.sleep(self.poll)
         raise CommitConflict(f"could not acquire commit lock {path}")
+
+    def _break_lease(self, path: str, saw: dict) -> None:
+        """Break an expired lease ATOMICALLY: claim the lock file by
+        renaming it to a breaker-unique name, verify the claimed bytes
+        are still the expired lease we observed, then delete. An
+        unconditional ``delete(path)`` here would race: waiter A breaks
+        and re-creates a VALID lock, then waiter B's queued delete
+        removes A's live lock — two holders. Rename is atomic on every
+        store this class supports, so exactly one breaker claims the
+        file; a breaker that claims a LIVE lock (created inside its
+        read→rename window) restores it via exclusive create. The
+        residual nested-race window is why the commit path ALSO fences
+        with a read-back (CommitLog._publish) — the lock provides
+        liveness, the fence provides safety."""
+        wreck = f"{path}.wreck-{uuid.uuid4().hex}"
+        try:
+            self._fs.rename(path, wreck)
+        except Exception:
+            return  # another breaker (or a release) got there first
+        try:
+            claimed = json.loads(self._fs.read_text(wreck))
+        except (FileNotFoundError, ValueError):
+            claimed = None
+        if (
+            claimed is not None
+            and claimed.get("token") != saw.get("token")
+            and float(claimed.get("expires", 0)) >= time.time()
+        ):
+            # we claimed a live lock, not the expired one we saw —
+            # put it back (exclusive create: never clobber a newer one)
+            self._fs.write_text_exclusive(path, json.dumps(claimed))
+        self._fs.delete(wreck)
 
     def release(self, key: str, token: str) -> None:
         path = self._lock_path(key)
@@ -179,6 +210,20 @@ class CommitLog:
                 if self._fs.exists(path):
                     return False  # lost the version race cleanly
                 self._fs.write_text_atomic(path, payload)
+                # read-back fence INSIDE the lock too: the lock can be
+                # operator-broken (Dataset.unlock) or lease-expired
+                # mid-publish, in which case another writer may publish
+                # this version concurrently — foreign bytes under our
+                # path mean exactly that, surfaced instead of silently
+                # clobbered (the docstring's "commits re-validate"
+                # contract; same residue analysis as strategy 3)
+                if self._fs.read_text(path) != payload:
+                    raise CommitConflict(
+                        f"commit {version} was overwritten by a concurrent "
+                        "writer while this writer held (or believed it "
+                        "held) the commit lock — the lock was broken or "
+                        "its lease expired mid-publish"
+                    )
                 return True
             finally:
                 self._lock.release(self.root, token)

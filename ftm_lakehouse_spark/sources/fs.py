@@ -90,6 +90,13 @@ class LocalFS:
         with open(p, "rb") as fh:
             return fh.read()
 
+    def read_chunks(self, p: str, chunk_size: int = 1 << 20):
+        """Stream a file's bytes in bounded chunks (checksumming large
+        exports must not materialize the file on the driver)."""
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(chunk_size), b""):
+                yield chunk
+
     def filesize(self, p: str) -> int:
         return os.path.getsize(p)
 
@@ -215,6 +222,26 @@ class HadoopFS:
         finally:
             stream.close()
         return bytes(data)
+
+    def read_chunks(self, p: str, chunk_size: int = 1 << 20):
+        """Bounded-chunk read via the JVM stream: IOUtils.toByteArray
+        with a length cap per call, so checksumming a large remote
+        artifact never materializes the whole file driver-side."""
+        jp = self._p(p)
+        if not self._fs.exists(jp):
+            raise FileNotFoundError(p)
+        # toByteArray(stream, n) reads EXACTLY n bytes (throws short),
+        # so pace the loop by the known file length
+        remaining = int(self._fs.getFileStatus(jp).getLen())
+        stream = self._fs.open(jp)
+        io_utils = self._jvm.org.apache.commons.io.IOUtils
+        try:
+            while remaining > 0:
+                n = min(chunk_size, remaining)
+                yield bytes(io_utils.toByteArray(stream, n))
+                remaining -= n
+        finally:
+            stream.close()
 
     def filesize(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._p(p)).getLen())

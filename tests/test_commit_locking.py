@@ -120,3 +120,80 @@ def test_expired_lock_lease_is_broken(tmp_path):
     assert held["token"] == token
     client.release(root, token)
     assert not fs.exists(root + ".lock")
+
+
+def test_lease_break_cannot_remove_a_successors_live_lock(tmp_path):
+    """The lease-break race (round-3 review finding): waiter A breaks an
+    expired lease and acquires a VALID lock; waiter B, still holding the
+    stale payload it read earlier, then executes its break. B's break
+    must NOT remove A's live lock — the original unconditional delete
+    did exactly that, yielding two concurrent holders."""
+    import time as _time
+
+    fs = LocalFS()
+    root = str(tmp_path / "locked")
+    fs.mkdirs(root)
+    client = FileLockClient(fs, ttl_seconds=60)
+    path = client._lock_path(root)
+
+    expired = {"token": "dead-writer", "expires": _time.time() - 100}
+    fs.write_text_atomic(path, json.dumps(expired))
+
+    # waiter A: sees the expired lease, breaks it, acquires
+    token_a = client.acquire(root)
+    live = json.loads(fs.read_text(path))
+    assert live["token"] == token_a
+
+    # waiter B: executes the break it queued against the OLD payload
+    client._break_lease(path, expired)
+
+    # A's live lock survived — B re-races instead of deleting it
+    held = json.loads(fs.read_text(path))
+    assert held["token"] == token_a
+    client.release(root, token_a)
+
+
+def test_lease_break_restores_a_claimed_live_lock(tmp_path):
+    """If the atomic claim (rename) lands on a LIVE lock — created
+    inside the breaker's read→rename window — the breaker restores it
+    instead of deleting it."""
+    import time as _time
+
+    fs = LocalFS()
+    root = str(tmp_path / "locked2")
+    fs.mkdirs(root)
+    client = FileLockClient(fs, ttl_seconds=60)
+    path = client._lock_path(root)
+
+    stale = {"token": "dead-writer", "expires": _time.time() - 100}
+    live = {"token": "fresh-writer", "expires": _time.time() + 1000}
+    fs.write_text_atomic(path, json.dumps(live))
+
+    client._break_lease(path, stale)  # breaker saw `stale`, claims `live`
+    held = json.loads(fs.read_text(path))
+    assert held["token"] == "fresh-writer"  # restored, not reaped
+
+
+def test_lock_branch_fences_against_broken_lock_overwrite(tmp_path):
+    """With a lock client configured, a publish whose bytes are
+    overwritten by a concurrent writer (possible only when the lock was
+    operator-broken or lease-expired mid-publish) must raise
+    CommitConflict, not silently lose the other writer's commit."""
+    fs = NonAtomicFS()
+    log, _ = _log(tmp_path, fs, name="fenced", lock_client=FileLockClient(fs))
+
+    # interloper bytes land right after ours, under the lock: models a
+    # second writer whose lock acquisition succeeded because ours was
+    # broken (write_text_atomic routes through write_text_exclusive in
+    # NonAtomicFS only for the injected suffix)
+    foreign = json.dumps({"version": 1, "kind": "append", "writer": "other"})
+    orig = fs.write_text_atomic
+
+    def sabotage(p, data):
+        orig(p, data)
+        if p.endswith("000000000001.json"):
+            orig(p, foreign)
+
+    fs.write_text_atomic = sabotage
+    with pytest.raises(CommitConflict):
+        log.commit("append", [("s",)], files_added=["a.parquet"])

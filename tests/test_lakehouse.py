@@ -328,3 +328,47 @@ def test_per_bucket_writer_profiles(spark, lake_root):
         )
     assert codecs["document"] == {"ZSTD"}
     assert codecs["thing"] == {"SNAPPY"}
+
+
+def test_configure_updates_mutable_fields(spark, lake_root):
+    """dataset(name, **kw) on an EXISTING dataset persists mutable
+    config changes (title/compression/public_url_prefix) — the CLI
+    `configure` contract; shards stays immutable."""
+    import pytest as _pytest
+
+    lake = Lakehouse(spark, lake_root)
+    lake.dataset("cfgup", title="Old")
+    ds = lake.dataset("cfgup", title="New", public_url_prefix="https://pub/{dataset}")
+    assert ds.config.title == "New"
+    # persisted, not just in-memory
+    again = lake.dataset("cfgup")
+    assert again.config.title == "New"
+    assert again.config.public_url_prefix == "https://pub/{dataset}"
+    with _pytest.raises(ValueError):
+        lake.dataset("cfgup", shards=9)
+
+
+def test_make_removes_stale_documents_csv(spark, lake_root, tmp_path):
+    """After the last document entity is deleted and merged away, a
+    re-make must NOT re-advertise the previous documents.csv."""
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("staledocs")
+    art = {
+        "id": "art1",
+        "schema": "Article",
+        "properties": {
+            "title": ["T"],
+            "bodyText": ["text here"],
+            "contentHash": ["ab" * 20],
+            "fileName": ["t.txt"],
+        },
+    }
+    ds.write_entities(entities_df(spark, JANE, art))
+    out = str(tmp_path / "exports")
+    res = ds.make(out_root=out, force=True)
+    assert any(r["name"] == "documents.csv" for r in res["resources"])
+
+    ds.delete_entity("art1")
+    res = ds.make(out_root=out, force=True)
+    assert not any(r["name"] == "documents.csv" for r in res["resources"])
+    assert not os.path.exists(os.path.join(out, "documents.csv"))

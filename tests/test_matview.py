@@ -150,7 +150,19 @@ def test_state_swap_is_versioned_and_cleaned(spark, lake_root, tmp_path):
     view.refresh()
 
     meta = json.loads(view._fs.read_text(view._meta))
-    dirs = [n for n in view._fs.listdir(view.path) if n.startswith("state")]
-    assert dirs == [meta["state"]]  # exactly one state dir, the referenced one
+    dirs = sorted(n for n in view._fs.listdir(view.path) if n.startswith("state"))
+    # the referenced dir plus AT MOST the immediately-previous one —
+    # kept as the grace window for readers that resolved the old meta
+    # just before the flip; the next refresh sweeps it
+    assert meta["state"] in dirs and len(dirs) <= 2
+    assert dirs[-1] == meta["state"]
     assert meta["state"] == f"state-{meta['version']:012d}"
+    assert _view(view) == _full(ds)
+
+    # a third refresh reaps the oldest: never more than two dirs
+    ds.write_entities(entities_df(spark, PAY), origin="c")
+    view.refresh()
+    meta = json.loads(view._fs.read_text(view._meta))
+    dirs = sorted(n for n in view._fs.listdir(view.path) if n.startswith("state"))
+    assert dirs[-1] == meta["state"] and len(dirs) <= 2
     assert _view(view) == _full(ds)

@@ -115,3 +115,23 @@ def test_exclusive_write_distinguishes_race_from_failure(spark, tmp_path):
     # destination absent → persistent failure, surfaced as the error it is
     with pytest.raises(OSError, match="not a version race"):
         hfs.write_text_exclusive(hfs.join(root, "0002.json"), "c")
+
+
+def test_read_chunks_matches_read_bytes(spark, tmp_path):
+    """Chunked reads (the checksum path for large artifacts) must
+    reproduce read_bytes exactly on both FS shims, including the
+    short-final-chunk boundary."""
+    import os
+
+    data = os.urandom(3 * 1024 + 17)  # deliberately not chunk-aligned
+    p = str(tmp_path / "blob.bin")
+    with open(p, "wb") as fh:
+        fh.write(data)
+
+    lfs = LocalFS()
+    assert b"".join(lfs.read_chunks(p, chunk_size=1024)) == data
+
+    hfs = HadoopFS(f"file://{tmp_path}", spark)
+    hp = hfs.join(f"file://{tmp_path}", "blob.bin")
+    assert b"".join(hfs.read_chunks(hp, chunk_size=1024)) == data
+    assert hfs.read_bytes(hp) == data
