@@ -41,6 +41,7 @@ __all__ = [
     "duplicate_chunks",
     "winnow_fingerprint_pairs",
     "semantic_dedup_pairs",
+    "semantic_dedup_keep",
 ]
 
 
@@ -645,3 +646,23 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup survivor set: drop the higher id of every within-cell
+    near-dup pair (the keeper policy the pairs function leaves to the
+    caller, applied). Returns ``vectors``' rows minus the purged ones
+    — the corpus the embedding-curation pipeline quantizes."""
+    pairs = semantic_dedup_pairs(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, assigned=assigned,
+    )
+    dups = pairs.select(F.col("b").alias(id_col)).distinct()
+    return vectors.join(dups, id_col, "left_anti")

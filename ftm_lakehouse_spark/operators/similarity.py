@@ -254,6 +254,7 @@ def ivf_assign(
     seed: int = 7,
     iters: int = 5,
     centroids: np.ndarray | None = None,
+    train: str = "sample",
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantization: deterministic mini k-means on a sample
     (driver-side numpy — the centroid table is broadcast-size by
@@ -264,9 +265,19 @@ def ivf_assign(
     centroid matrix (the oracle-graded path: sim_ivf_assign feeds
     seeded centroids it can also embed as SQL literals).
 
+    ``train="corpus"``: train with the full-corpus distributed
+    Lloyd's (:func:`kmeans_train`) instead of the driver-side sample —
+    the escape hatch when the sample under-represents the tail (skewed
+    cluster sizes, rare modalities).
+
     Returns (corpus + ``centroid`` column, centroids ndarray)."""
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
+    elif train == "corpus":
+        C = kmeans_train(
+            corpus, k=num_centroids, iters=iters,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
     else:
         rows = corpus.select(vec_col).limit(sample).collect()
         X = np.array([r[0] for r in rows], dtype=np.float64)

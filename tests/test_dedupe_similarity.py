@@ -362,3 +362,30 @@ def test_semantic_dedup_blocks_by_cell(spark):
     pairs = {(r["a"], r["b"]): r["cosine"] for r in out}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
     assert all(2 not in p for p in pairs)
+
+
+def test_semantic_dedup_keep_and_corpus_trained_ivf(spark):
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.dedupe import semantic_dedup_keep
+    from ftm_lakehouse_spark.operators.similarity import ivf_assign
+
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),  # near-dup of 0 → purged
+        (2, [0.0, 1.0, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    kept = semantic_dedup_keep(df, np.eye(4), threshold=0.9)
+    assert {r["vec_id"] for r in kept.collect()} == {0, 2}
+
+    # corpus-trained IVF: the full-corpus Lloyd's path assigns every
+    # vector, deterministically under repartitioning
+    a1, c1 = ivf_assign(df, num_centroids=2, train="corpus", iters=2)
+    a2, c2 = ivf_assign(df.repartition(5), num_centroids=2, train="corpus", iters=2)
+    assert np.allclose(c1, c2)
+    assert {r["vec_id"]: r["centroid"] for r in a1.collect()} == {
+        r["vec_id"]: r["centroid"] for r in a2.collect()
+    }
