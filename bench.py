@@ -67,6 +67,7 @@ HEADLINE = [
     "x_countmin_sketch",
     "x_bloom_filter",
     "sample_interleave_sources",
+    "pipeline_chunk_pack",
 ]
 
 

@@ -72,7 +72,7 @@ GRADE_ORDER = [
     "c_checksum_fold",
     "c_pack_codec",
     "w_running_total",
-    "w_range_frame",
+    "pipeline_chunk_pack",
     "w_sessionize",
     "o_entity_slice",
     "i_matview_refresh",
@@ -4397,4 +4397,115 @@ def x_bloom_filter(spark, sf_dir):
             present.alias("maybe_present"),
             actually.alias("actually_present"),
         )
+    )
+
+
+def _chunk_pack_oracle(W_: int = 32, S_: int = 24, L_: int = 256) -> str:
+    """The chunk→dedup→pack stages replayed as one SQL text: the
+    chunking CTEs are doc_chunk_overlap's verified oracle, the dedup
+    window is dedup_chunks' keep-first rule, the cumsum is
+    sample_pack_sequences' textbook window — a hash match proves the
+    COMPOSITION (the RAG-prep counterpart of the pretrain capstone)."""
+    sl = f"list_slice(ws, chunk_idx * {S_} + 1, chunk_idx * {S_} + {W_})"
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), s AS (
+        SELECT doc_id, ws, len(ws) AS n FROM w
+    ), c AS (
+        SELECT doc_id, ws,
+               CASE WHEN n <= {W_} THEN 1
+                    ELSE (n - {W_} + {S_ - 1}) // {S_} + 1 END AS n_chunks
+        FROM s
+    ), e AS (
+        SELECT doc_id, ws, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+        FROM c
+    ), ch AS (
+        SELECT doc_id, chunk_idx,
+               CAST(len({sl}) AS BIGINT) AS n_tokens,
+               md5(array_to_string({sl}, ' ')) AS chunk_hash
+        FROM e
+    ), kept AS (
+        SELECT doc_id, chunk_idx, n_tokens FROM ch
+        QUALIFY row_number() OVER (
+            PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx
+        ) = 1
+    ), cum AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   ORDER BY doc_id * 1000000 + chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM kept
+    )
+    SELECT doc_id, chunk_idx, n_tokens, start_offset,
+           CAST(start_offset // {L_} AS BIGINT) AS first_seq,
+           CAST((start_offset + greatest(n_tokens, 1) - 1) // {L_} AS BIGINT)
+               AS last_seq,
+           CAST((start_offset + greatest(n_tokens, 1) - 1) // {L_}
+                - start_offset // {L_} + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    """
+
+
+@_register("pipeline_chunk_pack", _chunk_pack_oracle())
+def pipeline_chunk_pack(spark, sf_dir):
+    """CAPSTONE (retrieval/packing side): overlapping token-window
+    chunking ∘ exact chunk dedup (keep the first occurrence of each
+    chunk text — passage-level dedup for RAG indexes and context
+    assembly) ∘ GPT-style sequence packing of the surviving chunks.
+    Every stage is the operator its standalone gate grades
+    (doc_chunk_overlap, dedup_chunks' window rule,
+    sample_pack_sequences' two-phase cumsum), and the oracle embeds
+    their verified SQL, so the hash match proves the composition.
+
+    Scale: chunking is row-local, the dedup window shuffles once on
+    the 32-byte chunk hash, and the packing cumsum is the
+    range-partitioned two-phase pattern — no single-reducer window
+    anywhere (the packing plan pin covers this path too)."""
+    from pyspark.sql import Window as W_win
+
+    from ftm_lakehouse_spark.operators.packing import pack_sequences
+
+    W_, S_, L_ = 32, 24, 256
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    base = d.select("doc_id", words.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= W_, F.lit(1)).otherwise(
+        F.expr(f"CAST(div(n - {W_} + {S_ - 1}, {S_}) + 1 AS INT)")
+    )
+    chunks = (
+        base.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .withColumn("cw", F.expr(f"slice(ws, chunk_idx * {S_} + 1, {W_})"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("cw").cast("bigint").alias("n_tokens"),
+            F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
+        )
+    )
+    keepw = W_win.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(keepw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("ckey"),
+            "n_tokens",
+        )
+    )
+    packed = pack_sequences(kept, "n_tokens", seq_len=L_, order_col="ckey")
+    return packed.select(
+        F.expr("div(ckey, 1000000)").alias("doc_id"),
+        (F.col("ckey") % 1000000).cast("int").alias("chunk_idx"),
+        "n_tokens",
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
     )

@@ -13,6 +13,7 @@ from ftm_lakehouse_spark.queries.inventory import (
 CAPSTONES = {
     "pipeline_pretrain_corpus",
     "pipeline_embedding_curation",
+    "pipeline_chunk_pack",
     "q5_local_supplier_volume",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
