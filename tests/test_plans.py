@@ -317,3 +317,19 @@ def test_unigram_lm_join_is_broadcast(spark):
     # never shuffle the token stream on the term key
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_pack_capstone_bounded_single_partition(spark):
+    # the capstone's packing stage rides the two-phase cumsum: the ONLY
+    # SinglePartition exchange allowed is global_cumsum's offsets
+    # prefix-sum, which is over #shuffle-partitions rows by
+    # construction — the corpus-sized windows stay hash-partitioned
+    import re
+
+    plan = plan_of(spark, "pipeline_chunk_pack")
+    singles = re.findall(r"^\(\d+\) Exchange\nInput.*\nArguments: SinglePartition",
+                         plan, flags=re.M)
+    assert len(singles) <= 1, singles
+    # (the chunk-dedup window sits BEHIND global_cumsum's lineage cut,
+    # so it does not appear in this tail plan; its hash-partitioned
+    # shape is pinned via a_merge_dedupe_latest's identical form)
