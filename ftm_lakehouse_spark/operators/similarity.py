@@ -38,6 +38,9 @@ __all__ = [
     "ivfpq_topk",
     "kmeans_update",
     "kmeans_train",
+    "save_ivfpq_index",
+    "load_ivfpq_index",
+    "ivfpq_topk_from_index",
 ]
 
 
@@ -682,3 +685,120 @@ def kmeans_train(
             if r["n"] > 0:
                 C[r["centroid"]] = np.array(r["mean"], dtype=np.float64)
     return C
+
+
+# ------------------------------------------------------ index persistence
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: the (id, cell, code) table as parquet
+    partitioned BY CELL — so a probe search reads only its nprobe
+    partitions from disk (partition pruning does the cell selection
+    before any row is touched) — plus the centroid/codebook matrices as
+    a JSON sidecar (driver-small by construction: k×dim + m×ksub×dsub
+    floats).
+
+    Build once, query many: the FAISS operational model. At 100 TB the
+    index table is ~50× smaller than the vectors and this layout makes
+    every later query batch O(nprobe/num_cells) of THAT."""
+    import json as _json
+
+    assigned, _ = ivf_assign(corpus, centroids=centroids, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    (
+        coded.select(id_col, "centroid", "code")
+        .repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/index")
+    )
+    sidecar = {
+        "centroids": np.asarray(centroids, dtype=float).tolist(),
+        "books": np.asarray(books, dtype=float).tolist(),
+        "id_col": id_col,
+    }
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(sidecar, fh)
+    _os.replace(tmp, f"{path}/meta.json")
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray, str]:
+    """Load a persisted IVF-PQ index → (index_df, centroids, books,
+    id_col). ``index_df`` is the cell-partitioned (id, cell, code)
+    table; feed it to :func:`ivfpq_topk_from_index`."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as fh:
+        meta = _json.load(fh)
+    return (
+        spark.read.parquet(f"{path}/index"),
+        np.asarray(meta["centroids"], dtype=np.float64),
+        np.asarray(meta["books"], dtype=np.float64),
+        meta["id_col"],
+    )
+
+
+def ivfpq_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe search against a PERSISTED index: identical math to
+    :func:`ivfpq_topk`, but the (id, cell, code) table comes from disk
+    — no re-assignment, no re-encoding, and the cell equi-join prunes
+    index PARTITIONS (the index is partitioned by cell on disk)."""
+    from pyspark.sql import Window as W
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n = len(C)
+    m, ksub, dsub = books.shape
+    idx = index.select(F.col(id_col).alias("cid"), "centroid", "code")
+
+    qd = _with_centroid_dists(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), C, "qv"
+    )
+    exploded = qd.select(
+        "qid",
+        "qv",
+        F.posexplode(F.array(*[F.col(f"_d{j}") for j in range(n)])).alias(
+            "centroid", "dist"
+        ),
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("centroid"))
+    probe = (
+        exploded.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", F.col("centroid").cast("int").alias("centroid"))
+    )
+    cand = idx.join(F.broadcast(probe), "centroid")
+    adist = None
+    for j in range(m):
+        codeword = F.element_at(_codebook_lit(books, j), F.element_at("code", j + 1) + 1)
+        sub = F.slice(F.col("qv"), j * dsub + 1, dsub)
+        term = F.aggregate(
+            F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adist = term if adist is None else adist + term
+    w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
+    return (
+        cand.select("qid", "cid", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("adist", 6).alias("adist"), "rank")
+    )

@@ -389,3 +389,51 @@ def test_semantic_dedup_keep_and_corpus_trained_ivf(spark):
     assert {r["vec_id"]: r["centroid"] for r in a1.collect()} == {
         r["vec_id"]: r["centroid"] for r in a2.collect()
     }
+
+
+def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
+    """Build-once-query-many: a persisted IVF-PQ index must reproduce
+    the fresh in-memory search exactly, with the on-disk table
+    partitioned by cell so probes prune partitions."""
+    import os
+
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+        load_ivfpq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((120, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        ["vec_id", "embedding"],
+    )
+    C = X[:4].copy()
+    books = pq_train(df, m=4, ksub=4, vec_col="embedding")
+    queries = df.limit(3)
+
+    fresh = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk(df, queries, C, books, k=3, nprobe=2).collect()
+    }
+
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(df, path, C, books)
+    index, C2, books2, id_col = load_ivfpq_index(spark, path)
+    assert np.allclose(C, C2) and np.allclose(books, books2)
+    loaded = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk_from_index(
+            index, queries, C2, books2, k=3, nprobe=2
+        ).collect()
+    }
+    assert loaded == fresh
+
+    # the on-disk layout is cell-partitioned (partition pruning target)
+    parts = [d for d in os.listdir(os.path.join(path, "index")) if d.startswith("centroid=")]
+    assert len(parts) >= 2
