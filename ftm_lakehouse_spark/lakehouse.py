@@ -223,6 +223,14 @@ class Dataset:
         prefix = public_url_prefix or self._public_prefix()
         return documents(self.entities(), public_url_prefix=prefix)
 
+    def index(self) -> dict | None:
+        """The published index.json (reference catalog
+        get_dataset_index) — None until the first make()."""
+        p = self._fs.join(self.path, "exports", "index.json")
+        if not self._fs.exists(p):
+            return None
+        return json.loads(self._fs.read_text(p))
+
     def _public_prefix(self) -> str | None:
         if not self.config.public_url_prefix:
             return None
@@ -508,6 +516,14 @@ class Lakehouse:
             cfg = DatasetConfig(name=name, **config_kw)
             cfg.dump(cfg_path, fs=self._fs)
         return Dataset(self.spark, self.root, cfg)
+
+    def dataset_exists(self, name: str) -> bool:
+        """Reference catalog.dataset_exists: a dataset exists when its
+        config sidecar does."""
+        try:
+            return self._fs.exists(self._config_path(name))
+        except ValueError:
+            return False
 
     def list_datasets(self) -> list[str]:
         out = []

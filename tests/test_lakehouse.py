@@ -372,3 +372,6 @@ def test_make_removes_stale_documents_csv(spark, lake_root, tmp_path):
     res = ds.make(out_root=out, force=True)
     assert not any(r["name"] == "documents.csv" for r in res["resources"])
     assert not os.path.exists(os.path.join(out, "documents.csv"))
+
+    # catalog accessors (reference catalog.py surface)
+    assert lake.dataset_exists("staledocs") and not lake.dataset_exists("nope")
