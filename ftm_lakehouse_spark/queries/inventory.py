@@ -2893,8 +2893,8 @@ def sample_pack_sequences(spark, sf_dir):
     "w_percent_rank",
     """
     SELECT c_nationkey, c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -2903,15 +2903,17 @@ def w_percent_rank(spark, sf_dir):
     """Relative-rank window family (percent_rank + cume_dist), the one
     window class not yet graded. The order key carries c_custkey as a
     unique tiebreak so rank() is total; both functions are then exact
-    integer ratios, bit-identical across engines (round(6) belt and
-    braces). One shuffle on the partition key, no global sort."""
+    integer ratios computed by one IEEE division — bit-identical
+    across engines UNROUNDED. (A round(6) here actually BROKE parity
+    at sf0.1: the engines' round-half handling differs on doubles
+    sitting at a 6th-decimal boundary, found by the scale sweep.) One shuffle on the partition key, no global sort."""
     c = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
