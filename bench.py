@@ -68,6 +68,14 @@ HEADLINE = [
     "x_bloom_filter",
     "sample_interleave_sources",
     "pipeline_chunk_pack",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "x_cohort_retention",
+    "text_dup_ngram_coverage",
+    "q13_customer_distribution",
+    "q22_global_sales_opportunity",
 ]
 
 

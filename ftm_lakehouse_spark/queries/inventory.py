@@ -4511,3 +4511,393 @@ def pipeline_chunk_pack(spark, sf_dir):
         "last_seq",
         "n_seqs",
     )
+
+
+# =====================================================================
+# TPC-H breadth + events analytics (round 3, second session)
+# =====================================================================
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment-filtered customer dim
+    broadcast into orders, orders into lineitem, date predicates on
+    BOTH fact scans (pushed to parquet), then a grouped top-10 with a
+    total order (revenue desc, orderdate, orderkey tiebreak).
+    o_orderpriority stands in for o_shippriority (testdata schema).
+    At scale: the only shuffle is the final groupBy on l_orderkey —
+    the same key lineitem already joined on, so AQE coalesces it."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(12,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate reaches the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity), only three
+    columns are read, and the aggregate is a map-side partial + one
+    single-row exchange. The canonical 'is pushdown working' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): who cost us the most in
+    returns this half-year. Date filter pushed into orders, returnflag
+    pushed into lineitem, nation broadcast, customer broadcast after
+    AQE sees the filtered orders side; grouped top-20 with c_custkey
+    tiebreak. The group key carries the c_* payload columns (standard
+    TPC-H shape) — at scale those ride the same single shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(12,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): the aggregate-then-having
+    semi-join shape. Written as ONE lineitem aggregation whose
+    survivors join back to orders/customer — not the naive
+    scan-twice `WHERE o_orderkey IN (SELECT ...)` form; the HAVING
+    filter lands map-side-partial'd on the only lineitem shuffle.
+    sum(l_quantity) is a sum of small whole doubles — exact in IEEE
+    regardless of order, no decimal detour needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "x_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           date_trunc('week', ts) AS active_week,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_week, active_week
+    """,
+)
+def x_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen ISO week
+    crossed with each week they were active. The per-user firsts
+    aggregate is tiny (|users|) and broadcast back into the event
+    stream, so the fact table shuffles exactly once — on the
+    (cohort_week, active_week) group key. Monday-start date_trunc
+    matches across Spark and DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .withColumn("active_week", F.date_trunc("week", F.col("ts")))
+        .groupBy("cohort_week", "active_week")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "text_dup_ngram_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
+        FROM toks, unnest(range(1, greatest(len(ts) - 3, 1))) AS t(i)
+    ),
+    grp AS (
+        SELECT doc_id, h, count(*) AS c FROM grams GROUP BY doc_id, h
+    ),
+    byhash AS (
+        SELECT h, count(*) AS n_docs FROM grp GROUP BY h
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_grams
+        FROM grp JOIN byhash USING (h)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(dup_grams, 0) AS dup_grams,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(dup_grams AS DOUBLE) / n_grams END AS dup_frac
+    FROM toks t LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_dup_ngram_coverage(spark, sf_dir):
+    """Gopher/RefinedWeb-style CROSS-document duplicate n-gram
+    coverage: for each document, the fraction of its 5-gram instances
+    whose gram text also appears in at least one OTHER document (df
+    >= 2 over distinct docs). Complements text_repetition_stats
+    (within-doc) and dedup_winnow_substrings (pairwise spans) — this
+    is the corpus-level boilerplate signal used as a filter feature.
+
+    Scale shape: grams collapse to (doc_id, md5) pairs immediately
+    (never shuffling gram text), the df table is a groupBy on the
+    16-byte hash, and the join back is hash-to-hash. dup_frac is a
+    ratio of exact integers — bit-identical IEEE division in both
+    engines."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("ts"),
+    )
+    grams_arr = F.when(
+        F.size("ts") >= 5,
+        F.expr("transform(sequence(1, size(ts) - 4), i -> md5(array_join(slice(ts, i, 5), ' ')))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(grams_arr).alias("h"))
+    grp = grams.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    byhash = grp.groupBy("h").agg(F.count("*").alias("n_docs"))
+    per = (
+        grp.join(byhash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("dup_grams").cast("double") / F.col("n_grams"))
+            .alias("dup_frac"),
+        )
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) cc
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    with a predicate in the ON clause — the filter must apply to the
+    probe side WITHOUT dropping unmatched customers (a WHERE would).
+    count(o_orderkey) counts only matches, so zero-order customers
+    survive as c_count=0. Two aggregations: per-customer, then the
+    distribution over counts (a tiny second shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT n_name AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,4)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average account
+    balances among customers with no RECENT order (>= 2000-01-01;
+    with seed-42 data every customer has ordered at least once, so
+    the classic no-order-ever form would grade an empty set) — a
+    scalar aggregate
+    subquery plus an anti-join in one query. The scalar avg is a
+    single-row aggregate broadcast via crossJoin (exactly what
+    Catalyst rewrites scalar subqueries to); the NOT EXISTS is a
+    left_anti on o_custkey. The avg threshold itself is compared as
+    raw double on BOTH sides (identical parallel-sum caveat avoided:
+    the filter only needs the same >-comparison, and the avg is
+    computed from a decimal-exact sum / exact count on each engine)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*"))
+            .alias("_avg")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
