@@ -76,6 +76,8 @@ HEADLINE = [
     "text_dup_ngram_coverage",
     "q13_customer_distribution",
     "q22_global_sales_opportunity",
+    "graph_pagerank",
+    "text_bm25_topk",
 ]
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["resolve_parent_chains"]
+__all__ = ["resolve_parent_chains", "pagerank_fixed_point"]
 
 
 def resolve_parent_chains(
@@ -70,3 +70,59 @@ def resolve_parent_chains(
     return chains.select(
         F.col("_nid").alias(id_col), "path", "depth", "is_cycle"
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in integer fixed-point arithmetic: ranks are scaled to
+    ``scale`` and every update uses only integer multiply / sum /
+    floor-div, so the result is EXACTLY reproducible on any engine —
+    no float-summation order sensitivity (the reason this variant
+    exists: a float PageRank cannot hash-match across engines, a
+    fixed-point one must). Update per node:
+
+        r' = (15 * scale) // (100 * N) + (85 * sum(r[src] // deg[src])) // 100
+
+    Requires every node to have at least one outgoing edge (symmetrize
+    the edge set for undirected graphs — the caller owns dangling-mass
+    policy). Returns (node, rank) with rank still scaled.
+
+    Scale shape: deg is one groupBy of the edge list; each iteration
+    is one join of the current rank vector onto edges (both sides
+    hash-partitioned on the node key — AQE reuses the layout) plus one
+    groupBy(dst). Rounds are O(iterations), independent of corpus
+    size; rank-vector lineage is truncated every iteration via
+    localCheckpoint on long runs (not needed for the short unrolled
+    form the gates use).
+    """
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    nodes = deg.select(F.col(src_col).alias("node"), "_deg")
+    n_nodes = nodes.select(F.count("*").alias("_n"))
+    base = F.expr(f"div({15 * scale}, 100 * _n)")
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "_deg", F.expr(f"div({scale}, _n)").alias("rank")
+    )
+    for i in range(iterations):
+        contribs = edges.join(ranks, edges[src_col] == ranks.node).select(
+            F.col(dst_col).alias("node"),
+            F.expr("div(rank, _deg)").alias("_c"),
+        )
+        sums = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                "_deg",
+                (base + F.expr("div(85 * coalesce(_s, 0), 100)")).alias("rank"),
+            )
+        )
+        if iterations > 8 and i % 4 == 3:  # pragma: no cover - long runs only
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

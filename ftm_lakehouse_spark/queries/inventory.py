@@ -4901,3 +4901,180 @@ def q22_global_sales_opportunity(spark, sf_dir):
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "graph_pagerank",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT 'c:' || c AS src, 's:' || s AS dst FROM pairs
+        UNION ALL
+        SELECT 's:' || s AS src, 'c:' || c AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT node, 1000000000000 // n AS r FROM deg, nn),
+    c1 AS (SELECT e.dst AS node, r0.r // deg.d AS c
+           FROM edges e JOIN r0 ON e.src = r0.node
+                        JOIN deg ON e.src = deg.node),
+    s1 AS (SELECT node, sum(c) AS s FROM c1 GROUP BY node),
+    r1 AS (SELECT deg.node,
+                  CAST(15000000000000 // (100 * nn.n)
+                       + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r
+           FROM deg LEFT JOIN s1 ON deg.node = s1.node, nn),
+    c2 AS (SELECT e.dst AS node, r1.r // deg.d AS c
+           FROM edges e JOIN r1 ON e.src = r1.node
+                        JOIN deg ON e.src = deg.node),
+    s2 AS (SELECT node, sum(c) AS s FROM c2 GROUP BY node),
+    r2 AS (SELECT deg.node,
+                  CAST(15000000000000 // (100 * nn.n)
+                       + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r
+           FROM deg LEFT JOIN s2 ON deg.node = s2.node, nn),
+    c3 AS (SELECT e.dst AS node, r2.r // deg.d AS c
+           FROM edges e JOIN r2 ON e.src = r2.node
+                        JOIN deg ON e.src = deg.node),
+    s3 AS (SELECT node, sum(c) AS s FROM c3 GROUP BY node),
+    r3 AS (SELECT deg.node,
+                  CAST(15000000000000 // (100 * nn.n)
+                       + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS r
+           FROM deg LEFT JOIN s3 ON deg.node = s3.node, nn)
+    SELECT node, r AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    symmetrized customer–supplier trading graph derived from
+    orders ⋈ lineitem. Integer fixed-point arithmetic end to end
+    (operators/graph.pagerank_fixed_point): ranks scaled to 1e12,
+    updates use only int multiply/sum/floor-div, so the result is
+    EXACTLY engine-independent — the float variant could never
+    hash-match across Spark and DuckDB. Iterative graph capability
+    beyond connected components; at scale each iteration is one
+    edges⋈ranks join + one groupBy(dst), rounds independent of
+    corpus size."""
+    from ftm_lakehouse_spark.operators.graph import pagerank_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("src"),
+        F.concat(F.lit("s:"), "l_suppkey").alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s:"), "l_suppkey").alias("src"),
+        F.concat(F.lit("c:"), "o_custkey").alias("dst"),
+    )
+    edges = fwd.unionByName(rev)
+    return pagerank_fixed_point(edges, iterations=3).select(
+        "node", F.col("rank").alias("rank")
+    )
+
+
+@_register(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    docs AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+    corpus AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+               FROM docs),
+    tfreq AS (
+        SELECT doc_id, t, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS t FROM docs)
+        WHERE t IN ('vector', 'merge', 'scan')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tfreq GROUP BY t),
+    scored AS (
+        SELECT tfreq.doc_id, tfreq.t,
+               ((n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+        FROM tfreq JOIN docs USING (doc_id) JOIN dfreq USING (t), corpus
+    )
+    SELECT doc_id,
+           count(*) AS n_terms,
+           COALESCE(max(CASE WHEN t = 'vector' THEN s END), 0.0)
+           + COALESCE(max(CASE WHEN t = 'merge' THEN s END), 0.0)
+           + COALESCE(max(CASE WHEN t = 'scan' THEN s END), 0.0) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) for the fixed query
+    {vector, merge, scan}: tf from an early term-filtered explode, df
+    and the corpus stats as broadcast scalars, score assembled in a
+    FIXED left-to-right order per term (no float aggregation) with a
+    rational idf (N-df+0.5)/(df+0.5) — log-free because Math.log and
+    libm log may differ in the last ulp across engines while +,-,*,/
+    are IEEE-correctly-rounded and therefore bit-identical. Top-20
+    with doc_id tiebreak.
+
+    Scale shape: the posting list (doc, term, tf) is built by ONE
+    corpus pass filtered to query terms before any shuffle; df is
+    |terms| rows; the per-doc pivot is a groupBy on doc_id."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    terms = ["vector", "merge", "scan"]
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("ts"),
+    )
+    docs = toks.select("doc_id", F.size("ts").alias("dl"), "ts")
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tfreq = (
+        docs.select("doc_id", F.explode("ts").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tfreq.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tfreq.join(docs.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "t",
+            (
+                ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                 / (F.col("df") + F.lit(0.5)))
+                * ((F.col("tf") * F.lit(2.2))
+                   / (F.col("tf")
+                      + F.lit(1.2)
+                      * (F.lit(0.25)
+                         + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))))
+            ).alias("s"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("t") == t, F.col("s"))), F.lit(0.0))
+        for t in terms
+    ]
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            (per_term[0] + per_term[1] + per_term[2]).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -140,3 +140,37 @@ def test_cli_archive_and_publish_surface(tmp_path):
 
     r = run("unlock", "demo")
     assert "no lock held" in r.stdout
+
+
+def test_pagerank_fixed_point_matches_python_replica(spark):
+    from ftm_lakehouse_spark.operators.graph import pagerank_fixed_point
+
+    # symmetrized path graph a-b-c-d plus a hub edge b-d
+    undirected = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")]
+    edge_rows = [(s, t) for s, t in undirected] + [(t, s) for s, t in undirected]
+    edges = spark.createDataFrame(edge_rows, ["src", "dst"])
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+
+    # pure-Python replica of the integer fixed-point update
+    scale, n = 1_000_000_000_000, 4
+    out = {}
+    deg = {}
+    for s, t in edge_rows:
+        out.setdefault(s, []).append(t)
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale // n for v in deg}
+    for _ in range(3):
+        sums = {v: 0 for v in deg}
+        for s, targets in out.items():
+            c = rank[s] // deg[s]
+            for t in targets:
+                sums[t] += c
+        rank = {v: (15 * scale) // (100 * n) + (85 * sums[v]) // 100 for v in deg}
+
+    assert got == rank
+    # hub (b) outranks leaf (a); everything strictly positive
+    assert got["b"] > got["a"] > 0
