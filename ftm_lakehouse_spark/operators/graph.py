@@ -97,12 +97,21 @@ def pagerank_fixed_point(
     is one join of the current rank vector onto edges (both sides
     hash-partitioned on the node key — AQE reuses the layout) plus one
     groupBy(dst). Rounds are O(iterations), independent of corpus
-    size; rank-vector lineage is truncated every iteration via
-    localCheckpoint on long runs (not needed for the short unrolled
-    form the gates use).
+    size. The loop-invariant relations (edge list and the per-node
+    degree table) are materialized ONCE up front — edges typically
+    arrive as a derived plan (a distinct over a join, here), and
+    leaving them lazy re-runs that derivation every iteration (the
+    same repeated-subtree trap the pretrain pipeline hit; measured
+    ~2× on the gate). On a cluster this is persist(MEMORY_AND_DISK)
+    or a lakehouse materialization; rank-vector lineage is truncated
+    every few rounds on long runs.
     """
+    if iterations > 1:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
     nodes = deg.select(F.col(src_col).alias("node"), "_deg")
+    if iterations > 1:
+        nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.select(F.count("*").alias("_n"))
     base = F.expr(f"div({15 * scale}, 100 * _n)")
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
