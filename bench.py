@@ -78,6 +78,7 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "graph_pagerank",
     "text_bm25_topk",
+    "sample_dsir_weights",
 ]
 
 

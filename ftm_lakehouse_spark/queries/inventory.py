@@ -5078,3 +5078,103 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@_register(
+    "sample_dsir_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    unis AS (SELECT doc_id, lang, unnest(ts) AS f FROM toks),
+    bis AS (
+        SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS f
+        FROM toks, unnest(range(1, greatest(len(ts), 1))) AS t(i)
+    ),
+    feats AS (SELECT * FROM unis UNION ALL SELECT * FROM bis),
+    bucketed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5('dsir:' || f), 1, 8)) AS BIGINT)
+                   % 1024 AS b
+        FROM feats
+    ),
+    cnt AS (
+        SELECT b,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS r
+        FROM bucketed GROUP BY b
+    ),
+    w AS (SELECT b, (1000000 * (t + 1)) // (r + 1) AS w FROM cnt),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(w) AS BIGINT) AS score
+        FROM bucketed JOIN w USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats, score FROM per
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, public paper):
+    hashed unigram+bigram features (1024 buckets, md5-derived so the
+    bucket map is engine-portable), per-bucket target-vs-rest counts
+    (target = lang='en'), and a per-document importance score. The
+    likelihood-ratio weight is INTEGER fixed-point —
+    (1e6*(t+1)) // (r+1), add-one smoothed — instead of the paper's
+    log-ratio sum: libm/JVM log differ in the last ulp across engines
+    while integer ops are exact, and the induced document RANKING is
+    what resampling consumes. Top-100 selection with doc_id tiebreak.
+
+    Scale shape: features collapse to (doc_id, lang, int bucket)
+    before any shuffle; the distinct-key aggregate is grouped
+    per-(doc, bucket) first so the weight join touches one row per
+    (doc, bucket), and the 1024-row weight table broadcasts. Bucket
+    counts are bigint — at extreme corpus scale bump the weight scale
+    down (1e4) to keep score sums under int64."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("ts"),
+    )
+    unis = toks.select("doc_id", "lang", F.explode("ts").alias("f"))
+    bi_arr = F.when(
+        F.size("ts") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ts) - 1),"
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bis = toks.select("doc_id", "lang", F.explode(bi_arr).alias("f"))
+    bucketed = unis.unionByName(bis).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), "f")), 1, 8), 16, 10)
+            .cast("long")
+            % 1024
+        ).alias("b"),
+    )
+    grp = bucketed.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    cnt = grp.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("t"),
+        F.sum(F.when(F.col("lang") == "en", F.lit(0)).otherwise(F.col("c")))
+        .cast("long")
+        .alias("r"),
+    )
+    w = cnt.select("b", F.expr("div(1000000 * (t + 1), r + 1)").alias("w"))
+    per = (
+        grp.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w")).cast("bigint").alias("score"),
+        )
+    )
+    return per.orderBy(F.desc("score"), "doc_id").limit(100)
