@@ -333,3 +333,40 @@ def test_chunk_pack_capstone_bounded_single_partition(spark):
     # (the chunk-dedup window sits BEHIND global_cumsum's lineage cut,
     # so it does not appear in this tail plan; its hash-partitioned
     # shape is pinned via a_merge_dedupe_latest's identical form)
+
+
+#: Gates where a BroadcastNestedLoopJoin is the RIGHT plan: each one
+#: crossJoins a SINGLE-ROW (or ≤k-row literal) aggregate — corpus
+#: stats, scalar thresholds, centroid/codebook literals, node counts.
+#: A 1-row build side makes BNLJ a constant-attach projection, not a
+#: quadratic join. Anything not listed here must stay equi-join only.
+BNLJ_SCALAR_BROADCASTS = {
+    "sim_cosine_topk",          # query vector literal (1 row)
+    "sample_temperature_mix",   # per-stratum rate table (|langs| rows)
+    "x_histogram",              # global min/max scalar (1 row)
+    "sim_pq_adc_topk",          # ADC lookup literals (k rows)
+    "pipeline_pretrain_corpus", # mix-rate scalar stage (|langs| rows)
+    "q22_global_sales_opportunity",  # avg-acctbal scalar (1 row)
+    "graph_pagerank",           # node-count scalar (1 row)
+    "text_bm25_topk",           # corpus stats scalar (1 row)
+    "sample_dsir_weights",      # (none today; weight table is equi-join)
+}
+
+
+def test_no_gate_plans_a_cartesian_or_unjustified_nested_loop(spark):
+    """Whole-inventory audit: no gate's physical plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
+    the scalar-broadcast allowlist above. This is the generalized form
+    of the per-gate plan pins — a new gate that accidentally joins
+    without an equi-key fails here before it ever ships."""
+    offenders = {}
+    for name, (fn, _) in QUERIES.items():
+        df = fn(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_BROADCASTS:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, f"scale-hostile plans: {offenders}"
