@@ -79,6 +79,7 @@ HEADLINE = [
     "graph_pagerank",
     "text_bm25_topk",
     "sample_dsir_weights",
+    "x_kmv_distinct",
 ]
 
 

@@ -5178,3 +5178,94 @@ def sample_dsir_weights(spark, sf_dir):
         )
     )
     return per.orderBy(F.desc("score"), "doc_id").limit(100)
+
+
+@_register(
+    "x_kmv_distinct",
+    """
+    WITH hashed AS (
+        SELECT DISTINCT l_returnflag AS grp,
+               CAST(('0x' || substring(md5('kmv:' || CAST(l_partkey AS VARCHAR)),
+                                       1, 13)) AS BIGINT) AS h
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kmv AS (
+        SELECT grp, max(h) AS hk, CAST(count(*) AS BIGINT) AS k
+        FROM ranked WHERE rn <= 64 GROUP BY grp
+    ),
+    exact AS (
+        SELECT l_returnflag AS grp,
+               count(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem GROUP BY grp
+    )
+    SELECT grp, k, hk,
+           CAST(k - 1 AS DOUBLE) * 4503599627370496.0 / hk AS est_distinct,
+           exact_distinct
+    FROM kmv JOIN exact USING (grp)
+    """,
+)
+def x_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    approximate-distinct family's ORACLE-VERIFIABLE member: because
+    the hash is the portable md5→int map (52-bit so every value is
+    exactly double-representable) and the estimator
+    (k-1)·2^52 / h_k is a division of exactly-representable ints,
+    the sketch AND its estimate are bit-identical on any engine —
+    unlike HLL (x_approx_stats stays rows-only because engines'
+    HLL internals legitimately differ). Emits the exact distinct
+    count alongside, so the gate also GRADES the estimator's error.
+
+    Scale shape: Spark computes the k-minima in two phases — per
+    (group, salt=h%64) rank (64-way spread of the distinct-hash
+    shuffle) then a final rank over ≤64·64 bounded survivors — the
+    same two-phase pattern as packing's global cumsum; the oracle
+    keeps the single-window form (same values by construction:
+    the global k smallest lie in the union of per-salt k smallest).
+    KMV sketches merge by union+re-rank, the mergeability CMS/Bloom
+    already demonstrate."""
+    from pyspark.sql import Window as W_win
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w1 = W_win.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    survivors = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= 64
+    )
+    w2 = W_win.partitionBy("grp").orderBy("h")
+    kmv = (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= 64)
+        .groupBy("grp")
+        .agg(F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k"))
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return kmv.join(exact, "grp").select(
+        "grp",
+        "k",
+        "hk",
+        ((F.col("k") - 1).cast("double") * F.lit(4503599627370496.0) / F.col("hk"))
+        .alias("est_distinct"),
+        "exact_distinct",
+    )
