@@ -80,6 +80,7 @@ HEADLINE = [
     "text_bm25_topk",
     "sample_dsir_weights",
     "x_kmv_distinct",
+    "sample_epoch_shuffle",
 ]
 
 

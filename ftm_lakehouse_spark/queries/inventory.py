@@ -5269,3 +5269,47 @@ def x_kmv_distinct(spark, sf_dir):
         .alias("est_distinct"),
         "exact_distinct",
     )
+
+
+@_register(
+    "sample_epoch_shuffle",
+    """
+    SELECT doc_id, epoch,
+           CAST(row_number() OVER (
+               PARTITION BY epoch
+               ORDER BY md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+               AS position
+    FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffling: every document gets a global
+    0-based position per training epoch, the permutation being
+    md5('epoch{e}:'||doc_id) order — fully reproducible (re-run
+    anywhere, same order; the property training-run audits need) and
+    different every epoch. The global rank is NOT a single-reducer
+    window: each epoch reuses packing.global_cumsum's two-phase
+    range-partitioned pattern (per-partition rank + broadcast prefix
+    offsets), so a 100 TB corpus shuffles once per epoch on the hash
+    key and nothing ever serializes onto one task. Epochs are
+    independent branches computed in parallel."""
+    from ftm_lakehouse_spark.operators.packing import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for e in (0, 1):
+        keyed = d.select(
+            "doc_id",
+            F.lit(e).cast("int").alias("epoch"),
+            F.md5(
+                F.concat(F.lit(f"epoch{e}:"), F.col("doc_id").cast("string"))
+            ).alias("_k"),
+            F.lit(1).alias("_one"),
+        )
+        parts.append(
+            global_cumsum(keyed, "_one", "_k", out="position").select(
+                "doc_id", "epoch", F.col("position").cast("bigint").alias("position")
+            )
+        )
+    return parts[0].unionByName(parts[1])
