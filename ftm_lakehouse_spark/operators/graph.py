@@ -87,7 +87,9 @@ def pagerank_fixed_point(
     exists: a float PageRank cannot hash-match across engines, a
     fixed-point one must). Update per node:
 
-        r' = (15 * scale) // (100 * N) + (85 * sum(r[src] // deg[src])) // 100
+        r' = ((100-d) * scale) // (100 * N) + (d * sum(r[src] // deg[src])) // 100
+
+    with d = ``damping_pct`` (default 85, i.e. 0.85).
 
     Requires every node to have at least one outgoing edge (symmetrize
     the edge set for undirected graphs — the caller owns dangling-mass
@@ -113,7 +115,7 @@ def pagerank_fixed_point(
     if iterations > 1:
         nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.select(F.count("*").alias("_n"))
-    base = F.expr(f"div({15 * scale}, 100 * _n)")
+    base = F.expr(f"div({(100 - damping_pct) * scale}, 100 * _n)")
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", "_deg", F.expr(f"div({scale}, _n)").alias("rank")
     )
@@ -129,7 +131,10 @@ def pagerank_fixed_point(
             .select(
                 "node",
                 "_deg",
-                (base + F.expr("div(85 * coalesce(_s, 0), 100)")).alias("rank"),
+                (
+                    base
+                    + F.expr(f"div({damping_pct} * coalesce(_s, 0), 100)")
+                ).alias("rank"),
             )
         )
         if iterations > 8 and i % 4 == 3:  # pragma: no cover - long runs only

@@ -349,7 +349,6 @@ BNLJ_SCALAR_BROADCASTS = {
     "q22_global_sales_opportunity",  # avg-acctbal scalar (1 row)
     "graph_pagerank",           # node-count scalar (1 row)
     "text_bm25_topk",           # corpus stats scalar (1 row)
-    "sample_dsir_weights",      # (none today; weight table is equi-join)
 }
 
 
