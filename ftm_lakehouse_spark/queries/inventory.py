@@ -5313,3 +5313,50 @@ def sample_epoch_shuffle(spark, sf_dir):
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@_register(
+    "j_full_outer_nations",
+    """
+    WITH cs AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+                FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(cs.nk, ss.nk) AS nk,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp,
+           CASE WHEN n_cust IS NULL THEN 'supplier_only'
+                WHEN n_supp IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM cs FULL OUTER JOIN ss ON cs.nk = ss.nk
+    """,
+)
+def j_full_outer_nations(spark, sf_dir):
+    """FULL OUTER join — the one join type the matrix lacked (inner /
+    left / semi / anti / interval / as-of / range all have gates):
+    high-balance customer counts vs high-balance supplier counts per
+    nation, where at the graded scale some nations exist on only one
+    side, so all three match classes are exercised (unmatched-left,
+    unmatched-right, both). COALESCE folds the null side; at scale a
+    full outer is the same single shuffle as an inner join (SMJ keeps
+    both sides' unmatched rows)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    cs = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").cast("bigint").alias("n_supp")
+    )
+    return (
+        cs.join(ss, cs.nk == ss.nk, "full_outer")
+        .select(
+            F.coalesce(cs.nk, ss.nk).alias("nk"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.when(F.col("n_cust").isNull(), "supplier_only")
+            .when(F.col("n_supp").isNull(), "customer_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+    )
