@@ -40,19 +40,22 @@ def _register(name: str, oracle: str | None):
 
 #: The correctness driver grades the FIRST 50 entries of query_map()
 #: against the DuckDB oracle — order carries evidence. This window is
-#: curated: the capstones (pretraining pipeline, TPC-H Q5, PQ/IVF-PQ,
+#: curated: the capstones (the three pipelines, TPC-H Q5, IVF-PQ,
 #: winnowing, sequence packing, parent chains, pack codec) plus at
-#: least one gate per SURVEY §2 family, every one full-oracle. Gates
-#: past position 50 are redundant same-shape variants or rows-only
-#: checks (x_approx_stats, text_bpe_merges) — still verified by
-#: tools/check_parity.py and pytest, just not burning a graded slot.
+#: least one gate per SURVEY §2 family AND per added family (iterative
+#: graph, oracle-verified approx-distinct, outer-join semantics),
+#: every one full-oracle. Gates past position 50 are same-family
+#: variants whose mechanics a window occupant already grades (IVF-PQ
+#: composes sim_ivf_topk + sim_pq_adc_topk; f_scan/point/like cover
+#: IN/NULL pushdown) or rows-only checks (x_approx_stats,
+#: text_bpe_merges) — still verified by tools/check_parity.py and
+#: pytest, just not burning a graded slot.
 GRADE_ORDER = [
     "pipeline_pretrain_corpus",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "f_scan_filter_project",
     "f_point_lookup",
-    "f_in_and_null_filters",
     "f_timestamp_range",
     "f_property_semi_join",
     "f_like_prefix",
@@ -89,9 +92,10 @@ GRADE_ORDER = [
     "sim_cosine_topk",
     "sim_knn_join",
     "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "graph_pagerank",
+    "x_kmv_distinct",
+    "q13_customer_distribution",
     "text_lang_id",
     "text_quality_score",
     "pipeline_embedding_curation",

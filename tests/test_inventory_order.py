@@ -15,11 +15,16 @@ CAPSTONES = {
     "pipeline_embedding_curation",
     "pipeline_chunk_pack",
     "q5_local_supplier_volume",
-    "sim_pq_adc_topk",
+    # sim_ivfpq_topk composes the IVF probe join and the PQ ADC scorer,
+    # so it carries the whole family's evidence in one slot; the
+    # standalone sim_ivf_topk / sim_pq_adc_topk gates stay parity-run
+    # outside the window (freed slots grade pagerank/KMV/outer-join).
     "sim_ivfpq_topk",
     "dedup_winnow_substrings",
     "sample_pack_sequences",
     "graph_parent_chain",
+    "graph_pagerank",
+    "x_kmv_distinct",
     "c_pack_codec",
 }
 
