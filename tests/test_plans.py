@@ -369,3 +369,17 @@ def test_no_gate_plans_a_cartesian_or_unjustified_nested_loop(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SCALAR_BROADCASTS:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, f"scale-hostile plans: {offenders}"
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.04)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}"
+    # column pruning: only the four referenced columns are read
+    assert "l_orderkey" not in plan and "l_returnflag" not in plan
