@@ -5364,3 +5364,53 @@ def j_full_outer_nations(spark, sf_dir):
             .alias("side"),
         )
     )
+
+
+@_register(
+    "x_feature_snapshot",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER prior_w AS BIGINT) AS prior_orders,
+           CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER prior_w,
+                         0) AS DOUBLE) AS prior_spend,
+           CAST(date_diff('day',
+                CAST(min(o_orderdate) OVER prior_w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_first
+    FROM orders
+    WINDOW prior_w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+    """,
+)
+def x_feature_snapshot(spark, sf_dir):
+    """Point-in-time-correct feature snapshot (the feature-store /
+    training-serving-skew pattern): for every order, the customer's
+    history STRICTLY BEFORE it — prior order count, prior spend
+    (decimal-exact), days since first prior order (NULL-safe 0 for a
+    customer's first order via the count=0 path; date_diff on the
+    day grain). The frame is ROWS ... 1 PRECEDING with a total order
+    (orderdate, orderkey), so a feature row can never see its own
+    label's timestamp — the leakage bug this operator exists to
+    prevent. One shuffle on the entity key; at scale this is the
+    as-of-join family's windowed sibling (x_asof_join grades the
+    two-table form)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("prior_orders"),
+        F.coalesce(F.sum(_dec("o_totalprice")).over(w), F.lit(0))
+        .cast("double")
+        .alias("prior_spend"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.min("o_orderdate").over(w).cast("date")
+        )
+        .cast("bigint")
+        .alias("days_since_first"),
+    )
