@@ -81,6 +81,8 @@ HEADLINE = [
     "sample_dsir_weights",
     "x_kmv_distinct",
     "sample_epoch_shuffle",
+    "x_feature_snapshot",
+    "mm_image_roundtrip",
 ]
 
 

@@ -5414,3 +5414,63 @@ def x_feature_snapshot(spark, sf_dir):
         .cast("bigint")
         .alias("days_since_first"),
     )
+
+
+@_register(
+    "mm_image_roundtrip",
+    """
+    SELECT vec_id, 8 AS width, 8 AS height,
+           CAST(list_sum(list_transform(embedding,
+                v -> CAST(abs(floor(CAST(v AS DOUBLE) * 1000)) AS BIGINT)
+                     % 256)) AS BIGINT) AS pixel_sum
+    FROM embeddings
+    """,
+)
+def mm_image_roundtrip(spark, sf_dir):
+    """Multimodal plumbing under a FULL oracle: each embedding renders
+    to an 8×8 grayscale image (integer pixel map — floor/abs/%256,
+    exact in both engines), encodes to a real PNG and decodes back
+    through the library-free codecs (functions/media_codecs) inside an
+    Arrow-batched mapInPandas, and the gate emits the DECODED width /
+    height / pixel sum. The oracle computes the same pixels directly
+    from the array — so a hash match proves decode∘encode is the
+    identity on pixel data through the whole binary-column path
+    (schema, Arrow batching, UDF signature), not just in a unit test.
+
+    Scale shape: the pixel map is JVM-side; the Python boundary is one
+    Arrow round-trip batching ~10k small blobs per task — the same
+    shape real image feature-extraction runs at corpus scale (blobs
+    partition-parallel, nothing driver-side)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ftm_lakehouse_spark.functions.media_codecs import decode_image, encode_png
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pix = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> cast((abs(floor(cast(v as double) * 1000)) % 256) as int))"
+        ).alias("pixels"),
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, px in zip(pdf["vec_id"], pdf["pixels"]):
+                arr = np.asarray(list(px), dtype=np.uint8).reshape(8, 8)
+                dec = decode_image(encode_png(arr), "image/png")
+                out.append(
+                    (int(vid), int(dec.shape[1]), int(dec.shape[0]),
+                     int(dec.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "width", "height", "pixel_sum"]
+            )
+
+    return pix.mapInPandas(
+        roundtrip, "vec_id long, width int, height int, pixel_sum long"
+    )
