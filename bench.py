@@ -83,6 +83,8 @@ HEADLINE = [
     "sample_epoch_shuffle",
     "x_feature_snapshot",
     "mm_image_roundtrip",
+    "mm_audio_roundtrip",
+    "mm_video_frame_sample",
 ]
 
 
