@@ -164,3 +164,27 @@ def test_make_skips_documents_csv_without_documents(spark, lake_root, tmp_path):
     assert "documents.csv" not in names
     # no public prefix configured → resource urls are the storage paths
     assert all(r["url"].startswith(out) for r in index["resources"])
+
+
+def test_corpus_report_card(spark):
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from corpus_report import build_report
+
+    sf = "/root/testdata/sf0.001"
+    card = build_report(spark, sf)
+    truth = duckdb.sql(
+        f"""SELECT count(*) AS n_docs, sum(n_chars) AS n_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM read_parquet('{sf}/documents.parquet')"""
+    ).fetchone()
+    assert card["n_docs"] == truth[0]
+    assert card["n_chars"] == truth[1]
+    assert len(card["by_lang"]) == truth[2]
+    assert sum(v["docs"] for v in card["by_lang"].values()) == card["n_docs"]
+    assert sum(card["by_source"].values()) == card["n_docs"]
+    assert sum(card["token_length_buckets"].values()) == card["n_docs"]
+    dup = card["duplication"]
+    assert 0 <= dup["exact_redundant_docs"] <= dup["fingerprint_redundant_docs"]

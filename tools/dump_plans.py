@@ -100,6 +100,16 @@ FLAGSHIPS = {
         " plus one groupBy(dst) — scan nodes in the plan read the"
         " checkpointed RDD, not the orders-lineitem derivation."
     ),
+    "sample_dsir_weights": (
+        "Features collapse to (doc, lang, int bucket) before any"
+        " exchange; the 1024-row weight table is a BroadcastHashJoin;"
+        " corpus-keyed shuffles are the two grouped aggregations only."
+    ),
+    "mm_image_roundtrip": (
+        "The multimodal boundary: a single ArrowEvalPython/MapInPandas"
+        " node over the JVM-computed pixel projection — one Arrow"
+        " round-trip, no per-row Python, no shuffle at all."
+    ),
 }
 
 
