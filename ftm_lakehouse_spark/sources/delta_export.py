@@ -1,0 +1,105 @@
+"""Publish a store snapshot as a standard Delta Lake table log.
+
+The statement store's MVCC commit log (sources/commits.py) provides
+Delta's *contract* without the Delta *wire format* (delta-spark jars
+are not in this image). This module closes the interop side: it
+renders the CURRENT snapshot's live file set as a version-0
+``_delta_log`` in the PUBLIC Delta transaction-log format
+(delta.io PROTOCOL.md: ``protocol`` / ``metaData`` / ``add`` actions,
+one JSON object per line), written INSIDE the data directory — so any
+standard Delta reader (delta-spark, delta-rs, DuckDB's delta
+extension) can open the dataset's data directory as a Delta table
+without this engine being installed. The reference gets the same
+interop for free by storing THROUGH delta-rs (reference
+storage/parquet.py:326-475); here it is an explicit, idempotent
+publish step (the moral equivalent of ``CONVERT TO DELTA`` run
+against a consistent snapshot).
+
+Scale: the export writes one JSON line per live file — O(files), no
+data movement, no scan. Re-export after maintenance overwrites the
+version-0 log with the new snapshot (external readers see each
+publish as a fresh table; incremental Delta version mirroring would
+require writing one Delta commit per store commit, a straightforward
+extension recorded in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from ftm_lakehouse_spark.model.statement import STATEMENT_SCHEMA
+
+__all__ = ["export_delta_log", "DELTA_LOG_DIR"]
+
+DELTA_LOG_DIR = "_delta_log"
+
+#: partition directory layout of the statement store's data dir
+_PARTITION_COLUMNS = ["shard", "bucket", "origin"]
+
+
+def _partition_values(rel_file: str) -> dict[str, str]:
+    vals = {}
+    for seg in rel_file.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = v
+    return vals
+
+
+def export_delta_log(store, now_ms: int | None = None) -> str:
+    """Write ``<data>/_delta_log/00000000000000000000.json`` for the
+    store's current snapshot; returns the log file path. Idempotent:
+    re-running replaces the log with the current snapshot."""
+    fs = store._fs
+    data = store._data_path()
+    files = store.commits.snapshot()
+    if now_ms is None:
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+
+    # deterministic table id: stable across re-exports of one store
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"ftm-lakehouse-spark:{store.path}"))
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": STATEMENT_SCHEMA.json(),
+                "partitionColumns": _PARTITION_COLUMNS,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel in sorted(files):
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(rel),
+                    "size": fs.filesize(fs.join(data, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "sourceVersion": str(store.commits.current_version())
+                },
+                "engineInfo": "ftm-lakehouse-spark",
+            }
+        }
+    )
+    log_dir = fs.join(data, DELTA_LOG_DIR)
+    fs.mkdirs(log_dir)
+    log_path = fs.join(log_dir, f"{0:020d}.json")
+    fs.write_text_atomic(log_path, "\n".join(json.dumps(a) for a in actions) + "\n")
+    return log_path
