@@ -30,7 +30,7 @@ import uuid
 
 from ftm_lakehouse_spark.model.statement import STATEMENT_SCHEMA
 
-__all__ = ["export_delta_log", "DELTA_LOG_DIR"]
+__all__ = ["export_delta_log", "read_delta_snapshot", "DELTA_LOG_DIR"]
 
 DELTA_LOG_DIR = "_delta_log"
 
@@ -103,3 +103,81 @@ def export_delta_log(store, now_ms: int | None = None) -> str:
     log_path = fs.join(log_dir, f"{0:020d}.json")
     fs.write_text_atomic(log_path, "\n".join(json.dumps(a) for a in actions) + "\n")
     return log_path
+
+
+def read_delta_snapshot(spark, table_path: str, version: int | None = None):
+    """Open a Delta table written by ANY engine (delta-rs, delta-spark,
+    or :func:`export_delta_log`) as a DataFrame — the adopt/read half
+    of the interop story, again without Delta jars: replay the public
+    transaction log (newest parquet checkpoint at-or-before the target
+    version, if any, then the JSON commits after it), resolve the live
+    ``add`` set, and read exactly those files. ``version=None`` reads
+    the latest. Time travel works for any version whose files survive
+    the writer's vacuum — identical semantics to the native log.
+
+    Scale: log replay is O(commits since checkpoint) driver-side JSON
+    parsing — the same cost every Delta reader pays; the data read is
+    a plain parquet scan of the resolved file list (predicate pushdown
+    and column pruning apply as normal)."""
+    import os
+    import re
+
+    log_dir = os.path.join(table_path, DELTA_LOG_DIR)
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, str] = {}
+    for name in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if m:
+            commits[int(m.group(1))] = os.path.join(log_dir, name)
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
+        if m:
+            checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    head = max(list(commits) + list(checkpoints))
+    target = head if version is None else version
+    if target not in commits and target not in checkpoints:
+        raise ValueError(f"version {target} not in the Delta log (head {head})")
+
+    live: set[str] = set()
+    schema_json: str | None = None
+    start = 0
+    cp_versions = [v for v in checkpoints if v <= target]
+    if cp_versions:
+        cp = max(cp_versions)
+        cdf = spark.read.parquet(checkpoints[cp]).collect()
+        for row in cdf:
+            d = row.asDict(recursive=True)
+            if d.get("add") and d["add"].get("path"):
+                live.add(d["add"]["path"])
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                schema_json = d["metaData"]["schemaString"]
+        start = cp + 1
+    for v in sorted(v for v in commits if start <= v <= target):
+        with open(commits[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+                elif "metaData" in action:
+                    schema_json = action["metaData"]["schemaString"]
+
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    if not live:
+        if schema is None:
+            raise ValueError("empty Delta snapshot with no schema action")
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_path, p) for p in sorted(live)]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    # partition columns live in the directory names; basePath keeps them
+    return reader.option("basePath", table_path).parquet(*paths)

@@ -49,3 +49,58 @@ def test_delta_log_export_is_a_readable_delta_snapshot(spark, lake_root):
     # to the untracked sweep)
     store.vacuum(retention_hours=0.0)
     assert store._fs.exists(log_path)
+
+
+def test_read_delta_snapshot_roundtrip_and_foreign_log(spark, lake_root, tmp_path):
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.sources.delta_export import (
+        export_delta_log,
+        read_delta_snapshot,
+    )
+    from tests.test_lakehouse import JANE, entities_df
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("deltaread")
+    ds.write_entities(entities_df(spark, JANE), origin="bulk")
+    store = ds.store
+    export_delta_log(store)
+
+    # roundtrip: a generic reader over our published log == store.raw()
+    back = read_delta_snapshot(spark, store._data_path())
+    assert back.count() == store.raw().count()
+    assert set(back.columns) == set(store.raw().columns)
+
+    # foreign log written by "another engine": adds then a remove in a
+    # later commit — replay must honor both, and time travel sees v0
+    ext = tmp_path / "ext_table"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    sdf = spark.range(4).selectExpr("id", "id * 2 AS v")
+    sdf.where("id < 2").coalesce(1).write.parquet(str(ext / "p1"))
+    sdf.where("id >= 2").coalesce(1).write.parquet(str(ext / "p2"))
+    import glob
+    import json as j
+
+    f1 = "p1/" + glob.glob(str(ext / "p1" / "*.parquet"))[0].split("/")[-1]
+    f2 = "p2/" + glob.glob(str(ext / "p2" / "*.parquet"))[0].split("/")[-1]
+    schema_str = sdf.schema.json()
+    meta = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_str, "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}}
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": f2, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]) + "\n")
+    (log / f"{1:020d}.json").write_text(
+        j.dumps({"remove": {"path": f2, "deletionTimestamp": 1,
+                            "dataChange": True}}) + "\n")
+
+    latest = read_delta_snapshot(spark, str(ext))
+    assert sorted(r["id"] for r in latest.collect()) == [0, 1]
+    v0 = read_delta_snapshot(spark, str(ext), version=0)
+    assert sorted(r["id"] for r in v0.collect()) == [0, 1, 2, 3]
