@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--what", choices=("entities", "statements", "documents"),
                    default="entities")
 
+    s = sub.add_parser(
+        "publish-delta",
+        help="write a standard Delta _delta_log for the current snapshot",
+    )
+    s.add_argument("dataset")
+
     s = sub.add_parser("unlock", help="forcibly release the commit-log lock file")
     s.add_argument("dataset")
 
@@ -145,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
             grace_days=args.grace_days, force=args.force
         )
         print("merged" if changed else "fresh — skipped")
+    elif args.cmd == "publish-delta":
+        print(lake.dataset(args.dataset).export_delta())
     elif args.cmd == "stats":
         print(json.dumps(lake.dataset(args.dataset).stats(), indent=2))
     elif args.cmd == "export-csv":

@@ -148,6 +148,15 @@ class Dataset:
     def merge(self, grace_days: int = 30, force: bool = False) -> bool:
         return self.store.merge(grace_days=grace_days, force=force)
 
+    def export_delta(self) -> str:
+        """Publish the store's current snapshot as a standard Delta
+        transaction log inside the data directory (sources/
+        delta_export.py) so external Delta readers can open the
+        dataset; returns the log file path. Idempotent."""
+        from ftm_lakehouse_spark.sources.delta_export import export_delta_log
+
+        return export_delta_log(self.store)
+
     def optimize(
         self,
         grace_days: int = 30,

@@ -90,6 +90,13 @@ def test_cli_smoke(tmp_path):
     r = run("iterate", "demo", "--as-of", "1")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Jane Doe" in r.stdout  # version 1 = the original import
+    r = run("publish-delta", "demo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    log_path = r.stdout.strip().splitlines()[-1]
+    assert log_path.endswith("_delta_log/00000000000000000000.json")
+    actions = [json.loads(l) for l in open(log_path)]
+    assert any("protocol" in a for a in actions)
+    assert any("add" in a for a in actions)
     r = run("vacuum", "demo", "--retention-hours", "0")
     assert json.loads(r.stdout.strip().splitlines()[-1])["removed"] > 0
 
