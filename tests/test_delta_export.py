@@ -104,3 +104,23 @@ def test_read_delta_snapshot_roundtrip_and_foreign_log(spark, lake_root, tmp_pat
     assert sorted(r["id"] for r in latest.collect()) == [0, 1]
     v0 = read_delta_snapshot(spark, str(ext), version=0)
     assert sorted(r["id"] for r in v0.collect()) == [0, 1, 2, 3]
+
+
+def test_export_and_read_empty_store(spark, lake_root):
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.model.statement import STATEMENT_SCHEMA
+    from ftm_lakehouse_spark.sources.delta_export import (
+        export_delta_log,
+        read_delta_snapshot,
+    )
+
+    ds = Lakehouse(spark, lake_root).dataset("deltaempty")
+    store = ds.store
+    log_path = export_delta_log(store)
+    back = read_delta_snapshot(spark, store._data_path())
+    assert back.count() == 0
+    assert back.schema == STATEMENT_SCHEMA
+    import json as j
+
+    adds = [l for l in open(log_path) if "\"add\"" in l]
+    assert adds == []
