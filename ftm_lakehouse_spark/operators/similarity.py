@@ -294,11 +294,10 @@ def ivf_assign(
                 if len(pts):
                     C[j] = pts.mean(0)
 
-    # JVM-side argmin: distance to each centroid via fold, pick min index
-    with_d = _with_centroid_dists(corpus, C, vec_col)
-    arr = F.array(*[F.col(f"_d{j}") for j in range(len(C))])
+    # JVM-side argmin: one distance-array transform, pick min index
+    with_d = corpus.withColumn("_dists", _centroid_dist_array(vec_col, C))
     assigned = with_d.withColumn(
-        "centroid", F.expr(f"array_position({_arr_sql(len(C))}, array_min({_arr_sql(len(C))})) - 1")
+        "centroid", F.expr("array_position(_dists, array_min(_dists)) - 1")
     )
     return (
         assigned.select(*corpus.columns, F.col("centroid").cast("int").alias("centroid")),
@@ -306,29 +305,34 @@ def ivf_assign(
     )
 
 
-def _arr_sql(n: int) -> str:
-    return "array(" + ",".join(f"_d{j}" for j in range(n)) + ")"
-
-
-def _with_centroid_dists(df: DataFrame, C: np.ndarray, vec_col: str) -> DataFrame:
-    """Add one ``_d{j}`` squared-L2-distance column per centroid.
+def _centroid_dist_array(vec_col: str, C: np.ndarray) -> F.Column:
+    """``array<double>`` of squared-L2 distances to every centroid, as
+    ONE ``transform`` over a 2-D literal with a single lambda pair.
 
     Left-to-right zip_with/aggregate folds, so the floats are
     bit-identical to a DuckDB ``+`` chain over the same literals —
-    the property the IVF oracles rely on."""
-    dists = [
-        F.aggregate(
+    the property the IVF oracles rely on.
+
+    Why one array instead of k ``_d{j}`` columns: downstream argmin
+    (``array_position(arr, array_min(arr))``) references the distance
+    set TWICE, and Catalyst's projection collapse inlines column
+    references — with k per-centroid fold expressions that duplication
+    made the analyzed tree O(k²·dim) and ran the driver out of heap at
+    k=16 / dim=64. A single transform keeps the tree O(k·dim) however
+    many times it is referenced."""
+    c_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in C])
+    return F.transform(
+        c_lit,
+        lambda c: F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in C[j]]),
+                c,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ).alias(f"_d{j}")
-        for j in range(len(C))
-    ]
-    return df.select("*", *dists)
+        ),
+    )
 
 
 def ivf_topk(
@@ -365,17 +369,11 @@ def ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, centroids=C
     )
     # per-query centroid ranking → nprobe probe cells
-    qd = _with_centroid_dists(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
-        C,
-        "qvec",
-    )
+    qd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("_dists", _centroid_dist_array("qvec", C))
     exploded = qd.select(
-        "qid",
-        "qvec",
-        F.posexplode(F.array(*[F.col(f"_d{j}") for j in range(n)])).alias(
-            "centroid", "dist"
-        ),
+        "qid", "qvec", F.posexplode("_dists").alias("centroid", "dist")
     )
     wq = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("centroid"))
     probe = (
@@ -445,7 +443,7 @@ def pq_train(
 def _pq_subdist(vec_col: str, codeword: F.Column, j: int, dsub: int) -> F.Column:
     """Left-to-right squared-L2 fold between subvector j and a codeword
     column — float-identical to a SQL ``+`` chain (the oracle
-    contract, same discipline as ``_with_centroid_dists``)."""
+    contract, same discipline as ``_centroid_dist_array``)."""
     sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
     return F.aggregate(
         F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
@@ -574,15 +572,11 @@ def ivfpq_topk(
     coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
     index = coded.select(F.col(id_col).alias("cid"), "centroid", "code")
 
-    qd = _with_centroid_dists(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), C, "qv"
-    )
+    qd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("_dists", _centroid_dist_array("qv", C))
     exploded = qd.select(
-        "qid",
-        "qv",
-        F.posexplode(F.array(*[F.col(f"_d{j}") for j in range(n)])).alias(
-            "centroid", "dist"
-        ),
+        "qid", "qv", F.posexplode("_dists").alias("centroid", "dist")
     )
     wq = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("centroid"))
     probe = (
@@ -768,15 +762,11 @@ def ivfpq_topk_from_index(
     m, ksub, dsub = books.shape
     idx = index.select(F.col(id_col).alias("cid"), "centroid", "code")
 
-    qd = _with_centroid_dists(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), C, "qv"
-    )
+    qd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("_dists", _centroid_dist_array("qv", C))
     exploded = qd.select(
-        "qid",
-        "qv",
-        F.posexplode(F.array(*[F.col(f"_d{j}") for j in range(n)])).alias(
-            "centroid", "dist"
-        ),
+        "qid", "qv", F.posexplode("_dists").alias("centroid", "dist")
     )
     wq = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("centroid"))
     probe = (
