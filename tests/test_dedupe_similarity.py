@@ -437,3 +437,20 @@ def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
     # the on-disk layout is cell-partitioned (partition pruning target)
     parts = [d for d in os.listdir(os.path.join(path, "index")) if d.startswith("centroid=")]
     assert len(parts) >= 2
+
+
+def test_ivf_handles_realistic_centroid_counts(spark):
+    """Regression: the centroid argmin used to inline k per-centroid
+    fold expressions twice, going O(k²·dim) in the analyzer and OOMing
+    the driver at k=16/dim=64. One distance-array transform keeps the
+    tree linear — k=32 must build AND run."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    C = rng.normal(size=(32, 64))
+    q = e.limit(5)
+    out = ivf_topk(e, q, C, k=3, nprobe=4).collect()
+    assert len(out) == 15
