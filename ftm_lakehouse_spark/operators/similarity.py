@@ -440,29 +440,46 @@ def pq_train(
     return books
 
 
-def _pq_subdist(vec_col: str, codeword: F.Column, j: int, dsub: int) -> F.Column:
-    """Left-to-right squared-L2 fold between subvector j and a codeword
-    column — float-identical to a SQL ``+`` chain (the oracle
-    contract, same discipline as ``_centroid_dist_array``)."""
-    sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-    return F.aggregate(
-        F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _adc_tables(vec_col: str, books: np.ndarray) -> F.Column:
+    """``array<array<double>>`` — table[j][c] = squared L2 between the
+    vector's j-th subvector and codeword c of codebook j, built as ONE
+    nested transform over the full 3-D codebook literal.
 
-
-def _codebook_lit(books: np.ndarray, j: int) -> F.Column:
-    """Codebook j as a literal array<array<double>> column. Components
-    are CAST(... AS DOUBLE) — a bare fractional literal would parse as
-    DECIMAL in Spark SQL and poison the float-identity contract."""
-    inner = ",".join(
-        "array("
-        + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in books[j, c])
-        + ")"
-        for c in range(books.shape[1])
+    This is FAISS's ADC distance-table precompute: build m·ksub
+    subdistances ONCE PER VECTOR, then every use (the encode argmin,
+    the per-candidate asymmetric distance) is a pure element_at
+    lookup — no per-candidate lambda evaluation, and no O(k²) tree
+    duplication when an argmin references the table twice (the same
+    analyzer blowup _centroid_dist_array fixes for IVF). Fold order is
+    the same left-to-right zip_with/aggregate as everywhere else, so
+    every looked-up value stays bit-identical to the SQL oracle."""
+    m, ksub, dsub = books.shape
+    b_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in books[j, c]])
+                    for c in range(ksub)
+                ]
+            )
+            for j in range(m)
+        ]
     )
-    return F.expr(f"array({inner})")
+    return F.transform(
+        b_lit,
+        lambda bookj, j: F.transform(
+            bookj,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                    cw,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
 
 
 def pq_encode(
@@ -476,28 +493,12 @@ def pq_encode(
     the left-to-right distance folds over the ksub codewords. Pure JVM
     expressions; the 100 TB index build is one projection pass, and the
     stored code is ~dim*8/m× smaller than the raw vector."""
-    m, ksub, dsub = books.shape
-    out = corpus
-    code_cols = []
-    for j in range(m):
-        dists = [
-            _pq_subdist(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in books[j, c]]),
-                j,
-                dsub,
-            ).alias(f"_pd{j}_{c}")
-            for c in range(ksub)
-        ]
-        out = out.select("*", *dists)
-        arr = "array(" + ",".join(f"_pd{j}_{c}" for c in range(ksub)) + ")"
-        out = out.withColumn(
-            f"_c{j}",
-            F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int"),
-        ).drop(*[f"_pd{j}_{c}" for c in range(ksub)])
-        code_cols.append(f"_c{j}")
+    out = corpus.withColumn("_tab", _adc_tables(vec_col, books))
     return out.select(
-        *corpus.columns, F.array(*[F.col(c) for c in code_cols]).alias("code")
+        *corpus.columns,
+        F.expr(
+            "transform(_tab, t -> cast(array_position(t, array_min(t)) - 1 as int))"
+        ).alias("code"),
     )
 
 
@@ -524,15 +525,15 @@ def pq_adc_topk(
         F.col(id_col), "code"
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    # FAISS ADC: distance tables precomputed once per query (m·ksub
+    # folds), broadcast with the query; each candidate then costs m
+    # array lookups — no lambda evaluation in the scan loop
+    q = q.withColumn("_qtab", _adc_tables("qv", books)).drop("qv")
     joined = codes.crossJoin(F.broadcast(q))
     adist = None
     for j in range(m):
-        codeword = F.element_at(_codebook_lit(books, j), F.element_at("code", j + 1) + 1)
-        sub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        term = F.aggregate(
-            F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        term = F.element_at(
+            F.element_at("_qtab", j + 1), F.element_at("code", j + 1) + 1
         )
         adist = term if adist is None else adist + term
     ranked = joined.select("qid", F.col(id_col), adist.alias("adist"))
@@ -582,17 +583,19 @@ def ivfpq_topk(
     probe = (
         exploded.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("qid", "qv", F.col("centroid").cast("int").alias("centroid"))
+        .select(
+            "qid",
+            F.col("centroid").cast("int").alias("centroid"),
+            # ADC tables precomputed per query (FAISS distance tables):
+            # candidates pay m array lookups, never a per-candidate fold
+            _adc_tables("qv", books).alias("_qtab"),
+        )
     )
     cand = index.join(F.broadcast(probe), "centroid")
     adist = None
     for j in range(m):
-        codeword = F.element_at(_codebook_lit(books, j), F.element_at("code", j + 1) + 1)
-        sub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        term = F.aggregate(
-            F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        term = F.element_at(
+            F.element_at("_qtab", j + 1), F.element_at("code", j + 1) + 1
         )
         adist = term if adist is None else adist + term
     w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
@@ -772,17 +775,19 @@ def ivfpq_topk_from_index(
     probe = (
         exploded.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("qid", "qv", F.col("centroid").cast("int").alias("centroid"))
+        .select(
+            "qid",
+            F.col("centroid").cast("int").alias("centroid"),
+            # ADC tables precomputed per query (FAISS distance tables):
+            # candidates pay m array lookups, never a per-candidate fold
+            _adc_tables("qv", books).alias("_qtab"),
+        )
     )
     cand = idx.join(F.broadcast(probe), "centroid")
     adist = None
     for j in range(m):
-        codeword = F.element_at(_codebook_lit(books, j), F.element_at("code", j + 1) + 1)
-        sub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        term = F.aggregate(
-            F.zip_with(sub, codeword, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        term = F.element_at(
+            F.element_at("_qtab", j + 1), F.element_at("code", j + 1) + 1
         )
         adist = term if adist is None else adist + term
     w = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
