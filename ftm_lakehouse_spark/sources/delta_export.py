@@ -125,6 +125,7 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
     log_dir = os.path.join(table_path, DELTA_LOG_DIR)
     commits: dict[int, str] = {}
     checkpoints: dict[int, str] = {}
+    multipart: set[int] = set()
     for name in os.listdir(log_dir):
         m = re.fullmatch(r"(\d{20})\.json", name)
         if m:
@@ -132,12 +133,29 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
         m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
         if m:
             checkpoints[int(m.group(1))] = os.path.join(log_dir, name)
+        # multi-part / v2 checkpoints (NNN.checkpoint.0000000001.0000000002
+        # .parquet, *.checkpoint.<uuid>.{parquet,json}) are NOT silently
+        # skipped: if the JSON tail below them was cleaned, replaying
+        # without them would produce a WRONG live set — refuse loudly.
+        elif ".checkpoint." in name:
+            m = re.match(r"(\d{20})\.checkpoint\.", name)
+            if m:
+                multipart.add(int(m.group(1)))
     if not commits and not checkpoints:
         raise FileNotFoundError(f"no Delta log at {log_dir}")
-    head = max(list(commits) + list(checkpoints))
+    head = max(list(commits) + list(checkpoints) + list(multipart))
     target = head if version is None else version
     if target not in commits and target not in checkpoints:
         raise ValueError(f"version {target} not in the Delta log (head {head})")
+    needed_multipart = [v for v in multipart if v <= target]
+    covered = min(commits, default=None)
+    if needed_multipart and (covered is None or covered > 0):
+        raise NotImplementedError(
+            "multi-part/v2 Delta checkpoint at version "
+            f"{max(needed_multipart)} and the JSON log does not reach back "
+            "to version 0 — this reader supports single-file classic "
+            "checkpoints only; install delta-spark/delta-rs for this table"
+        )
 
     live: set[str] = set()
     schema_json: str | None = None
@@ -153,6 +171,12 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
             if d.get("metaData") and d["metaData"].get("schemaString"):
                 schema_json = d["metaData"]["schemaString"]
         start = cp + 1
+    missing = [v for v in range(start, target + 1) if v not in commits]
+    if missing:
+        raise ValueError(
+            f"Delta log hole: commits {missing[:5]}{'...' if len(missing) > 5 else ''}"
+            f" absent between checkpoint {start - 1} and target {target}"
+        )
     for v in sorted(v for v in commits if start <= v <= target):
         with open(commits[v]) as fh:
             for line in fh:

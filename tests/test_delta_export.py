@@ -124,3 +124,33 @@ def test_export_and_read_empty_store(spark, lake_root):
 
     adds = [l for l in open(log_path) if "\"add\"" in l]
     assert adds == []
+
+
+def test_reader_refuses_silent_wrongness(spark, tmp_path):
+    import json as j
+
+    import pytest
+
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "t"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    meta = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": spark.range(1).schema.json(),
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 0}}
+    # multi-part checkpoint with the JSON tail cleaned below it → refuse
+    (log / "00000000000000000004.checkpoint.0000000001.0000000002.parquet").write_bytes(b"")
+    (log / f"{5:020d}.json").write_text(j.dumps(meta) + "\n")
+    with pytest.raises(NotImplementedError, match="multi-part"):
+        read_delta_snapshot(spark, str(ext))
+
+    # hole in the JSON sequence → refuse, never replay past it
+    ext2 = tmp_path / "t2"
+    log2 = ext2 / "_delta_log"
+    log2.mkdir(parents=True)
+    (log2 / f"{0:020d}.json").write_text(j.dumps(meta) + "\n")
+    (log2 / f"{2:020d}.json").write_text(j.dumps(meta) + "\n")
+    with pytest.raises(ValueError, match="hole"):
+        read_delta_snapshot(spark, str(ext2))
