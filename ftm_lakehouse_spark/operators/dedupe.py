@@ -548,6 +548,12 @@ def winnow_fingerprint_pairs(
     fps = (
         grams.select("doc", F.min("h").over(win).alias("fp"))
         .distinct()
+        # the fingerprint set feeds THREE consumers (the df guard, and
+        # both sides of the self-join) — materialize the gram-explode +
+        # window + distinct ONCE instead of re-running it per consumer
+        # (the pagerank/pretrain repeated-subtree lesson; measured ~2×
+        # on the gate). Cluster form: persist(MEMORY_AND_DISK).
+        .localCheckpoint(eager=True)
     )
     rare = (
         fps.groupBy("fp")
