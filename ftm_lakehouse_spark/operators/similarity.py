@@ -39,6 +39,7 @@ __all__ = [
     "kmeans_update",
     "kmeans_train",
     "save_ivfpq_index",
+    "append_to_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_from_index",
 ]
@@ -726,6 +727,45 @@ def save_ivfpq_index(
     with open(tmp, "w") as fh:
         _json.dump(sidecar, fh)
     _os.replace(tmp, f"{path}/meta.json")
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF-PQ index with new vectors:
+    assign + PQ-encode the batch against the index's FROZEN centroids
+    and codebooks (the sidecar), then append the (id, cell, code) rows
+    into the cell partitions. Because the quantizers are frozen, the
+    appended codes are bit-identical to what a full rebuild over the
+    unioned corpus would produce — append ≡ rebuild, which is what
+    makes continuous ingestion safe (FAISS's ``add`` on a trained
+    index; re-train only when drift accumulates, then rebuild).
+
+    Streaming form: call this from ``foreachBatch`` — each micro-batch
+    is one assign/encode projection plus a partitioned parquet append,
+    no shuffle beyond the cell repartition. Readers via
+    :func:`load_ivfpq_index` see closed files only (parquet append
+    visibility), and a replayed batch re-appends rows — pair with
+    ``dropDuplicatesWithinWatermark`` upstream or dedup ids at query
+    time when exactly-once matters."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as fh:
+        meta = _json.load(fh)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    id_col = meta["id_col"]
+    assigned, _ = ivf_assign(new_vectors, centroids=C, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    (
+        coded.select(id_col, "centroid", "code")
+        .repartition("centroid")
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(f"{path}/index")
+    )
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray, str]:

@@ -454,3 +454,60 @@ def test_ivf_handles_realistic_centroid_counts(spark):
     q = e.limit(5)
     out = ivf_topk(e, q, C, k=3, nprobe=4).collect()
     assert len(out) == 15
+
+
+def test_ivfpq_index_streaming_append_equals_rebuild(spark, tmp_path):
+    """Continuous ingestion: appending new vectors to a persisted index
+    through foreachBatch (frozen quantizers) must equal a full rebuild
+    over the unioned corpus — append ≡ rebuild is what makes streaming
+    index maintenance safe."""
+    import numpy as np
+
+    from ftm_lakehouse_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ivfpq_topk_from_index,
+        load_ivfpq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((160, 16))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    first, rest = full.where("vec_id < 100"), full.where("vec_id >= 100")
+    C = X[:4].copy()
+    books = pq_train(full, m=4, ksub=4, vec_col="embedding")
+    queries = full.limit(3)
+
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(first, path, C, books)
+
+    # stream the remaining vectors in via foreachBatch (availableNow)
+    src = str(tmp_path / "incoming")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema(full.schema).parquet(src)
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_to_ivfpq_index(batch, path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    index, C2, books2, _ = load_ivfpq_index(spark, path)
+    assert index.count() == 160
+    appended = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk_from_index(index, queries, C2, books2, k=3, nprobe=2).collect()
+    }
+    rebuilt_path = str(tmp_path / "rebuilt")
+    save_ivfpq_index(full, rebuilt_path, C, books)
+    rindex, _, _, _ = load_ivfpq_index(spark, rebuilt_path)
+    rebuilt = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk_from_index(rindex, queries, C, books, k=3, nprobe=2).collect()
+    }
+    assert appended == rebuilt
