@@ -441,7 +441,7 @@ def pq_train(
     return books
 
 
-def _adc_tables(vec_col: str, books: np.ndarray) -> F.Column:
+def _adc_tables(vec_col, books: np.ndarray) -> F.Column:
     """``array<array<double>>`` — table[j][c] = squared L2 between the
     vector's j-th subvector and codeword c of codebook j, built as ONE
     nested transform over the full 3-D codebook literal.
@@ -455,6 +455,7 @@ def _adc_tables(vec_col: str, books: np.ndarray) -> F.Column:
     the same left-to-right zip_with/aggregate as everywhere else, so
     every looked-up value stays bit-identical to the SQL oracle."""
     m, ksub, dsub = books.shape
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     b_lit = F.array(
         *[
             F.array(
@@ -472,7 +473,7 @@ def _adc_tables(vec_col: str, books: np.ndarray) -> F.Column:
             bookj,
             lambda cw: F.aggregate(
                 F.zip_with(
-                    F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                    F.slice(vec, j * dsub + 1, dsub),
                     cw,
                     lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                 ),
@@ -483,18 +484,46 @@ def _adc_tables(vec_col: str, books: np.ndarray) -> F.Column:
     )
 
 
+def _residual(vec_col: str, centroids: np.ndarray, cell_col: str) -> F.Column:
+    """``v - centroid[cell]`` as a JVM zip_with — the vector each
+    residual-PQ codebook actually quantizes."""
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    return F.zip_with(
+        F.col(vec_col),
+        F.element_at(c_lit, F.col(cell_col) + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_centroids: np.ndarray | None = None,
+    cell_col: str = "centroid",
 ) -> DataFrame:
     """Encode every vector to ``m`` codeword ids (array<int> — 1 byte
     of information per subspace at ksub<=256): per subspace, argmin of
     the left-to-right distance folds over the ksub codewords. Pure JVM
     expressions; the 100 TB index build is one projection pass, and the
-    stored code is ~dim*8/m× smaller than the raw vector."""
-    out = corpus.withColumn("_tab", _adc_tables(vec_col, books))
+    stored code is ~dim*8/m× smaller than the raw vector.
+
+    ``residual_centroids``: quantize ``v - centroid[cell_col]`` instead
+    of the raw vector (FAISS's IVF-PQ default — residuals are smaller
+    and near-centered, so the same codebook budget spends its ksub
+    cells on the part of the vector the coarse quantizer did NOT
+    explain; measurably better recall, tools/bench_ann.py)."""
+    src = corpus
+    enc_col = vec_col
+    if residual_centroids is not None:
+        src = corpus.withColumn(
+            "_resid", _residual(vec_col, residual_centroids, cell_col)
+        )
+        enc_col = "_resid"
+    out = src.withColumn("_tab", _adc_tables(enc_col, books))
     return out.select(
         *corpus.columns,
         F.expr(
@@ -555,6 +584,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production ANN architecture (FAISS ``IVFxx,PQyy``).
     IVF cells bound WHICH rows are scanned (~nprobe/num_centroids of
@@ -571,7 +601,10 @@ def ivfpq_topk(
     n = len(C)
     m, ksub, dsub = books.shape
     assigned, _ = ivf_assign(corpus, centroids=C, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col,
+        residual_centroids=C if residual else None,
+    )
     index = coded.select(F.col(id_col).alias("cid"), "centroid", "code")
 
     qd = queries.select(
@@ -587,9 +620,14 @@ def ivfpq_topk(
         .select(
             "qid",
             F.col("centroid").cast("int").alias("centroid"),
-            # ADC tables precomputed per query (FAISS distance tables):
-            # candidates pay m array lookups, never a per-candidate fold
-            _adc_tables("qv", books).alias("_qtab"),
+            # ADC tables precomputed per (query, probed cell) — FAISS
+            # distance tables; candidates pay m array lookups, never a
+            # per-candidate fold. Residual mode tables the query's
+            # residual against the PROBED cell (qv - C[cell]), matching
+            # how the codes were produced.
+            _adc_tables(
+                _residual("qv", C, "centroid") if residual else "qv", books
+            ).alias("_qtab"),
         )
     )
     cand = index.join(F.broadcast(probe), "centroid")
@@ -693,6 +731,7 @@ def save_ivfpq_index(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Persist the IVF-PQ index: the (id, cell, code) table as parquet
     partitioned BY CELL — so a probe search reads only its nprobe
@@ -707,7 +746,11 @@ def save_ivfpq_index(
     import json as _json
 
     assigned, _ = ivf_assign(corpus, centroids=centroids, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col,
+        residual_centroids=np.asarray(centroids, dtype=np.float64)
+        if residual else None,
+    )
     (
         coded.select(id_col, "centroid", "code")
         .repartition("centroid")
@@ -719,6 +762,7 @@ def save_ivfpq_index(
         "centroids": np.asarray(centroids, dtype=float).tolist(),
         "books": np.asarray(books, dtype=float).tolist(),
         "id_col": id_col,
+        "residual": bool(residual),
     }
     import os as _os
 
@@ -758,7 +802,12 @@ def append_to_ivfpq_index(
     books = np.asarray(meta["books"], dtype=np.float64)
     id_col = meta["id_col"]
     assigned, _ = ivf_assign(new_vectors, centroids=C, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col,
+        # encode mode is an index property, not a caller choice —
+        # honor what the sidecar recorded at build time
+        residual_centroids=C if meta.get("residual") else None,
+    )
     (
         coded.select(id_col, "centroid", "code")
         .repartition("centroid")
@@ -793,6 +842,7 @@ def ivfpq_topk_from_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ probe search against a PERSISTED index: identical math to
     :func:`ivfpq_topk`, but the (id, cell, code) table comes from disk
@@ -818,9 +868,14 @@ def ivfpq_topk_from_index(
         .select(
             "qid",
             F.col("centroid").cast("int").alias("centroid"),
-            # ADC tables precomputed per query (FAISS distance tables):
-            # candidates pay m array lookups, never a per-candidate fold
-            _adc_tables("qv", books).alias("_qtab"),
+            # ADC tables precomputed per (query, probed cell) — FAISS
+            # distance tables; candidates pay m array lookups, never a
+            # per-candidate fold. Residual mode tables the query's
+            # residual against the PROBED cell (qv - C[cell]), matching
+            # how the codes were produced.
+            _adc_tables(
+                _residual("qv", C, "centroid") if residual else "qv", books
+            ).alias("_qtab"),
         )
     )
     cand = idx.join(F.broadcast(probe), "centroid")

@@ -58,6 +58,14 @@ def main() -> None:
     t_exact = time.perf_counter() - t0
     cents = kmeans_train(e, k=16, iters=5)
     books = pq_train(e, m=8, ksub=16)
+    # residual codebooks: train on v - centroid[cell] (FAISS default)
+    from ftm_lakehouse_spark.operators.similarity import _residual, ivf_assign
+
+    assigned, _ = ivf_assign(e, centroids=cents)
+    resid = assigned.select(
+        "vec_id", _residual("embedding", cents, "centroid").alias("embedding")
+    )
+    books_r = pq_train(resid, m=8, ksub=16)
 
     variants = [
         (
@@ -78,6 +86,13 @@ def main() -> None:
         (
             "ivfpq (16 cells, m=8, nprobe=4)",
             lambda: ivfpq_topk(e, queries, cents, books, k=K, nprobe=4),
+            ("qid", "cid"),
+        ),
+        (
+            "ivfpq RESIDUAL (16 cells, m=8, nprobe=4)",
+            lambda: ivfpq_topk(
+                e, queries, cents, books_r, k=K, nprobe=4, residual=True
+            ),
             ("qid", "cid"),
         ),
     ]
