@@ -817,10 +817,16 @@ def append_to_ivfpq_index(
     )
 
 
-def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray, str]:
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, np.ndarray, np.ndarray, str, bool]:
     """Load a persisted IVF-PQ index → (index_df, centroids, books,
-    id_col). ``index_df`` is the cell-partitioned (id, cell, code)
-    table; feed it to :func:`ivfpq_topk_from_index`."""
+    id_col, residual). ``index_df`` is the cell-partitioned (id, cell,
+    code) table; feed it to :func:`ivfpq_topk_from_index` **together
+    with the returned ``residual`` flag** — the encode mode is an index
+    property recorded at build time, and ADC tables computed in the
+    wrong mode score silently-wrong distances (codes are residuals but
+    tables are raw, or vice versa)."""
     import json as _json
 
     with open(f"{path}/meta.json") as fh:
@@ -830,6 +836,7 @@ def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarra
         np.asarray(meta["centroids"], dtype=np.float64),
         np.asarray(meta["books"], dtype=np.float64),
         meta["id_col"],
+        bool(meta.get("residual", False)),
     )
 
 
@@ -842,13 +849,27 @@ def ivfpq_topk_from_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    residual: bool = False,
+    residual: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ probe search against a PERSISTED index: identical math to
     :func:`ivfpq_topk`, but the (id, cell, code) table comes from disk
     — no re-assignment, no re-encoding, and the cell equi-join prunes
-    index PARTITIONS (the index is partitioned by cell on disk)."""
+    index PARTITIONS (the index is partitioned by cell on disk).
+
+    ``residual`` must match how the index codes were PRODUCED — it is
+    an index property, not a search-time choice. Pass the flag returned
+    by :func:`load_ivfpq_index`; it is a required explicit argument
+    precisely so a residual-encoded index can never be silently scored
+    against raw-vector ADC tables (wrong distances, degraded recall,
+    no error)."""
     from pyspark.sql import Window as W
+
+    if residual is None:
+        raise ValueError(
+            "residual must be passed explicitly — use the flag returned by "
+            "load_ivfpq_index(); encode mode is a property of the index, and "
+            "a mismatch silently corrupts ADC distances"
+        )
 
     C = np.asarray(centroids, dtype=np.float64)
     n = len(C)

@@ -38,12 +38,26 @@ DELTA_LOG_DIR = "_delta_log"
 _PARTITION_COLUMNS = ["shard", "bucket", "origin"]
 
 
-def _partition_values(rel_file: str) -> dict[str, str]:
-    vals = {}
+#: Spark/Hive marker directory name for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel_file: str) -> dict[str, str | None]:
+    """Recover partition values from a Hive-style ``key=value`` path.
+
+    Spark percent-escapes special characters (space, ``%``, ``:`` …)
+    when writing partition directories (ExternalCatalogUtils
+    escapePathName), so the directory segment is NOT the value — the
+    Delta log's ``partitionValues`` must carry the UNESCAPED value or
+    external readers surface the escaped string as the column value.
+    ``__HIVE_DEFAULT_PARTITION__`` means NULL (JSON null in the log)."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
     for seg in rel_file.split("/")[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
-            vals[k] = v
+            vals[k] = None if v == _HIVE_NULL else unquote(v)
     return vals
 
 
@@ -157,8 +171,31 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
             "checkpoints only; install delta-spark/delta-rs for this table"
         )
 
-    live: set[str] = set()
+    # live add set, keyed by path → the add action's recorded
+    # partitionValues (the AUTHORITATIVE source for partition columns:
+    # Delta does not require Hive path layout)
+    live: dict[str, dict] = {}
     schema_json: str | None = None
+    partition_cols: list[str] = []
+
+    def _check_protocol(p: dict) -> None:
+        # A table demanding reader features this replay does not
+        # implement (column mapping, deletion vectors, …) must be
+        # refused LOUDLY: replaying it naively resurfaces rows masked
+        # by deletion vectors and misreads column-mapped schemas —
+        # silently wrong results. Same policy as the multi-part
+        # checkpoint refusal above.
+        mrv = int(p.get("minReaderVersion", 1))
+        feats = p.get("readerFeatures") or []
+        if mrv > 1 or feats:
+            raise NotImplementedError(
+                f"Delta table requires minReaderVersion={mrv} "
+                f"readerFeatures={list(feats)} — this reader implements the "
+                "version-1 reader protocol only (no column mapping / "
+                "deletion vectors); install delta-spark/delta-rs for this "
+                "table"
+            )
+
     start = 0
     cp_versions = [v for v in checkpoints if v <= target]
     if cp_versions:
@@ -166,10 +203,13 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
         cdf = spark.read.parquet(checkpoints[cp]).collect()
         for row in cdf:
             d = row.asDict(recursive=True)
+            if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+                _check_protocol(d["protocol"])
             if d.get("add") and d["add"].get("path"):
-                live.add(d["add"]["path"])
+                live[d["add"]["path"]] = d["add"].get("partitionValues") or {}
             if d.get("metaData") and d["metaData"].get("schemaString"):
                 schema_json = d["metaData"]["schemaString"]
+                partition_cols = list(d["metaData"].get("partitionColumns") or [])
         start = cp + 1
     missing = [v for v in range(start, target + 1) if v not in commits]
     if missing:
@@ -183,12 +223,19 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "add" in action:
-                    live.add(action["add"]["path"])
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "add" in action:
+                    live[action["add"]["path"]] = (
+                        action["add"].get("partitionValues") or {}
+                    )
                 elif "remove" in action:
-                    live.discard(action["remove"]["path"])
+                    live.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     schema_json = action["metaData"]["schemaString"]
+                    partition_cols = list(
+                        action["metaData"].get("partitionColumns") or []
+                    )
 
     from pyspark.sql.types import StructType
 
@@ -199,9 +246,58 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
         if schema is None:
             raise ValueError("empty Delta snapshot with no schema action")
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, p) for p in sorted(live)]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    # partition columns live in the directory names; basePath keeps them
-    return reader.option("basePath", table_path).parquet(*paths)
+
+    if not partition_cols:
+        paths = [os.path.join(table_path, p) for p in sorted(live)]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    # Partitioned table: the add actions' partitionValues are the truth.
+    # Fast path — when every live file sits in a Hive-style directory
+    # whose (unescaped) values MATCH its recorded partitionValues, let
+    # Spark's partition discovery recover the columns (vectorized, zero
+    # extra plan nodes). Otherwise materialize the recorded values per
+    # partition group: a non-Hive layout read via basePath would
+    # silently yield NULL partition columns.
+    hive_ok = all(
+        {k: _partition_values(p).get(k) for k in partition_cols} == pv
+        for p, pv in live.items()
+    )
+    if hive_ok:
+        paths = [os.path.join(table_path, p) for p in sorted(live)]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.option("basePath", table_path).parquet(*paths)
+
+    if schema is None:
+        raise ValueError(
+            "partitioned Delta table with non-Hive file layout and no "
+            "metaData schema action — cannot type the partition columns"
+        )
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    # data files of a partitioned Delta table do NOT contain the
+    # partition columns — read with the data-only schema, then attach
+    # the recorded values as typed literals, one read per distinct
+    # partition tuple (bounded by the live partition count, the same
+    # cardinality any Delta reader's file index tracks)
+    data_schema = StructType([f for f in schema.fields if f.name not in partition_cols])
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in live.items():
+        key = tuple(pv.get(k) for k in partition_cols)
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key in sorted(groups, key=lambda t: tuple("" if x is None else x for x in t)):
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*[os.path.join(table_path, p) for p in sorted(groups[key])])
+        )
+        for col, val in zip(partition_cols, key):
+            df = df.withColumn(col, F.lit(val).cast(schema[col].dataType))
+        parts.append(df.select([f.name for f in schema.fields]))
+    return _reduce(lambda a, b: a.unionByName(b), parts)

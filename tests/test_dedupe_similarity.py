@@ -424,12 +424,13 @@ def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
 
     path = str(tmp_path / "ivfpq")
     save_ivfpq_index(df, path, C, books)
-    index, C2, books2, id_col = load_ivfpq_index(spark, path)
+    index, C2, books2, id_col, residual = load_ivfpq_index(spark, path)
     assert np.allclose(C, C2) and np.allclose(books, books2)
+    assert residual is False
     loaded = {
         (r["qid"], r["rank"]): (r["cid"], r["adist"])
         for r in ivfpq_topk_from_index(
-            index, queries, C2, books2, k=3, nprobe=2
+            index, queries, C2, books2, k=3, nprobe=2, residual=residual
         ).collect()
     }
     assert loaded == fresh
@@ -437,6 +438,33 @@ def test_ivfpq_index_persistence_roundtrip(spark, tmp_path):
     # the on-disk layout is cell-partitioned (partition pruning target)
     parts = [d for d in os.listdir(os.path.join(path, "index")) if d.startswith("centroid=")]
     assert len(parts) >= 2
+
+    # the residual flag is an INDEX property: it must survive the
+    # save→load round trip and the documented load→search path must
+    # reproduce the fresh residual search (a dropped flag here scored
+    # residual codes against raw ADC tables — silently wrong distances)
+    rpath = str(tmp_path / "ivfpq_res")
+    save_ivfpq_index(df, rpath, C, books, residual=True)
+    rindex, C3, books3, _, rflag = load_ivfpq_index(spark, rpath)
+    assert rflag is True
+    fresh_res = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk(
+            df, queries, C, books, k=3, nprobe=2, residual=True
+        ).collect()
+    }
+    loaded_res = {
+        (r["qid"], r["rank"]): (r["cid"], r["adist"])
+        for r in ivfpq_topk_from_index(
+            rindex, queries, C3, books3, k=3, nprobe=2, residual=rflag
+        ).collect()
+    }
+    assert loaded_res == fresh_res
+    # and the mode can never be silently defaulted at search time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual"):
+        ivfpq_topk_from_index(rindex, queries, C3, books3, k=3, nprobe=2)
 
 
 def test_ivf_handles_realistic_centroid_counts(spark):
@@ -497,18 +525,22 @@ def test_ivfpq_index_streaming_append_equals_rebuild(spark, tmp_path):
         .awaitTermination(120)
     )
 
-    index, C2, books2, _ = load_ivfpq_index(spark, path)
+    index, C2, books2, _, res = load_ivfpq_index(spark, path)
     assert index.count() == 160
     appended = {
         (r["qid"], r["rank"]): (r["cid"], r["adist"])
-        for r in ivfpq_topk_from_index(index, queries, C2, books2, k=3, nprobe=2).collect()
+        for r in ivfpq_topk_from_index(
+            index, queries, C2, books2, k=3, nprobe=2, residual=res
+        ).collect()
     }
     rebuilt_path = str(tmp_path / "rebuilt")
     save_ivfpq_index(full, rebuilt_path, C, books)
-    rindex, _, _, _ = load_ivfpq_index(spark, rebuilt_path)
+    rindex, _, _, _, rres = load_ivfpq_index(spark, rebuilt_path)
     rebuilt = {
         (r["qid"], r["rank"]): (r["cid"], r["adist"])
-        for r in ivfpq_topk_from_index(rindex, queries, C, books, k=3, nprobe=2).collect()
+        for r in ivfpq_topk_from_index(
+            rindex, queries, C, books, k=3, nprobe=2, residual=rres
+        ).collect()
     }
     assert appended == rebuilt
 

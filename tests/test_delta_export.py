@@ -154,3 +154,134 @@ def test_reader_refuses_silent_wrongness(spark, tmp_path):
     (log2 / f"{2:020d}.json").write_text(j.dumps(meta) + "\n")
     with pytest.raises(ValueError, match="hole"):
         read_delta_snapshot(spark, str(ext2))
+
+    # reader-protocol features we don't implement (column mapping,
+    # deletion vectors) → refuse loudly; replaying naively would
+    # resurface DV-masked rows / misread column-mapped schemas
+    ext3 = tmp_path / "t3"
+    log3 = ext3 / "_delta_log"
+    log3.mkdir(parents=True)
+    (log3 / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            meta,
+        ]) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
+        read_delta_snapshot(spark, str(ext3))
+    # minReaderVersion=2 (column mapping era) refused even without the
+    # explicit feature list
+    ext4 = tmp_path / "t4"
+    log4 = ext4 / "_delta_log"
+    log4.mkdir(parents=True)
+    (log4 / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+        ]) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion=2"):
+        read_delta_snapshot(spark, str(ext4))
+
+
+def test_partition_values_unescape_and_null():
+    """Spark percent-escapes special characters in partition directory
+    names; the Delta log's partitionValues must carry the REAL value,
+    and __HIVE_DEFAULT_PARTITION__ must map to JSON null."""
+    from ftm_lakehouse_spark.sources.delta_export import _partition_values
+
+    vals = _partition_values(
+        "shard=0/origin=crawl%20run%25b/bucket=__HIVE_DEFAULT_PARTITION__/f.parquet"
+    )
+    assert vals == {"shard": "0", "origin": "crawl run%b", "bucket": None}
+
+
+def test_read_foreign_partitioned_non_hive_layout(spark, tmp_path):
+    """Delta does not require Hive key=value paths: a foreign table
+    whose files sit in flat directories must still read its partition
+    columns from the add actions' recorded partitionValues (a basePath
+    read would silently surface NULLs)."""
+    import glob
+    import json as j
+
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "flat"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    # data files do NOT contain the partition column (Delta invariant)
+    df = spark.range(6).selectExpr("id", "id * 10 AS v")
+    df.where("id < 3").coalesce(1).write.parquet(str(ext / "fileA"))
+    df.where("id >= 3").coalesce(1).write.parquet(str(ext / "fileB"))
+    fa = "fileA/" + glob.glob(str(ext / "fileA" / "*.parquet"))[0].split("/")[-1]
+    fb = "fileB/" + glob.glob(str(ext / "fileB" / "*.parquet"))[0].split("/")[-1]
+    full_schema = spark.range(1).selectExpr(
+        "id", "id * 10 AS v", "CAST('x' AS STRING) AS part"
+    ).schema
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full_schema.json(),
+                      "partitionColumns": ["part"], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": fa, "partitionValues": {"part": "alpha beta"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": fb, "partitionValues": {"part": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in actions) + "\n")
+
+    out = read_delta_snapshot(spark, str(ext))
+    rows = {r["id"]: r["part"] for r in out.collect()}
+    assert rows == {0: "alpha beta", 1: "alpha beta", 2: "alpha beta",
+                    3: None, 4: None, 5: None}
+    assert set(out.columns) == {"id", "v", "part"}
+
+
+def test_read_foreign_hive_layout_with_escaped_values(spark, tmp_path):
+    """A Spark-written partitioned table with special characters in the
+    partition value: directory names are percent-escaped, and both the
+    recorded partitionValues and the read-back column must be the REAL
+    (unescaped) value."""
+    import json as j
+    import os
+
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "esc"
+    df = spark.createDataFrame(
+        [(1, "crawl run%1"), (2, "crawl run%1"), (3, "plain")],
+        ["id", "src"],
+    )
+    df.write.partitionBy("src").parquet(str(ext))
+    # Spark escaped the directory name
+    dirs = [d for d in os.listdir(ext) if d.startswith("src=")]
+    assert any("%" in d for d in dirs)
+    adds = []
+    for root, _, names in os.walk(ext):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), ext)
+                adds.append(rel)
+    from ftm_lakehouse_spark.sources.delta_export import _partition_values
+
+    log = ext / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": df.schema.json(),
+                      "partitionColumns": ["src"], "configuration": {},
+                      "createdTime": 0}},
+    ] + [
+        {"add": {"path": rel, "partitionValues": _partition_values(rel),
+                 "size": 1, "modificationTime": 0, "dataChange": True}}
+        for rel in sorted(adds)
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in actions) + "\n")
+    out = read_delta_snapshot(spark, str(ext))
+    assert {r["id"]: r["src"] for r in out.collect()} == {
+        1: "crawl run%1", 2: "crawl run%1", 3: "plain"
+    }
