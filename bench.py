@@ -1,10 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"warm": {...}, "sf": ...}.
 
 Timing = full plan execution to a count-style action (no driver-side
 materialization of result rows beyond the aggregate), after a one-query
-JVM warmup. Each query is measured once — the suite is the unit.
+JVM warmup. ``queries`` carries the first (cold) run per query — the
+measurement every prior round recorded, so round-over-round totals stay
+comparable — and ``warm`` carries the median of $SPARK_GRAFT_BENCH_WARM
+(default 3) subsequent runs, the contention-robust number rounds should
+compare (cold runs pay codegen + Python-worker startup and swing
+±30-50% with host contention; see SCALE.md §6d).
 """
 
 from __future__ import annotations
@@ -85,6 +91,7 @@ HEADLINE = [
     "mm_image_roundtrip",
     "mm_audio_roundtrip",
     "mm_video_frame_sample",
+    "pipeline_ftm_e2e",
 ]
 
 
@@ -97,27 +104,36 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     qmap["q1_pricing_summary"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap[name]
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "3"))
+
+    def run_once(fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # force full execution incl. result production, cheap transfer
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return round(time.perf_counter() - t0, 4)
+
+    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        timings[name] = run_once(fn)
+        if n_warm > 0:
+            reps = sorted(run_once(fn) for _ in range(n_warm))
+            warm[name] = reps[len(reps) // 2]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if warm:
+        out["warm"] = warm
+        out["warm_total"] = round(sum(warm.values()), 4)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -67,7 +67,11 @@ GRADE_ORDER = [
     "j_correlated_threshold",
     "a_merge_dedupe_latest",
     "a_supersession_ties",
-    "a_first_seen_fold",
+    # a_first_seen_fold ceded its slot to pipeline_ftm_e2e (round-3
+    # VERDICT item 1): ftm_canonicalize already grades the same
+    # fold-before-filter window, and the e2e capstone composes it with
+    # explode/append/assembly under one oracle
+    "pipeline_ftm_e2e",
     "a_entity_assembly",
     "a_stats_facets",
     "ftm_canonicalize",
@@ -5601,4 +5605,208 @@ def mm_video_frame_sample(spark, sf_dir):
     return pix.mapInPandas(
         sample,
         "vec_id long, frame_idx int, width int, height int, pixel_sum long",
+    )
+
+
+# =====================================================================
+# CAPSTONE — the FtM core write path end-to-end (SURVEY §2 S8/A1-A5/C2):
+# entity JSON shape → explode_entities → store append (in-batch dedupe)
+# → physical merge (canonicalize) → assemble_entities. The three LLM
+# capstones grade the training-pipeline compositions; this one grades
+# the engine's NAMESAKE composition the same way — the oracle below is
+# the stages' verified semantics (ftm_canonicalize / a_entity_assembly
+# / c_statement_id oracles) composed into one statically-derivable
+# result. Reference semantics: logic/entities/explode.py:42-219,
+# logic/parquet.py:72-162, logic/entities/aggregate.py:53-186;
+# behavioral contract reference tests/test_e2e_entities.py.
+# =====================================================================
+
+_FTM_E2E_T1 = "2024-01-01 00:00:00"
+_FTM_E2E_T2 = "2024-02-01 00:00:00"
+_FTM_E2E_T3 = "2024-03-01 00:00:00"
+
+
+def _ftm_e2e_oracle() -> str:
+    """The statically-derivable canonical output of the e2e run.
+
+    Statement ids are content-addressed — sha1 of (dataset, entity_id,
+    prop, value, …) — so on this workload (fragment='' everywhere) the
+    merge's per-id dedupe group is exactly (origin, entity_id, prop,
+    value): the oracle never needs sha1 (DuckDB lacks it); the id's
+    ARGUMENTS are the key. BASE_ID checksum rows never surface in the
+    assembled output except through last_change = max(first_seen of
+    checksum rows), and checksum equality across emissions is decided
+    by whether the emission's statement-id SET matched — derivable per
+    cohort: the reimport cohort re-emits identical statements, so its
+    checksum folds first_seen back to T1 (idempotent re-import must NOT
+    bump last_change); the vip cohort's set differs, so last_change
+    moves to T2; a bulk-origin emission at T3 always wins the max."""
+    t1, t2, t3 = _FTM_E2E_T1, _FTM_E2E_T2, _FTM_E2E_T3
+    return f"""
+    WITH users AS (
+        SELECT user_id AS uid,
+               'u' || CAST(user_id AS VARCHAR) AS entity_id,
+               list_sort(list_distinct(list(event_type))) AS etypes
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT uid, entity_id, etypes,
+               uid % 3 = 0 AS vip,
+               uid % 7 = 0 AND uid % 3 <> 0 AS reimport,
+               uid % 5 = 0 AS bulk
+        FROM users
+    ),
+    -- post-merge canonical non-checksum statements, keyed by the
+    -- statement id's arguments (entity_id, prop, value) per origin
+    stmts AS (
+        SELECT entity_id, 'name' AS prop,
+               'User ' || CAST(uid AS VARCHAR) AS value,
+               TIMESTAMP '{t1}' AS first_seen,
+               CASE WHEN vip OR uid % 7 = 0 THEN TIMESTAMP '{t2}'
+                    ELSE TIMESTAMP '{t1}' END AS last_seen
+        FROM flags
+        UNION ALL
+        SELECT entity_id, 'notes', unnest(etypes),
+               TIMESTAMP '{t1}',
+               CASE WHEN reimport THEN TIMESTAMP '{t2}'
+                    ELSE TIMESTAMP '{t1}' END
+        FROM flags
+        UNION ALL
+        SELECT entity_id, 'notes', 'vip',
+               TIMESTAMP '{t2}', TIMESTAMP '{t2}'
+        FROM flags WHERE vip
+        UNION ALL
+        SELECT entity_id, 'name', 'Account ' || CAST(uid AS VARCHAR),
+               TIMESTAMP '{t3}', TIMESTAMP '{t3}'
+        FROM flags WHERE bulk
+    ),
+    per_prop AS (
+        SELECT entity_id, prop,
+               array_to_string(list_sort(list_distinct(list(value))), ',')
+                   AS prop_values,
+               min(first_seen) AS fs, max(last_seen) AS ls,
+               count(*) AS n
+        FROM stmts GROUP BY entity_id, prop
+    ),
+    ent AS (
+        SELECT entity_id, min(fs) AS first_seen, max(ls) AS last_seen,
+               CAST(sum(n) AS BIGINT) AS n_statements
+        FROM per_prop GROUP BY entity_id
+    )
+    SELECT p.entity_id,
+           CASE WHEN f.uid % 4 = 0 THEN 'Company'
+                WHEN f.bulk THEN 'LegalEntity'
+                ELSE 'Person' END AS schema,
+           CASE WHEN f.bulk THEN 'Account ' || CAST(f.uid AS VARCHAR)
+                ELSE 'User ' || CAST(f.uid AS VARCHAR) END AS caption,
+           p.prop, p.prop_values,
+           e.first_seen, e.last_seen,
+           CASE WHEN f.bulk THEN TIMESTAMP '{t3}'
+                WHEN f.vip THEN TIMESTAMP '{t2}'
+                ELSE TIMESTAMP '{t1}' END AS last_change,
+           CASE WHEN f.bulk THEN 'bulk,crawl' ELSE 'crawl' END AS origins,
+           e.n_statements
+    FROM per_prop p
+    JOIN ent e USING (entity_id)
+    JOIN flags f USING (entity_id)
+    """
+
+
+@_register("pipeline_ftm_e2e", _ftm_e2e_oracle())
+def pipeline_ftm_e2e(spark, sf_dir):
+    """The engine's namesake path, run FOR REAL against a throwaway
+    store: deterministic FtM entities derived from ``events`` →
+    ``Dataset.write_entities`` (explode + in-batch dedupe + parquet
+    append through the MVCC commit log) × three emissions →
+    ``Dataset.merge`` (the physical canonicalize rewrite) →
+    ``Dataset.entities`` (assemble_entities) → one row per
+    (entity, prop) with the map exploded back out.
+
+    The emissions exercise, in one composition: content-address dedupe
+    across emissions (same statement re-emitted later → last_seen
+    bumps, first_seen folds back), idempotent re-import (identical
+    emission → checksum folds too, last_change does NOT move),
+    accumulation of new values, cross-origin assembly, and the
+    schema-claim merge (Person+Organization → LegalEntity;
+    Company claims survive as the more specific descendant).
+
+    Scale note: every stage is the real operator — the same partition-
+    scoped merge windows and hash-grouped assembly graded stage-wise
+    elsewhere; the throwaway store is shards=0 (one shard) because the
+    cohort is entity-count-bound, not data-bound."""
+    import tempfile
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("uid")
+    # the cohort is entity-count-bound (one row per user); localCheckpoint
+    # materializes it once for the four emission projections (the
+    # repeated-subtree lesson from pipeline_pretrain_corpus), and a
+    # single partition keeps each tiny write job one-task
+    base = (
+        ev.groupBy(F.col("user_id").alias("uid"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("etypes"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    eid = F.concat(F.lit("u"), uid.cast("string"))
+    schema1 = F.when(uid % 4 == 0, F.lit("Company")).otherwise(F.lit("Person"))
+    user_name = F.concat(F.lit("User "), uid.cast("string"))
+
+    def props(names, value_arrays):
+        return F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]), F.array(*value_arrays)
+        )
+
+    e1 = base.select(
+        eid.alias("id"), schema1.alias("schema"),
+        props(["name", "notes"], [F.array(user_name), F.col("etypes")]).alias(
+            "properties"
+        ),
+    )
+    e2 = base.filter(uid % 3 == 0).select(
+        eid.alias("id"), schema1.alias("schema"),
+        props(["name", "notes"], [F.array(user_name), F.array(F.lit("vip"))]).alias(
+            "properties"
+        ),
+    )
+    e2b = base.filter((uid % 7 == 0) & (uid % 3 != 0)).select(
+        eid.alias("id"), schema1.alias("schema"),
+        props(["name", "notes"], [F.array(user_name), F.col("etypes")]).alias(
+            "properties"
+        ),
+    )
+    e3 = base.filter(uid % 5 == 0).select(
+        eid.alias("id"), F.lit("Organization").alias("schema"),
+        props(
+            ["name"], [F.array(F.concat(F.lit("Account "), uid.cast("string")))]
+        ).alias("properties"),
+    )
+
+    root = tempfile.mkdtemp(prefix="ftm_e2e_")
+    ds = Lakehouse(spark, root).dataset("e2e")
+    seen = lambda t: F.to_timestamp(F.lit(t))  # noqa: E731
+    ds.write_entities(e1, origin="crawl", seen=seen(_FTM_E2E_T1))
+    ds.write_entities(
+        e2.unionByName(e2b), origin="crawl", seen=seen(_FTM_E2E_T2)
+    )
+    ds.write_entities(e3, origin="bulk", seen=seen(_FTM_E2E_T3))
+    ds.merge(force=True)
+
+    out = ds.entities()
+    return out.select(
+        "entity_id",
+        "schema",
+        "caption",
+        F.explode("properties").alias("prop", "_values"),
+        "first_seen",
+        "last_seen",
+        "last_change",
+        F.concat_ws(",", "origins").alias("origins"),
+        F.col("n_statements").cast("bigint").alias("n_statements"),
+    ).select(
+        "entity_id", "schema", "caption", "prop",
+        F.concat_ws(",", "_values").alias("prop_values"),
+        "first_seen", "last_seen", "last_change", "origins", "n_statements",
     )

@@ -140,7 +140,29 @@ class StatementStore:
         self.config = config
         self._fs = get_fs(path, spark)
         self.tags = TagStore(self._fs.join(path, "_meta", "tags.json"), spark)
-        self.commits = CommitLog(self._fs, self._fs.join(path, "_meta", "commits"))
+        log_dir = self._fs.join(path, "_meta", "commits")
+        self.commits = CommitLog(self._fs, log_dir)
+        # Pre-log ADOPTION is decided at open time, from an explicit
+        # ownership signal — the commit-log directory — never from
+        # "version == 0": a store is adopting only when it has data
+        # files but no log directory at all (a foreign/pre-log table).
+        # An engine-created store materializes its (empty) log dir at
+        # birth, so a crash between the first stage-move and the first
+        # commit leaves a version-0 store whose orphan files are
+        # INVISIBLE (raw() returns empty, bootstrap does not adopt
+        # them, the replayed write re-runs cleanly, vacuum reaps the
+        # orphans) — without the signal, the adoption fallback would
+        # surface the torn write and a streaming replay would
+        # double-append it (caught by tests/test_streaming_recovery.py).
+        data_dir = self._fs.join(path, "statements")
+        if self._fs.isdir(log_dir):
+            self._adopting = False
+        else:
+            self._adopting = self._fs.isdir(data_dir) and bool(
+                self._fs.parquet_files(data_dir)
+            )
+            if not self._adopting:
+                self._fs.mkdirs(log_dir)
         with StatementStore._maint_locks_guard:
             self._maint_lock = StatementStore._maint_locks.setdefault(
                 _lock_key(path), threading.RLock()
@@ -164,10 +186,16 @@ class StatementStore:
         if head == 0:
             if as_of is not None:
                 raise ValueError("as_of requires a commit log (store has none)")
-            # pre-log store (read-only adoption path): directory listing
-            if not self._fs.isdir(self._data_path()):
-                return self.spark.createDataFrame([], STATEMENT_SCHEMA)
-            return self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._data_path())
+            # pre-log FOREIGN store (read-only adoption path, decided by
+            # the ownership signal at open): directory listing. An
+            # engine-created store at version 0 reads EMPTY — any files
+            # present are a crashed first append's orphans and must not
+            # surface (test_streaming_recovery.py).
+            if self._adopting and self._fs.isdir(self._data_path()):
+                return self.spark.read.schema(STATEMENT_SCHEMA).parquet(
+                    self._data_path()
+                )
+            return self.spark.createDataFrame([], STATEMENT_SCHEMA)
         files = self.commits.snapshot(as_of)
         if not files:
             return self.spark.createDataFrame([], STATEMENT_SCHEMA)
@@ -195,8 +223,13 @@ class StatementStore:
 
     def _ensure_bootstrap(self) -> None:
         """Adopt pre-log data files into the log before the first
-        logged write (idempotent; exactly one racing driver wins)."""
-        if self.commits.current_version():
+        logged write (idempotent; exactly one racing driver wins).
+        Only a store opened in ADOPTION mode (foreign data, no log
+        directory) bootstraps — an engine-created store never adopts
+        loose files: at version 0 any such files are a crashed first
+        append's orphans, and adopting them would double the replayed
+        write (test_streaming_recovery.py)."""
+        if not self._adopting or self.commits.current_version():
             return
         files = sorted(self._fs.parquet_files(self._data_path()))
         if not files:

@@ -62,7 +62,17 @@ class StreamingJournal:
         txn_app = f"journal:{self.checkpoint_dir}"
 
         def sink(batch_df, epoch: int) -> None:
-            if batch_df.isEmpty():
+            if self.store.commits.txn_version(txn_app) >= epoch or batch_df.isEmpty():
+                # Replayed epoch (crash landed between the store commit
+                # and the checkpoint advance) or nothing to write.
+                # Either way the batch must still be consumed IN FULL:
+                # Spark validates that foreachBatch processed every
+                # partition before committing the upstream state stores
+                # (STATE_STORE_COMMIT_VALIDATION on 4.x), and the
+                # dropDuplicatesWithinWatermark state rides on that
+                # commit — an early return here wedges the stream on
+                # restart (caught by tests/test_streaming_recovery.py).
+                batch_df.write.format("noop").mode("overwrite").save()
                 return
             self.store.append(batch_df, txn=(txn_app, epoch))
 

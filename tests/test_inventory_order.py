@@ -26,6 +26,9 @@ CAPSTONES = {
     "graph_pagerank",
     "x_kmv_distinct",
     "c_pack_codec",
+    # the FtM core write path end-to-end: explode → append → merge →
+    # assemble against a real throwaway store, one composed oracle
+    "pipeline_ftm_e2e",
 }
 
 
