@@ -100,22 +100,44 @@ class NdjsonApi:
     def run_operation(self, dataset: str, name: str, **kw) -> dict:
         """Run a maintenance job (reference POST _api/operations).
         Body = {"name": ..., optional args}; unknown names 404 at the
-        transport layer via KeyError."""
+        transport layer via KeyError. Every run executes under a
+        persisted lifecycle record (reference JobRepository.run,
+        repository/job.py:99-119): started → result-or-exception →
+        stopped, queryable via the jobs routes even after a failure."""
+        if name not in self.OPERATIONS:
+            raise KeyError(name)
         ds = self.lakehouse.dataset(dataset)
-        if name == "optimize":
-            changed = ds.merge(
-                grace_days=int(kw.get("grace_days", 30)),
-                force=bool(kw.get("force", False)),
-            )
-            return {"op": name, "changed": changed}
-        if name == "make":
-            return {"op": name} | ds.make(force=bool(kw.get("force", False)))
-        if name == "vacuum":
-            removed = ds.store.vacuum(
-                retention_hours=float(kw.get("retention_hours", 168.0))
-            )
-            return {"op": name, "removed": len(removed)}
-        raise KeyError(name)
+        with ds.jobs.run(name, dataset=dataset) as run:
+            if name == "optimize":
+                changed = ds.merge(
+                    grace_days=int(kw.get("grace_days", 30)),
+                    force=bool(kw.get("force", False)),
+                )
+                result = {"op": name, "changed": changed}
+            elif name == "make":
+                result = {"op": name} | ds.make(force=bool(kw.get("force", False)))
+            else:  # vacuum
+                removed = ds.store.vacuum(
+                    retention_hours=float(kw.get("retention_hours", 168.0))
+                )
+                result = {"op": name, "removed": len(removed)}
+            run.save(result=result, done=1)
+        return result | {"run_id": run.job.run_id}
+
+    # ----------------------------------------------------------- jobs
+    def list_jobs(self, dataset: str, name: str | None = None) -> dict:
+        """Run history (reference JobRepository.iterate), newest first;
+        optionally filtered to one job type."""
+        jobs = self.lakehouse.dataset(dataset).jobs
+        names = [name] if name else jobs.job_types()
+        runs = [r.to_dict() for n in names for r in jobs.iterate(n)]
+        runs.sort(key=lambda d: d["run_id"], reverse=True)
+        return {"runs": runs}
+
+    def latest_job(self, dataset: str, name: str) -> dict | None:
+        """Latest run of one job type (reference JobRepository.latest)."""
+        rec = self.lakehouse.dataset(dataset).jobs.latest(name)
+        return rec.to_dict() if rec else None
 
     def write_entities(
         self, dataset: str, lines: Iterable[str], origin: str = "default"
@@ -258,6 +280,18 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                     return self._json(api.stats(parts[0]))
                 if len(parts) == 2 and parts[1] == "version":
                     return self._json(api.version(parts[0]))
+                if len(parts) == 2 and parts[1] == "jobs":
+                    return self._json(
+                        api.list_jobs(parts[0], name=params.get("name"))
+                    )
+                if len(parts) == 3 and parts[1] == "jobs" and parts[2] == "latest":
+                    name = params.get("name")
+                    if not name:
+                        return self._json({"error": "name param required"}, 400)
+                    rec = api.latest_job(parts[0], name)
+                    if rec is None:
+                        return self._json({"error": "no runs"}, 404)
+                    return self._json(rec)
                 return self._json({"error": "no such route"}, 404)
             except BrokenPipeError:  # client hung up mid-stream
                 pass

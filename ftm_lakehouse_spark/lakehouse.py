@@ -56,6 +56,12 @@ class Dataset:
         self.versions = VersionStore(
             self._fs.join(self.path, "_meta", "versions"), spark
         )
+        # persisted operation-run history (reference JobRepository,
+        # repository/job.py:18-119): one JSON record per run under
+        # _meta/jobs/<name>/<run_id>.json
+        from ftm_lakehouse_spark.jobs import JobStore
+
+        self.jobs = JobStore(self._fs.join(self.path, "_meta", "jobs"), spark)
 
     # --------------------------------------------------------- writes
     def write_statements(self, df: DataFrame) -> None:
@@ -517,12 +523,16 @@ class Lakehouse:
                 and getattr(cfg, k, None) != v
             }
             if updates:
-                cfg = DatasetConfig(
+                # preserve the loaded class — a registered subclass's
+                # extra fields survive configure updates
+                cfg = type(cfg)(
                     **{**cfg.__dict__, **updates}
                 )
                 cfg.dump(cfg_path, fs=self._fs)
         else:
-            cfg = DatasetConfig(name=name, **config_kw)
+            from ftm_lakehouse_spark.model.dataset import get_model_class
+
+            cfg = get_model_class()(name=name, **config_kw)
             cfg.dump(cfg_path, fs=self._fs)
         return Dataset(self.spark, self.root, cfg)
 

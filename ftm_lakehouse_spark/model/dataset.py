@@ -36,10 +36,14 @@ class DatasetConfig:
     # URIs — S16) ---------------------------------------------------------
     @classmethod
     def load(cls, path: str, fs=None) -> "DatasetConfig":
+        # reads through the base class construct the REGISTERED model
+        # (set_model_class), so downstream config extensions survive
+        # every load path; an explicit subclass call keeps its class
+        model = get_model_class() if cls is DatasetConfig else cls
         if fs is not None:
-            return cls(**json.loads(fs.read_text(path)))
+            return model(**json.loads(fs.read_text(path)))
         with open(path) as fh:
-            return cls(**json.load(fh))
+            return model(**json.load(fh))
 
     def dump(self, path: str, fs=None) -> None:
         if fs is not None:
@@ -50,6 +54,39 @@ class DatasetConfig:
         with open(tmp, "w") as fh:
             json.dump(asdict(self), fh)
         os.replace(tmp, path)
+
+
+#: the process-wide dataset-config model (reference set_model_class,
+#: model/dataset.py:44-72): downstream tools that extend config.yml
+#: register a subclass once at process start and every config read —
+#: Lakehouse.dataset, sidecar load, configure updates — constructs it.
+_model_class: type = DatasetConfig
+
+
+def set_model_class(model_class: type) -> None:
+    """Register a custom :class:`DatasetConfig` subclass process-wide
+    (reference ``set_model_class``). Call before any dataset access —
+    ``Dataset`` objects snapshot their config at construction.
+
+    ```python
+    @dataclass
+    class MyConfig(DatasetConfig):
+        my_field: str | None = None
+
+    set_model_class(MyConfig)
+    ```
+    """
+    if not (isinstance(model_class, type) and issubclass(model_class, DatasetConfig)):
+        raise TypeError(
+            f"{model_class!r} is not a DatasetConfig subclass"
+        )
+    global _model_class
+    _model_class = model_class
+
+
+def get_model_class() -> type:
+    """The registered config model (reference ``get_model_class``)."""
+    return _model_class
 
 
 def validate_dataset_name(name: str) -> str:

@@ -375,3 +375,51 @@ def test_make_removes_stale_documents_csv(spark, lake_root, tmp_path):
 
     # catalog accessors (reference catalog.py surface)
     assert lake.dataset_exists("staledocs") and not lake.dataset_exists("nope")
+
+
+def test_set_model_class_extends_dataset_config(spark, lake_root):
+    """Reference set_model_class (model/dataset.py:44-72): a registered
+    DatasetConfig subclass is constructed by EVERY config read — new
+    dataset creation, sidecar load, configure updates — and its custom
+    fields round-trip through the sidecar."""
+    from dataclasses import dataclass
+
+    import pytest
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.model.dataset import (
+        DatasetConfig,
+        get_model_class,
+        set_model_class,
+    )
+
+    @dataclass
+    class MyConfig(DatasetConfig):
+        my_field: str | None = None
+
+    assert get_model_class() is DatasetConfig
+    set_model_class(MyConfig)
+    try:
+        lake = Lakehouse(spark, lake_root)
+        ds = lake.dataset("cfgext", my_field="hello")
+        assert isinstance(ds.config, MyConfig)
+        assert ds.config.my_field == "hello"
+
+        # sidecar round-trip constructs the registered class
+        again = Lakehouse(spark, lake_root).dataset("cfgext")
+        assert isinstance(again.config, MyConfig)
+        assert again.config.my_field == "hello"
+
+        # configure updates preserve the subclass and its fields
+        upd = Lakehouse(spark, lake_root).dataset("cfgext", title="T")
+        assert isinstance(upd.config, MyConfig)
+        assert upd.config.my_field == "hello" and upd.config.title == "T"
+
+        # a mutable custom field can itself be updated
+        upd2 = Lakehouse(spark, lake_root).dataset("cfgext", my_field="bye")
+        assert upd2.config.my_field == "bye"
+
+        with pytest.raises(TypeError):
+            set_model_class(dict)
+    finally:
+        set_model_class(DatasetConfig)
