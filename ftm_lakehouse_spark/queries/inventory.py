@@ -49,9 +49,10 @@ def _register(name: str, oracle: str | None):
 #: variants whose mechanics a window occupant already grades (IVF-PQ
 #: composes sim_ivf_topk + sim_pq_adc_topk; f_scan/point/like cover
 #: IN/NULL pushdown; dedup_embedding_cosine's pigeonhole math is
-#: graded via sim_ann_lsh) or rows-only checks (x_approx_stats,
-#: text_bpe_merges) — still verified by tools/check_parity.py and
-#: pytest, just not burning a graded slot.
+#: graded via sim_ann_lsh) or the one remaining rows-only check
+#: (x_approx_stats; text_bpe_merges became full-oracle in round 4 via
+#: the unrolled-iteration trick) — still verified by
+#: tools/check_parity.py and pytest, just not burning a graded slot.
 GRADE_ORDER = [
     "pipeline_pretrain_corpus",
     "q1_pricing_summary",
@@ -3217,18 +3218,81 @@ def dedup_winnow_substrings(spark, sf_dir):
     return winnow_fingerprint_pairs(d)
 
 
-@_register("text_bpe_merges", None)  # iterative — rows-only check
+def _bpe_oracle(num_merges: int = 12) -> str:
+    """Unrolled BPE training as static SQL — the same trick that made
+    ``graph_pagerank`` full-oracle: a fixed number of iterations,
+    integer-exact arithmetic, deterministic tie-breaks. Each round is
+    pair-count → argmax (count DESC, left ASC, right ASC — binary
+    string order on both engines for these ASCII symbols) →
+    re-segment. The re-segmentation uses a wrapped-symbol string
+    representation: every symbol is enclosed in U+27E8/U+27E9 angle
+    brackets, so a plain ``replace()`` of ``⟨l⟩⟨r⟩`` with ``⟨lr⟩`` is
+    exactly the leftmost-greedy NON-overlapping merge (markers are
+    consumed with the pair, never shared between adjacent matches —
+    ``⟨a⟩⟨a⟩⟨a⟩⟨a⟩`` → ``⟨aa⟩⟨aa⟩``, matching the Spark fold in
+    operators/bpe._merge_pair). CTEs are MATERIALIZED: each ``w{r}``
+    feeds two consumers and would otherwise inline exponentially."""
+    parts = [f"""w0 AS MATERIALIZED (
+    SELECT '⟨' || array_to_string(string_split(word, ''), '⟩⟨')
+           || '⟩⟨</w>⟩' AS w, n
+    FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+            FROM documents WHERE doc_id < 300
+        ) GROUP BY word
+    )
+)"""]
+    finals = []
+    for r in range(num_merges):
+        parts.append(f"""pc{r} AS MATERIALIZED (
+    SELECT syms[i] AS "left", syms[i+1] AS "right",
+           CAST(sum(n) AS BIGINT) AS pair_count
+    FROM (
+        SELECT unnest(range(1, len(syms))) AS i, syms, n FROM (
+            SELECT string_split(substr(w, 2, length(w) - 2),
+                                '⟩⟨') AS syms, n
+            FROM w{r}
+        )
+    )
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""b{r} AS MATERIALIZED (
+    SELECT "left", "right", pair_count FROM pc{r}
+    WHERE pair_count >= 2
+    ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 1
+)""")
+        parts.append(f"""w{r + 1} AS MATERIALIZED (
+    SELECT replace(w.w,
+                   '⟨' || b."left" || '⟩⟨' || b."right" || '⟩',
+                   '⟨' || b."left" || b."right" || '⟩') AS w, n
+    FROM w{r} w, b{r} b
+)""")
+        finals.append(
+            f'SELECT CAST({r} AS INTEGER) AS rank, "left", "right",'
+            f' "left" || "right" AS merged, pair_count FROM b{r}'
+        )
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(finals) + "\nORDER BY rank")
+
+
+@_register("text_bpe_merges", _bpe_oracle(12))
 def text_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary training (operators/bpe.py): one
     corpus-sized word-count pass, then merge iterations over the small
     distinct-word table. Deterministic tie-breaks make the merge table
-    run-stable, but the algorithm is iterative (argmax per round) —
-    not SQL-expressible, so this gate is rows-only; exactness vs an
-    independent pure-Python reference is pinned by tests/test_bpe.py."""
+    run-stable, and the fixed iteration count lets the oracle unroll
+    the rounds in static SQL (``_bpe_oracle``) — a FULL value-hash
+    gate, not rows-only (round-3 VERDICT item 4). Exactness vs an
+    independent pure-Python reference is additionally pinned by
+    tests/test_bpe.py. The document subset is a deterministic id
+    predicate (not ``limit``): both engines must train on the same
+    corpus for the merge tables to match."""
     from ftm_lakehouse_spark.operators.bpe import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
-    return bpe_train(d.limit(300), num_merges=12)
+    return bpe_train(d.filter("doc_id < 300"), num_merges=12)
 
 
 def _pq_books(m: int = 4, ksub: int = 8, dim: int = 64, seed: int = 17):
