@@ -95,7 +95,7 @@ class NdjsonApi:
 
     #: the job registry (reference api/routes/operations.py:17-40
     #: derives it from the operation package; three ops, listed plainly)
-    OPERATIONS = ("optimize", "make", "vacuum")
+    OPERATIONS = ("optimize", "make", "vacuum", "restore")
 
     def run_operation(self, dataset: str, name: str, **kw) -> dict:
         """Run a maintenance job (reference POST _api/operations).
@@ -116,6 +116,8 @@ class NdjsonApi:
                 result = {"op": name, "changed": changed}
             elif name == "make":
                 result = {"op": name} | ds.make(force=bool(kw.get("force", False)))
+            elif name == "restore":
+                result = {"op": name} | ds.restore(int(kw["version"]))
             else:  # vacuum
                 removed = ds.store.vacuum(
                     retention_hours=float(kw.get("retention_hours", 168.0))

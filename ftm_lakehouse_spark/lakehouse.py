@@ -154,6 +154,15 @@ class Dataset:
     def merge(self, grace_days: int = 30, force: bool = False) -> bool:
         return self.store.merge(grace_days=grace_days, force=force)
 
+    def restore(self, version: int) -> dict:
+        """Roll the dataset's live statement table back (or forward) to
+        its snapshot at commit ``version`` — the portable analog of the
+        reference's ZFS snapshot rollback (core/zfs.py), realized as a
+        Delta-style metadata-only RESTORE against the MVCC commit log
+        (see StatementStore.restore). Restore reach is bounded by the
+        vacuum retention window."""
+        return self.store.restore(version)
+
     def export_delta(self) -> str:
         """Publish the store's current snapshot as a standard Delta
         transaction log inside the data directory (sources/

@@ -171,7 +171,11 @@ class IncrementalAggregate:
         removed_in_span: set[str] = set()
         for r in recs:
             removed_in_span.update(r.get("files_removed", ()))
-            if r["kind"] == "rewrite":
+            # restore commits swap a partition's full content just like
+            # a rewrite (including to EMPTY, which the additive
+            # files_since contract cannot express) — recompute those
+            # partitions from the head snapshot wholesale
+            if r["kind"] in ("rewrite", "restore"):
                 rewritten.update(tuple(p) for p in r["partitions"])
         append_files = [
             f

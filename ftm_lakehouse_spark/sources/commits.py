@@ -377,6 +377,14 @@ class CommitLog:
             for p in rec["partitions"]:
                 key = "/".join(p)
                 appended[key] = max(appended.get(key, 0), rec["version"])
+        elif rec["kind"] == "restore":
+            # a restored snapshot may predate its own canonicalization,
+            # so every touched partition becomes dirty again — a later
+            # merge re-folds it (never the reverse: restore must not
+            # CLEAR dirtiness like a rewrite would)
+            for p in rec["partitions"]:
+                key = "/".join(p)
+                appended[key] = max(appended.get(key, 0), rec["version"])
 
     def oldest_version(self) -> int:
         """Lowest commit record still present (1 if never cleaned)."""

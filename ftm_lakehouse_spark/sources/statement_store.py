@@ -259,14 +259,28 @@ class StatementStore:
         fs = self._fs
         data = self._data_path()
         moved: set[str] = set()
+        materialized = False
         if buckets is None:
-            # callers that already enumerated their partitions pass the
-            # bucket set in — this fallback is an extra scan of df
+            # Callers that already enumerated their partitions pass the
+            # bucket set in. This fallback needs an extra pass over df,
+            # and the write jobs below need one more each — when df is
+            # an expensive subtree (the merge's double-window
+            # canonicalize), recomputing it per consumer is the
+            # repeated-subtree trap (round-3 lesson, SCALE.md §6):
+            # materialize ONCE and let every pass read the
+            # materialization. localCheckpoint here; on a cluster,
+            # persist(DISK_ONLY) + unpersist at the same call site.
+            df = df.localCheckpoint(eager=True)
+            materialized = True
             buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
         groups = [
             (True, sorted(b for b in buckets if b in LARGE_VALUE_BUCKETS)),
             (False, sorted(b for b in buckets if b not in LARGE_VALUE_BUCKETS)),
         ]
+        if not materialized and all(members for _, members in groups):
+            # both writer profiles present → two write jobs over df;
+            # same trap, same cure
+            df = df.localCheckpoint(eager=True)
         for large, members in groups:
             if not members:
                 continue
@@ -395,7 +409,15 @@ class StatementStore:
             snap = self.commits.snapshot(read_version)
             scope = {tuple(p) for p in expected or []}
             files_removed = [f for f in snap if _partition_of(f) in scope]
-        added, written = self._stage_move(df.select(*STATEMENT_SCHEMA.fieldNames()))
+        # a partition-scoped rewrite's output rows can only carry the
+        # scoped partitions' buckets — passing them skips _stage_move's
+        # bucket-discovery pass (which would recompute df's whole
+        # subtree: the skew-stress profile showed the merge's
+        # canonicalize windows running 3× through this path)
+        buckets = {p[1] for p in expected} if expected else None
+        added, written = self._stage_move(
+            df.select(*STATEMENT_SCHEMA.fieldNames()), buckets=buckets
+        )
         all_parts = sorted(
             set(written) | {tuple(p) for p in expected or []}
         )
@@ -542,6 +564,78 @@ class StatementStore:
                 # still existed (the ordering the protocol relies on)
                 removed.extend(self.commits.cleanup(cutoff_ts))
         return removed
+
+    def restore(self, version: int) -> dict:
+        """Delta-style ``RESTORE``: roll the table's LIVE state back
+        (or forward) to its snapshot at commit ``version`` with one
+        metadata-only commit — the engine's portable analog of the
+        reference's ZFS snapshot rollback (core/zfs.py + the zfs-agent
+        transport), expressed against the MVCC commit log instead of
+        the host filesystem, so it works identically on ``file://``,
+        ``s3a://`` and ``gs://`` and needs no host privileges.
+
+        Per touched partition the commit is a full-content swap
+        (files_added = ALL target-version files of the partition,
+        files_removed = its current-only files), which keeps every
+        incremental consumer exact: ``files_since``/``raw_since`` see
+        the full restored partition content (their rewrite contract),
+        and the restore itself is time-travelable — ``raw(as_of=
+        pre_restore_head)`` still reads the undone state until vacuum
+        ages it out. Restored partitions are marked DIRTY
+        (CommitLog._fold_dirty), because the snapshot being restored
+        may predate its own canonicalization; a later merge simply
+        re-folds them. Raises ``LogTruncated`` when ``version``
+        predates log cleanup, and a loud ``RuntimeError`` when the
+        target snapshot's files were already vacuumed — restorability
+        is bounded by the retention window, exactly like Delta."""
+        with self._maint_lock:
+            head = self.commits.current_version()
+            if version < 1 or version > head:
+                raise ValueError(
+                    f"restore target {version} outside committed range 1..{head}"
+                )
+            target = set(self.commits.snapshot(version))
+            current = set(self.commits.snapshot(head))
+            if target == current:
+                return {"restored": False, "version": head}
+            touched = sorted({_partition_of(f) for f in target ^ current})
+            touched_set = set(touched)
+            adds = sorted(f for f in target if _partition_of(f) in touched_set)
+            drops = sorted(current - target)
+            data = self._data_path()
+            missing = [
+                f
+                for f in adds
+                if f not in current and not self._fs.exists(self._fs.join(data, f))
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"cannot restore to version {version}: {len(missing)} "
+                    f"file(s) of that snapshot were already vacuumed "
+                    f"(e.g. {missing[0]}); restore reach is bounded by the "
+                    "vacuum retention window"
+                )
+            # advisory freshness BEFORE visibility flips (crash leaves
+            # partitions marked stale, never fresh) — same ordering as
+            # append
+            for p in touched:
+                self.tags.touch(self._partition_tag(*p))
+            new_version = self.commits.commit(
+                "restore",
+                [list(p) for p in touched],
+                adds,
+                drops,
+                read_version=head,
+            )
+            self.tags.touch("last_updated")
+            return {
+                "restored": True,
+                "version": new_version,
+                "from_version": version,
+                "partitions": len(touched),
+                "files_added": len(adds),
+                "files_removed": len(drops),
+            }
 
     def _reap_empty_dirs(self, data: str) -> None:
         """Remove partition directories holding no files at all (fully
