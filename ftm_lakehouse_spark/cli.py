@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("dataset")
     s.add_argument("--retention-hours", type=float, default=168.0)
 
+    s = sub.add_parser(
+        "restore",
+        help="roll the live table back (or forward) to a commit's snapshot "
+        "(portable ZFS-rollback analog; reach bounded by vacuum retention)",
+    )
+    s.add_argument("dataset")
+    s.add_argument("version", type=int)
+
     s = sub.add_parser("crawl", help="archive a directory tree and ingest Document/Folder entities")
     s.add_argument("dataset")
     s.add_argument("src_dir")
@@ -193,6 +201,8 @@ def main(argv: list[str] | None = None) -> int:
             retention_hours=args.retention_hours
         )
         print(json.dumps({"removed": len(removed)}))
+    elif args.cmd == "restore":
+        print(json.dumps(lake.dataset(args.dataset).restore(args.version)))
     elif args.cmd == "crawl":
         n = lake.dataset(args.dataset).crawl(
             args.src_dir, origin=args.origin, make_entities=not args.no_entities

@@ -90,6 +90,11 @@ def test_cli_smoke(tmp_path):
     r = run("iterate", "demo", "--as-of", "1")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Jane Doe" in r.stdout  # version 1 = the original import
+    r = run("restore", "demo", "1")  # roll live state back to v1
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["restored"] is True
+    r = run("get", "demo", "jane")
+    assert "Jane Doe" in r.stdout
     r = run("publish-delta", "demo")
     assert r.returncode == 0, r.stderr[-2000:]
     log_path = r.stdout.strip().splitlines()[-1]

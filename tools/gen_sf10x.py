@@ -9,11 +9,13 @@ directly — both engines read the same files, so the comparison is
 still exact.
 
 Replication preserves the star schema: every BIGINT entity key is
-offset by `replica * 1e9`, and foreign keys are offset by the SAME
-constant, so each replica is an isolated consistent universe (joins
-never cross replicas; group cardinalities scale ×R; per-key group
-sizes stay constant — deliberately, since a 10× *duplication* stress
-is a different axis, covered by tools/stress_corpus.py). nation and
+offset per replica by its key DOMAIN's dense span (max+1), and foreign
+keys use the SAME offset, so each replica is an isolated consistent
+universe (joins never cross replicas; group cardinalities scale ×R;
+per-key group sizes stay constant — deliberately, since a 10×
+*duplication* stress is a different axis, covered by
+tools/stress_corpus.py) and id-derived structures remain referentially
+closed (see DOMAINS). nation and
 region are fixed dimensions referenced by unchanged INTEGER keys and
 are copied as-is. events.ts is read from the driver's TIMESTAMP(NANOS)
 file by DuckDB (µs truncation — the same value the engine's
@@ -30,9 +32,24 @@ import sys
 
 import duckdb
 
-OFF = 1_000_000_000  # per-replica key offset, >> any sf0.1 key
-
-# table -> columns to offset per replica (BIGINT keys only)
+# key DOMAINS: columns sharing a domain get the SAME dense offset
+# (max(domain)+1 per replica) so foreign keys stay consistent AND
+# derived id structures stay closed — e.g. graph_parent_chain derives
+# a binary-heap hierarchy from doc_id ((id-1)//2), which only remains
+# referentially closed if replica ids are CONTIGUOUS continuations of
+# the base range; a sparse 1e9 offset left every replica's chains
+# dangling (caught by the first sweep: engine lineage-cuts dangling
+# parents to roots, DuckDB's recursion silently drops the chains).
+DOMAINS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "doc": [("documents", "doc_id")],
+    "vec": [("embeddings", "vec_id")],
+    "event": [("events", "event_id")],
+    "user": [("events", "user_id")],
+}
 KEYED = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -49,6 +66,16 @@ FIXED = ["region", "nation"]
 def generate(R: int, src: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    offsets: dict[tuple[str, str], int] = {}
+    for members in DOMAINS.values():
+        span = max(
+            con.execute(
+                f"SELECT max({col}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            for t, col in members
+        ) + 1
+        for t, col in members:
+            offsets[(t, col)] = span
     for t in FIXED:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
@@ -62,7 +89,7 @@ def generate(R: int, src: str, out: str) -> None:
             ).fetchall()
         ]
         sel = ", ".join(
-            f"t.{c} + r.rep * {OFF} AS {c}" if c in keys else f"t.{c}"
+            f"t.{c} + r.rep * {offsets[(t, c)]} AS {c}" if c in keys else f"t.{c}"
             for c in cols
         )
         con.execute(
