@@ -52,18 +52,23 @@ def main() -> int:
         )
 
     failures = []
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        _ts = _time.perf_counter() - _t0
         if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {_ts:.1f}s]")
             continue
+        _t0 = _time.perf_counter()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
@@ -80,8 +85,9 @@ def main() -> int:
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
         try:
+            _td = _time.perf_counter() - _t0
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9)
-            print(f"OK    {name}: {len(a)} rows")
+            print(f"OK    {name}: {len(a)} rows [spark {_ts:.1f}s, duckdb {_td:.1f}s]")
         except AssertionError as e:
             failures.append(name)
             msg = str(e).splitlines()
