@@ -615,15 +615,38 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("vec"),
         F.col("centroid").alias("cell"),
         l2_norm(F.col(vec_col)).alias("norm"),
-    ).localCheckpoint(eager=False)
-    # candidate generation moves only (doc, cell): the cell key has k
+    )
+    # Exact-duplicate pre-collapse (round-4, after the sf1 sweep
+    # measured this operator super-linear under replication): a
+    # web-scale corpus carries every popular vector in MANY exact
+    # copies, and the within-cell pair join then computes the SAME
+    # cosine once per copy-pair — quadratic in the duplication factor.
+    # Group by the vector VALUE itself (no hash, no collision risk):
+    # exact copies share a cell (the argmin assignment is a pure
+    # function of the vector), so each distinct-vector pair's cosine
+    # is computed ONCE on representatives and expanded to member pairs
+    # afterwards — bit-identical output (same arrays → same fold),
+    # with the distance work linear in DISTINCT vectors and only the
+    # unavoidable output expansion quadratic in duplication.
+    grp = (
+        base.groupBy("vec")
+        .agg(
+            F.min("doc").alias("rep"),
+            F.first("cell").alias("cell"),
+            F.first("norm").alias("norm"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = grp.select("rep", "vec", "cell", "norm")
+    # candidate generation moves only (rep, cell): the cell key has k
     # distinct values, so anything heavier through this join would both
     # skew and serialize. The cosine verify — the real compute, one
-    # fold per pair — happens AFTER re-hydration through the
+    # fold per distinct pair — happens AFTER re-hydration through the
     # high-cardinality id joins, which spread pairs across the cluster
     # regardless of k (the same narrow-candidates-then-hydrate shape as
     # embedding_near_dups / minhash_lsh_pairs).
-    ids = base.select("doc", "cell")
+    ids = reps.select(F.col("rep").alias("doc"), "cell")
     cand = (
         ids.alias("l")
         .join(
@@ -632,26 +655,63 @@ def semantic_dedup_pairs(
             & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(
-            F.col("l.doc").alias("a"),
-            F.col("r.doc").alias("b"),
+            F.col("l.doc").alias("ra"),
+            F.col("r.doc").alias("rb"),
             F.col("l.cell").alias("cell"),
         )
-        .repartition(par, "a")
+        .repartition(par, "ra")
     )
     hydrated = cand.join(
-        base.select(F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")),
-        "a",
+        reps.select(F.col("rep").alias("ra"), F.col("vec").alias("va"), F.col("norm").alias("na")),
+        "ra",
     ).join(
-        base.select(F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")),
-        "b",
+        reps.select(F.col("rep").alias("rb"), F.col("vec").alias("vb"), F.col("norm").alias("nb")),
+        "rb",
     )
     cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    rep_pairs = (
         hydrated.select(
-            "a", "b", "cell", F.round(cosine, 6).alias("cosine")
+            "ra", "rb", "cell", F.round(cosine, 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
+    # expansion 1: each surviving representative pair → all (member of
+    # a-group) × (member of b-group) id pairs, the attached cosine
+    # shared (identical arrays). Groups are disjoint, so least/greatest
+    # restores the a < b contract of the pre-collapse formulation.
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+        )
+        .join(
+            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        )
+        .select("cell", "cosine", F.explode("ma").alias("i"), "mb")
+        .select("cell", "cosine", "i", F.explode("mb").alias("j"))
+        .select(
+            F.least("i", "j").alias("a"),
+            F.greatest("i", "j").alias("b"),
+            "cell",
+            "cosine",
+        )
+    )
+    # expansion 2: within a duplicate group every id pair is a
+    # candidate too (the original join emitted them); one self-cosine
+    # per group (≈1.0 up to the fold's rounding — computed, not
+    # assumed, to stay bit-identical), expanded to i < j member pairs.
+    self_cos = F.round(
+        dot_product(F.col("vec"), F.col("vec")) / (F.col("norm") * F.col("norm")), 6
+    )
+    within = (
+        grp.filter(F.size("members") > 1)
+        .select("cell", "members", self_cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "cosine", F.explode("members").alias("i"), "members")
+        .select("cell", "cosine", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "cell", "cosine")
+    )
+    return cross.select("a", "b", "cell", "cosine").unionByName(within)
 
 
 def semantic_dedup_keep(
