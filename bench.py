@@ -92,6 +92,8 @@ HEADLINE = [
     "mm_audio_roundtrip",
     "mm_video_frame_sample",
     "pipeline_ftm_e2e",
+    # round-4 additions
+    "text_bpe_merges",
 ]
 
 
