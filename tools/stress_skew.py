@@ -73,7 +73,10 @@ def main() -> None:
     )
     timings = {}
 
-    stmts = synth(spark, n_hot, n_normal)
+    # materialize the synthetic input BEFORE timing: both appends
+    # consume it, and the ingest number should isolate the write path,
+    # not the synth recompute
+    stmts = synth(spark, n_hot, n_normal).localCheckpoint(eager=True)
     t0 = time.perf_counter()
     store.append(stmts)
     store.append(stmts)  # duplicate everything → merge has real work
