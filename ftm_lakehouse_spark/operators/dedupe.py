@@ -292,15 +292,30 @@ def embedding_near_dups(
 
     blocks = max_hamming + 1
     width = num_bits // blocks
-    sig = hyperplane_signature(F.col(vec_col), num_bits, dim)
+    sig = hyperplane_signature(F.col("vec"), num_bits, dim)
+    # Exact-duplicate pre-collapse (same round-4 pattern as
+    # semantic_dedup_pairs): signature and norm are pure functions of
+    # the vector, so exact copies share every chunk and every
+    # candidate — group by the vector VALUE, verify once per distinct
+    # pair, expand to member pairs afterwards. Bit-identical output;
+    # distance work linear in distinct vectors.
+    grp = (
+        vectors.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+        .groupBy("vec")
+        .agg(
+            F.min("doc").alias("rep"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
     # norm once per VECTOR (n rows), not per candidate pair (~n²/buckets
     # rows) — cosine(a,b) = dot(a,b)/(|a|·|b|) is float-identical either
     # way (same ops, same order), so the oracle is unaffected
-    base = vectors.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
+    base = grp.select(
+        F.col("rep").alias("doc"),
+        "vec",
         sig.alias("sig"),
-        l2_norm(F.col(vec_col)).alias("norm"),
+        l2_norm(F.col("vec")).alias("norm"),
     ).localCheckpoint(eager=False)
     chunked = base.select(
         "doc",
@@ -342,11 +357,39 @@ def embedding_near_dups(
         "b",
     )
     cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    rep_pairs = (
         hydrated.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+        .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "cosine")
     )
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+        )
+        .join(
+            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        )
+        .select("cosine", F.explode("ma").alias("i"), "mb")
+        .select("cosine", "i", F.explode("mb").alias("j"))
+        .select(
+            F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b"), "cosine"
+        )
+    )
+    self_cos = F.round(
+        dot_product(F.col("vec"), F.col("vec"))
+        / (l2_norm(F.col("vec")) * l2_norm(F.col("vec"))),
+        6,
+    )
+    within = (
+        grp.filter(F.size("members") > 1)
+        .select("members", self_cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("cosine", F.explode("members").alias("i"), "members")
+        .select("cosine", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "cosine")
+    )
+    return cross.select("a", "b", "cosine").unionByName(within)
 
 
 def connected_components(

@@ -2,11 +2,15 @@
 
 Reference J5 (/root/reference/ftm_lakehouse/repository/documents.py:
 53-86): folder path construction walks ``parent`` references up the
-tree in Python, cycle-guarded. The Spark form is an iterative
-self-join — each round extends every chain by one hop; rounds =
-O(max depth), each a broadcast-ed equi-join when the edge set is
-dimension-sized (folder tables are), a shuffle join otherwise.
-"""
+tree in Python, cycle-guarded. The Spark form is POINTER DOUBLING
+(recursive doubling / path halving): every chain carries (cursor,
+resolved segment, steps), and each round joins the chain table with
+ITSELF, so a chain absorbs its cursor's ENTIRE resolved segment —
+consumed ancestors double per round, rounds = O(log depth) instead of
+O(depth). Each round is one shuffle equi-join on the cursor key; the
+node table is never broadcast (the one-hop-per-round formulation
+broadcasts the full edge set per round, which is both more rounds AND
+a 100 TB non-starter)."""
 
 from __future__ import annotations
 
@@ -26,50 +30,61 @@ def resolve_parent_chains(
 ) -> DataFrame:
     """Resolve each node's full path by walking parent references.
 
-    Returns (id, path, depth, is_cycle). Iterates until no chain grows
-    or ``max_depth`` (the cycle guard — anything still unresolved at
-    the cap is flagged, mirroring the reference's visited-set guard).
-    """
-    edges = nodes.select(
+    Returns (id, path, depth, is_cycle). Pointer doubling: the state
+    row for node n is (cursor, path, depth) with the invariant
+    ``full_path(n) = full_path(cursor) + sep + path`` and
+    ``full_depth(n) = full_depth(cursor) + depth + 1`` (cursor NULL ⇒
+    path/depth are final). One round joins state with itself on the
+    cursor key, so a chain absorbs everything its cursor has already
+    resolved — after k rounds every chain has consumed ≥ 2^k − 1
+    ancestors, and ⌈log₂(max_depth+1)⌉ + 1 rounds settle everything
+    the cap allows. A DANGLING cursor (parent id not in the node set)
+    closes the chain as a root with one counted step — the lineage-cut
+    contract the sf1 sweep pinned against DuckDB's recursive CTE
+    (which silently DROPS dangling chains; see tools/gen_sf10x.py).
+    Cycle members (and chains leading into a cycle) can never reach a
+    NULL cursor; their depth doubles per round, crosses ``max_depth``
+    within the same round budget, and is flagged ``is_cycle`` —
+    mirroring the reference's visited-set guard. Each round
+    localCheckpoints: the self-join would otherwise both recompute the
+    whole history per round (turning O(log d) rounds back into
+    O(d·log d) work) and build an exponentially nested plan."""
+    state = nodes.select(
         F.col(id_col).alias("_nid"),
-        F.col(parent_col).alias("_parent"),
-        F.col(name_col).alias("_name"),
-    )
-    chains = edges.select(
-        "_nid",
-        F.col("_parent").alias("_cursor"),
-        F.col("_name").alias("path"),
+        F.col(parent_col).alias("_cursor"),
+        F.col(name_col).alias("path"),
         F.lit(0).alias("depth"),
         F.lit(False).alias("is_cycle"),
-    )
-    parents = edges.select(
-        F.col("_nid").alias("_cursor"),
-        F.col("_parent").alias("_next"),
-        F.col("_name").alias("_pname"),
-    )
-    for depth in range(1, max_depth + 1):
-        open_chains = chains.filter(F.col("_cursor").isNotNull() & ~F.col("is_cycle"))
-        if not open_chains.take(1):
+    ).localCheckpoint(eager=True)
+    rounds = max(1, (max_depth + 1).bit_length()) + 1
+    is_open = F.col("_cursor").isNotNull() & ~F.col("is_cycle")
+    for _ in range(rounds):
+        if not state.filter(is_open).take(1):
             break
-        closed = chains.filter(F.col("_cursor").isNull() | F.col("is_cycle"))
+        closed = state.filter(~is_open)
+        jump = state.select(
+            F.col("_nid").alias("_cursor"),
+            F.col("_cursor").alias("_next"),
+            F.col("path").alias("_jseg"),
+            F.col("depth").alias("_jdepth"),
+        )
+        new_depth = F.col("depth") + F.coalesce(F.col("_jdepth"), F.lit(0)) + 1
         stepped = (
-            open_chains.join(F.broadcast(parents), "_cursor", "left")
+            state.filter(is_open)
+            .join(jump, "_cursor", "left")
             .select(
                 "_nid",
                 F.col("_next").alias("_cursor"),
-                F.concat_ws(sep, F.col("_pname"), F.col("path")).alias("path"),
-                F.lit(depth).alias("depth"),
-                (F.lit(depth >= max_depth) & F.col("_next").isNotNull()).alias("is_cycle"),
+                # concat_ws skips the NULL _jseg of a dangling cursor
+                F.concat_ws(sep, F.col("_jseg"), F.col("path")).alias("path"),
+                new_depth.alias("depth"),
+                (F.col("_next").isNotNull() & (new_depth >= max_depth)).alias(
+                    "is_cycle"
+                ),
             )
         )
-        chains = closed.unionByName(stepped)
-        # localCheckpoint keeps the lineage from growing per iteration
-        # (iterative self-joins otherwise build O(depth)-deep plans)
-        if depth % 8 == 0:
-            chains = chains.localCheckpoint(eager=True)
-    return chains.select(
-        F.col("_nid").alias(id_col), "path", "depth", "is_cycle"
-    )
+        state = closed.unionByName(stepped).localCheckpoint(eager=True)
+    return state.select(F.col("_nid").alias(id_col), "path", "depth", "is_cycle")
 
 
 def pagerank_fixed_point(

@@ -2610,8 +2610,9 @@ def graph_parent_chain(spark, sf_dir):
     """Grades operators/graph.resolve_parent_chains (reference J5 folder
     paths, repository/documents.py:53-86) against a recursive-CTE
     oracle. The hierarchy is derived deterministically from doc_id
-    (binary-heap parent), depth ~ log2(n); each Spark round is one
-    broadcast join, rounds = O(depth)."""
+    (binary-heap parent), depth ~ log2(n); the Spark side is pointer
+    doubling — one shuffle self-join per round, rounds = O(log depth),
+    no broadcast of the node table."""
     from ftm_lakehouse_spark.operators.graph import resolve_parent_chains
 
     d = load_table(spark, sf_dir, "documents")
