@@ -86,13 +86,30 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # the shingle/signature projections are CPU-bound: spread the corpus
-    # across cores even when the source is one small parquet file
-    base = (
+    # Exact-duplicate pre-collapse (round-4 pattern, see
+    # semantic_dedup_pairs): shingles — and therefore signatures, band
+    # keys, and every candidate — are pure functions of the text, so
+    # exact copies are grouped by the text VALUE first; the banded join
+    # and Jaccard verify run once per DISTINCT text, and member pairs
+    # are expanded afterwards. Bit-identical output; under web-scale
+    # duplication the per-bucket pair load drops from quadratic in
+    # copies to quadratic in distinct texts.
+    grp = (
+        # the shingle/signature projections are CPU-bound: spread the
+        # corpus across cores even when the source is one small file
         docs.repartition(par)
-        .select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc").alias("rep"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = (
+        grp.select(
+            F.col("rep").alias("doc"),
+            word_shingles(F.col("text"), shingle_words).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
         # base feeds three plan branches (band keys + two candidate
@@ -126,11 +143,44 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("a", "b", "jaccard")
+        .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "jaccard")
     )
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+        )
+        .join(
+            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        )
+        .select("jaccard", F.explode("ma").alias("i"), "mb")
+        .select("jaccard", "i", F.explode("mb").alias("j"))
+        .select(
+            F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b"), "jaccard"
+        )
+    )
+    # within a duplicate group every pair is a candidate (identical
+    # signatures share all bands); the self-Jaccard is computed with
+    # the SAME expressions (1.0 for any non-empty shingle set), not
+    # assumed, so an engine-rounding change could never diverge
+    self_j = F.round(
+        F.size(F.array_intersect("shingles", "shingles")).cast("double")
+        / F.size(F.array_union("shingles", "shingles")).cast("double"),
+        6,
+    )
+    within = (
+        base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
+        .filter(F.size("members") > 1)
+        .select("members", self_j.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("jaccard", F.explode("members").alias("i"), "members")
+        .select("jaccard", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "jaccard")
+    )
+    return cross.select("a", "b", "jaccard").unionByName(within)
 
 
 def simhash(text_col, bits: int = 48):
