@@ -107,7 +107,12 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
     base = (
-        grp.select(
+        # explicit repartition between the collapse and the projection:
+        # AQE coalesces the small post-groupBy shuffle to ~1 partition,
+        # which would serialize the CPU-heavy shingle computation onto
+        # one core (measured 2× on the whole query at sf0.1)
+        grp.repartition(par)
+        .select(
             F.col("rep").alias("doc"),
             word_shingles(F.col("text"), shingle_words).alias("shingles"),
         )
@@ -360,13 +365,20 @@ def embedding_near_dups(
     )
     # norm once per VECTOR (n rows), not per candidate pair (~n²/buckets
     # rows) — cosine(a,b) = dot(a,b)/(|a|·|b|) is float-identical either
-    # way (same ops, same order), so the oracle is unaffected
-    base = grp.select(
-        F.col("rep").alias("doc"),
-        "vec",
-        sig.alias("sig"),
-        l2_norm(F.col("vec")).alias("norm"),
-    ).localCheckpoint(eager=False)
+    # way (same ops, same order), so the oracle is unaffected. The
+    # explicit repartition keeps the CPU-heavy signature projection off
+    # the AQE-coalesced (≈1-partition) post-groupBy layout.
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    base = (
+        grp.repartition(par)
+        .select(
+            F.col("rep").alias("doc"),
+            "vec",
+            sig.alias("sig"),
+            l2_norm(F.col("vec")).alias("norm"),
+        )
+        .localCheckpoint(eager=False)
+    )
     chunked = base.select(
         "doc",
         "sig",
