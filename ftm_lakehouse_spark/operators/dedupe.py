@@ -246,8 +246,28 @@ def simhash_duplicates(
     chunk finds all of them without O(n²)."""
     width = bits // blocks
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh")
+    # exact-duplicate pre-collapse (round-4 pattern, see
+    # minhash_lsh_pairs): the simhash is a pure function of the text,
+    # so copies group first, the probe join and hamming verify run per
+    # DISTINCT text, and member pairs expand afterwards; the explicit
+    # repartition keeps the CPU-heavy signature fold off the
+    # AQE-coalesced post-groupBy layout
+    grp = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc").alias("rep"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sh = (
+        grp.repartition(par)
+        .select(F.col("rep").alias("doc"), simhash(F.col("text"), bits).alias("sh"))
+        # three consumers (both probe sides + the within-group branch):
+        # materialize the signature fold once
+        .localCheckpoint(eager=False)
     )
     chunked = sh.select(
         "doc",
@@ -283,9 +303,38 @@ def simhash_duplicates(
         .dropDuplicates(["a", "b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
+    rep_pairs = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "hamming")
+    )
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+        )
+        .join(
+            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        )
+        .select("hamming", F.explode("ma").alias("i"), "mb")
+        .select("hamming", "i", F.explode("mb").alias("j"))
+        .select(
+            F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b"), "hamming"
+        )
+    )
+    # within a duplicate group: identical text → identical simhash →
+    # hamming 0, computed with the same expression rather than assumed
+    self_h = F.bit_count(F.col("sh").bitwiseXOR(F.col("sh")))
+    within = (
+        sh.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
+        .filter(F.size("members") > 1)
+        .select("members", self_h.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("hamming", F.explode("members").alias("i"), "members")
+        .select("hamming", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "hamming")
+    )
+    return cross.select("a", "b", "hamming").unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -299,29 +348,72 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs from a cheap blocking
     key (first ``block_tokens`` tokens). The SQL-oracle-friendly tier:
     everything is array ops + one equi-join."""
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.col("text"))
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
+    # exact-duplicate pre-collapse + post-collapse repartition (round-4
+    # pattern, see minhash_lsh_pairs): shingles and the blocking key
+    # are pure functions of the text
+    grp = (
         docs.repartition(par)
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc").alias("rep"),
+            F.sort_array(F.collect_list("doc")).alias("members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = (
+        grp.repartition(par)
         .select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), n).alias("sh"),
+            F.col("rep").alias("doc"),
+            word_shingles(F.col("text"), n).alias("sh"),
             F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
         )
         .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
     )
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
     union = F.size(F.array_union("l.sh", "r.sh")).cast("double")
-    return (
+    rep_pairs = (
         l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.doc") < F.col("r.doc")))
         .select(
-            F.col("l.doc").alias("a"),
-            F.col("r.doc").alias("b"),
+            F.col("l.doc").alias("ra"),
+            F.col("r.doc").alias("rb"),
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+        )
+        .join(
+            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        )
+        .select("jaccard", F.explode("ma").alias("i"), "mb")
+        .select("jaccard", "i", F.explode("mb").alias("j"))
+        .select(
+            F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b"), "jaccard"
+        )
+    )
+    self_j = F.round(
+        F.size(F.array_intersect("sh", "sh")).cast("double")
+        / F.size(F.array_union("sh", "sh")).cast("double"),
+        6,
+    )
+    within = (
+        base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
+        .filter(F.size("members") > 1)
+        .select("members", self_j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("jaccard", F.explode("members").alias("i"), "members")
+        .select("jaccard", "i", F.explode("members").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "jaccard")
+    )
+    return cross.select("a", "b", "jaccard").unionByName(within)
 
 
 def embedding_near_dups(
