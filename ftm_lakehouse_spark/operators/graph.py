@@ -124,10 +124,21 @@ def pagerank_fixed_point(
     every few rounds on long runs.
     """
     if iterations > 1:
-        edges = edges.localCheckpoint(eager=True)
+        # the edge list is the BIG invariant (at two decades above the
+        # test scale it is ~100M derived rows): persist DISK_ONLY so
+        # materializing it never competes with the iteration joins for
+        # execution memory — localCheckpoint's MEMORY_AND_DISK default
+        # OOMed a 16 GB local driver at sf10 while DISK_ONLY sails
+        # through; on a cluster this is the same call (or a lakehouse
+        # materialization)
+        from pyspark import StorageLevel
+
+        edges = edges.persist(StorageLevel.DISK_ONLY)
+        edges.count()  # materialize the derivation once
     deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
     nodes = deg.select(F.col(src_col).alias("node"), "_deg")
     if iterations > 1:
+        # the per-node table is small (one row per node) — memory is fine
         nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.select(F.count("*").alias("_n"))
     base = F.expr(f"div({(100 - damping_pct) * scale}, 100 * _n)")
