@@ -11,6 +11,12 @@ comparable — and ``warm`` carries the median of $SPARK_GRAFT_BENCH_WARM
 (default 3) subsequent runs, the contention-robust number rounds should
 compare (cold runs pay codegen + Python-worker startup and swing
 ±30-50% with host contention; see SCALE.md §6d).
+
+``pipeline_ftm_e2e`` is the one write-path query: every run (cold AND
+each warm rep) builds a real throwaway store (3 MVCC appends + merge),
+so its "warm" number still includes full store-creation cost — that is
+the measurement, not an artifact. Temp stores live under one
+process-scoped directory removed at exit (no leaks across runs).
 """
 
 from __future__ import annotations

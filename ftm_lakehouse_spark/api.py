@@ -106,6 +106,11 @@ class NdjsonApi:
         stopped, queryable via the jobs routes even after a failure."""
         if name not in self.OPERATIONS:
             raise KeyError(name)
+        if name == "restore" and "version" not in kw:
+            # validate BEFORE the job-run context: a malformed body of a
+            # KNOWN operation is a 400, not a 404/500, and must not leave
+            # a failed job record behind
+            raise ValueError("restore requires a 'version' argument")
         ds = self.lakehouse.dataset(dataset)
         with ds.jobs.run(name, dataset=dataset) as run:
             if name == "optimize":
@@ -323,6 +328,8 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         return self._json({"error": f"unknown operation {name!r}"}, 404)
                     return self._json(api.run_operation(parts[0], name, **body))
                 return self._json({"error": "no such route"}, 404)
+            except (ValueError, TypeError) as e:  # malformed body → 400
+                self._json({"error": str(e)}, 400)
             except Exception as e:
                 self._json({"error": str(e)}, 500)
 

@@ -5777,6 +5777,26 @@ def _ftm_e2e_oracle() -> str:
     """
 
 
+_E2E_TMPROOT: str | None = None
+
+
+def _e2e_tmpdir() -> str:
+    """A fresh throwaway-store directory for each ``pipeline_ftm_e2e``
+    invocation (a rerun must not append into a prior run's store), all
+    parented under ONE process-scoped root that is rmtree'd at exit —
+    the returned DataFrame reads the store lazily, so per-run cleanup
+    would race the caller's consumption; exit-time cleanup cannot."""
+    global _E2E_TMPROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _E2E_TMPROOT is None:
+        _E2E_TMPROOT = tempfile.mkdtemp(prefix="ftm_e2e_")
+        atexit.register(shutil.rmtree, _E2E_TMPROOT, ignore_errors=True)
+    return tempfile.mkdtemp(dir=_E2E_TMPROOT)
+
+
 @_register("pipeline_ftm_e2e", _ftm_e2e_oracle())
 def pipeline_ftm_e2e(spark, sf_dir):
     """The engine's namesake path, run FOR REAL against a throwaway
@@ -5799,8 +5819,6 @@ def pipeline_ftm_e2e(spark, sf_dir):
     scoped merge windows and hash-grouped assembly graded stage-wise
     elsewhere; the throwaway store is shards=0 (one shard) because the
     cohort is entity-count-bound, not data-bound."""
-    import tempfile
-
     from ftm_lakehouse_spark.lakehouse import Lakehouse
 
     ev = load_table(spark, sf_dir, "events")
@@ -5849,7 +5867,7 @@ def pipeline_ftm_e2e(spark, sf_dir):
         ).alias("properties"),
     )
 
-    root = tempfile.mkdtemp(prefix="ftm_e2e_")
+    root = _e2e_tmpdir()
     ds = Lakehouse(spark, root).dataset("e2e")
     seen = lambda t: F.to_timestamp(F.lit(t))  # noqa: E731
     ds.write_entities(e1, origin="crawl", seen=seen(_FTM_E2E_T1))

@@ -478,10 +478,21 @@ class CommitLog:
           appends file-exactly AND rewrites (a rewrite's output is the
           full canonical content of its partitions, a superset of the
           changes, which is the contract an incremental consumer gets
-          from any table format's change feed);
-        * partitions touched by a legacy rewrite record that carries no
-          ``files_added`` — the caller falls back to a pruned scan for
-          those (pre-MVCC logs only).
+          from any table format's change feed). Liveness is decided by
+          ORDERED replay (add, then discard, per record — the same
+          algebra as :meth:`snapshot`), never by pooling all removals:
+          ``restore`` re-adds files an intermediate rewrite/restore
+          removed, and a pooled removal set would silently drop those
+          live files for any cursor spanning rewrite→restore;
+        * partitions the caller must RE-SCAN at head instead of reading
+          file-exactly: legacy rewrite records that carry no
+          ``files_added`` (pre-MVCC logs), and every partition touched
+          by a ``restore`` — restore is the one commit kind that can
+          roll rows a cursor-holding consumer already saw OUT of the
+          table (possibly to an EMPTY partition), which an additive
+          file list cannot express; a pruned re-read of the partition's
+          current content can. Entity-level deletions a restore causes
+          are surfaced separately by ``StatementStore.deleted_since``.
         """
         if since + 1 < self.oldest_version():
             raise LogTruncated(
@@ -489,21 +500,24 @@ class CommitLog:
                 f"{self.oldest_version()}); do a full read instead"
             )
         commits = self.read(since)
-        removed: set[str] = set()
-        legacy_rewritten: set[tuple[str, ...]] = set()
+        rescan: set[tuple[str, ...]] = set()
+        live: dict[str, None] = {}  # insertion-ordered live set of post-cursor adds
         for c in commits:
-            removed.update(c.get("files_removed", ()))
             if c["kind"] == "rewrite" and not c["files_added"]:
-                legacy_rewritten.update(tuple(p) for p in c["partitions"])
-        files: list[str] = []
-        for c in commits:
+                rescan.update(tuple(p) for p in c["partitions"])
+            elif c["kind"] == "restore":
+                rescan.update(tuple(p) for p in c["partitions"])
             for f in c["files_added"]:
-                parts = tuple(
-                    seg.split("=", 1)[1] for seg in f.split("/")[:-1] if "=" in seg
-                )
-                if f not in removed and parts not in legacy_rewritten:
-                    files.append(f)
-        return files, legacy_rewritten
+                live[f] = None
+            for f in c.get("files_removed", ()):
+                live.pop(f, None)
+        files = [
+            f
+            for f in live
+            if tuple(seg.split("=", 1)[1] for seg in f.split("/")[:-1] if "=" in seg)
+            not in rescan
+        ]
+        return files, rescan
 
     def dirty_partitions(self) -> list[tuple[str, ...]]:
         """Partitions with appended files newer than the last rewrite

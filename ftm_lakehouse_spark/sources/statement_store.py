@@ -668,10 +668,81 @@ class StatementStore:
         """Canonical state of every entity touched after commit
         ``version`` — the file-level twin of ``canonical_changed``:
         changed ids come from ``raw_since`` (O(new data)), then the
-        merge stack runs over a changed-id-scoped view of raw rows."""
+        merge stack runs over a changed-id-scoped view of raw rows.
+
+        A ``restore`` in the span can DELETE entities outright (roll an
+        append back, possibly emptying a partition) — an upsert feed of
+        canonical rows cannot carry that signal, so a consumer holding
+        a cursor across a restore must ALSO apply
+        :meth:`deleted_since`'s ids as deletions (ordinary deletes are
+        tombstone rows and flow through here normally)."""
         changed = self.raw_since(version).select("entity_id").distinct()
         scoped = self.raw().join(F.broadcast(changed), "entity_id", "left_semi")
         return canonicalize(scoped)
+
+    def deleted_since(self, version: int) -> DataFrame:
+        """Entity ids a ``restore`` after commit ``version`` removed
+        from the table and that are still absent at head — the deletion
+        side of the incremental contract (``raw_since`` /
+        ``canonical_since`` are additive and cannot express a restore
+        rolling previously-delivered rows out). Ordinary deletes are
+        tombstone ROWS (they flow through ``raw_since``); only restore
+        creates row-less disappearance, so the scan here is scoped to
+        restore-touched partitions: pre-restore ids come from each
+        restore's ``read_version`` snapshot files (still on disk —
+        restore reach and this answer share the vacuum retention
+        bound), current ids from a pruned scan at head. Emitting an id
+        the consumer never saw (added after the cursor, then rolled
+        back) is a harmless no-op delete; a real deletion is never
+        missed. Raises ``RuntimeError`` when the pre-restore files were
+        already vacuumed — the cursor must be reset (full resync), the
+        same loud bound ``restore`` itself enforces."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+        empty = self.spark.createDataFrame([], "entity_id string")
+        try:
+            recs = [r for r in self.commits.read(version) if r["kind"] == "restore"]
+        except FileNotFoundError:  # pragma: no cover - racing log cleanup
+            recs = []
+        if version + 1 < self.commits.oldest_version():
+            raise LogTruncated(
+                f"cursor {version} predates log cleanup; deletions are no "
+                "longer reconstructible — reset the cursor (full resync)"
+            )
+        if not recs:
+            return empty
+        touched = sorted({tuple(p) for r in recs for p in r["partitions"]})
+        touched_set = set(touched)
+        data = self._data_path()
+        pre_files: set[str] = set()
+        for r in recs:
+            for f in self.commits.snapshot(r["read_version"]):
+                if _partition_of(f) in touched_set:
+                    pre_files.add(f)
+        missing = [
+            f for f in sorted(pre_files) if not self._fs.exists(self._fs.join(data, f))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"cannot compute deletions across restore: {len(missing)} "
+                f"pre-restore file(s) were already vacuumed (e.g. "
+                f"{missing[0]}); reset the cursor (full resync)"
+            )
+        if not pre_files:
+            return empty
+        pre_ids = (
+            self._read_files([self._fs.join(data, f) for f in sorted(pre_files)])
+            .select("entity_id")
+            .distinct()
+        )
+        pred = None
+        for s, b, o in touched:
+            clause = (
+                (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
+            )
+            pred = clause if pred is None else (pred | clause)
+        cur_ids = self.raw().filter(pred).select("entity_id").distinct()
+        return pre_ids.join(cur_ids, "entity_id", "left_anti")
 
     # --------------------------------------------------------- queries
     def count_entities(self) -> int:
@@ -700,25 +771,29 @@ class StatementStore:
         added after the cursor and still live are read DIRECTLY (no
         scan of the table) — appends file-exactly, rewrites as the full
         canonical content of their partitions (a superset of the
-        changes, the standard change-feed contract). Only legacy
-        rewrite records without file lists fall back to a
-        partition-pruned scan. An incremental consumer therefore reads
-        O(new data), not O(table). A cursor that predates log cleanup
-        cannot be answered incrementally — the read degrades to the
-        full table (the caller sees a superset, the safe direction)."""
+        changes, the standard change-feed contract). Legacy rewrite
+        records without file lists and partitions touched by a
+        ``restore`` in the span fall back to a partition-pruned scan
+        of CURRENT content (restore can roll previously-seen rows out,
+        which additive file lists cannot express; entity-level
+        deletions it causes are surfaced by :meth:`deleted_since`).
+        An incremental consumer therefore reads O(new data), not
+        O(table). A cursor that predates log cleanup cannot be
+        answered incrementally — the read degrades to the full table
+        (the caller sees a superset, the safe direction)."""
         from ftm_lakehouse_spark.sources.commits import LogTruncated
 
         try:
-            files, legacy_rewritten = self.commits.files_since(version)
+            files, rescan_partitions = self.commits.files_since(version)
         except LogTruncated:
             return self.raw()
         data = self._data_path()
         parts = []
         if files:
             parts.append(self._read_files([self._fs.join(data, f) for f in files]))
-        if legacy_rewritten:
+        if rescan_partitions:
             pred = None
-            for s, b, o in sorted(legacy_rewritten):
+            for s, b, o in sorted(rescan_partitions):
                 clause = (
                     (F.col("shard") == s) & (F.col("bucket") == b) & (F.col("origin") == o)
                 )

@@ -231,3 +231,22 @@ def test_http_version_operations_delete(http_api):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_http_restore_without_version_is_400(http_api):
+    """A malformed body of a KNOWN operation is a 400 with a naming
+    error — not a 404 'unknown operation' or a 500 (round-4 ADVICE:
+    api.py run_operation read kw['version'] unguarded). No job record
+    may be left behind by the rejected request."""
+    import urllib.error
+
+    try:
+        _req(
+            f"{http_api}/demo/operations",
+            method="POST",
+            data=json.dumps({"name": "restore"}).encode(),
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "version" in e.read().decode("utf-8")

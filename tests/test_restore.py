@@ -143,3 +143,77 @@ def test_restore_via_dataset_api_with_job_record(spark, lake_root):
     rec = ds.jobs.latest("restore")
     assert rec is not None and rec.exc is None
     assert rec.result["from_version"] == v1
+
+
+def test_raw_since_across_restore_forward_keeps_live_files(spark, tmp_path):
+    """Round-4 ADVICE (high): files_since pooled all removals, so a
+    cursor spanning restore→restore-forward silently dropped files the
+    second restore re-added. Ordered replay + the restore rescan
+    channel must deliver every row live at head."""
+    store = _store(spark, tmp_path)
+    store.append(make_df(spark, [stmt(id="a", value="v1")]))
+    v1 = store.commits.current_version()
+    store.append(make_df(spark, [stmt(id="b", entity_id="e2", value="v2")]))
+    head = store.commits.current_version()
+    store.restore(v1)  # removes b's file
+    store.restore(head)  # re-adds it (the re-add a pooled set swallows)
+    inc = store.raw_since(v1)
+    vals = sorted(r["value"] for r in inc.collect())
+    assert "v2" in vals  # the restored-live row is delivered
+    # superset contract: everything delivered is live at head
+    assert set(vals) <= set(_values(store))
+
+
+def test_raw_since_across_rewrite_then_restore(spark, tmp_path):
+    """Cursor spanning rewrite→restore: the restore re-adds files the
+    rewrite removed; consumers must see the restored partition's
+    current content, not an empty diff."""
+    store = _store(spark, tmp_path)
+    store.append(make_df(spark, [stmt(id="a", value="v1")]))
+    v1 = store.commits.current_version()
+    store.append(
+        make_df(spark, [stmt(id="a", value="v1", last_seen="2024-01-02T00:00:00")])
+    )
+    v_dup = store.commits.current_version()
+    store.merge(force=True)  # rewrite: retires the two appends' files
+    store.restore(v_dup)  # re-adds them, removes the merged file
+    inc = store.raw_since(v1)
+    assert inc.count() == store.raw().count() == 2
+
+
+def test_restore_to_empty_surfaces_deletions(spark, tmp_path):
+    """Round-4 ADVICE (medium): restore can DELETE entities outright
+    (roll an append back to an empty partition) — inexpressible in the
+    additive raw_since feed; deleted_since carries the signal."""
+    store = _store(spark, tmp_path)
+    store.append(make_df(spark, [stmt(id="a", entity_id="e1", origin="base")]))
+    v1 = store.commits.current_version()
+    store.append(make_df(spark, [stmt(id="b", entity_id="e2", origin="late")]))
+    v2 = store.commits.current_version()
+    store.restore(v1)  # empties the origin=late partition
+
+    # the additive feed cannot show e2 (no live rows) — by contract
+    assert store.raw_since(v2).filter("entity_id = 'e2'").count() == 0
+    deleted = store.deleted_since(v2)
+    assert [r["entity_id"] for r in deleted.collect()] == ["e2"]
+    # a span with no restore reports nothing
+    assert store.deleted_since(store.commits.current_version()).count() == 0
+
+    # restore FORWARD again: e2 is live at head → no deletion reported
+    store.restore(v2)
+    assert store.deleted_since(v1).count() == 0
+    assert store.raw_since(v1).filter("entity_id = 'e2'").count() > 0
+
+
+def test_deleted_since_refuses_after_vacuum(spark, tmp_path):
+    """Pre-restore files gone → deletions are unreconstructible; the
+    answer must be a loud reset-your-cursor error, never a silent []"""
+    store = _store(spark, tmp_path)
+    store.append(make_df(spark, [stmt(id="a", entity_id="e1", origin="base")]))
+    v1 = store.commits.current_version()
+    store.append(make_df(spark, [stmt(id="b", entity_id="e2", origin="late")]))
+    v2 = store.commits.current_version()
+    store.restore(v1)
+    store.vacuum(retention_hours=0.0)  # reaps the rolled-back file
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        store.deleted_since(v2)
