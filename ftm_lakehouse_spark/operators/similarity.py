@@ -28,6 +28,7 @@ from ftm_lakehouse_spark.functions.vectors import cosine_similarity
 __all__ = [
     "topk_vs_query",
     "knn_join",
+    "knn_join_blocked",
     "hyperplane_signature",
     "ann_lsh_topk",
     "ivf_assign",
@@ -117,6 +118,113 @@ def knn_join(
         corpus.select(id_col, vec_col)
         .repartition(par)
         .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def knn_join_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_chunks: int | None = None,
+    query_blocks: int = 2,
+) -> DataFrame:
+    """Exact k-NN join with NO driver-side collect of the query set —
+    the scale path past :func:`knn_join`'s broadcast-matrix regime
+    (documented ~100k-query ceiling). Returns the same
+    (query_id, neighbor_id, cosine) top-k, bit-equal tie-breaking.
+
+    Grid cogroup: the corpus is hashed into ``corpus_chunks`` chunks
+    and the queries into ``query_blocks`` blocks; each side is
+    replicated across the OTHER side's grid axis (queries ×C, corpus
+    ×Q — plain ``explode`` of a literal range, a shuffle, never a
+    collect), so every (chunk, block) grid cell cogroups one corpus
+    chunk with one query block inside ``applyInPandas`` and scores it
+    with a single BLAS matmul. Each cell emits its block-local
+    per-query top-k (tie-broken exactly like the final window:
+    cosine desc, neighbor id asc — a candidate cut locally is
+    dominated by k better-ordered candidates from its own chunk, so
+    the cut is globally safe), and one window over the C·k candidates
+    per query yields the exact global answer.
+
+    Scale accounting: exactness costs |corpus|×|queries| dot products
+    no matter how they're scheduled — the matmul work is identical to
+    the broadcast path; what changes is that NOTHING passes through
+    the driver and no single executor ever holds more than
+    (|corpus|/C + |queries|/Q) vectors plus their sims matrix. Shuffle
+    volume is corpus×Q + queries×C; size ``query_blocks`` ≈
+    ⌈|queries| / 50k⌉ so a block's matrix stays comfortably in worker
+    memory, ``corpus_chunks`` from the cluster's parallelism.
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    C = int(corpus_chunks or min(8, spark.sparkContext.defaultParallelism))
+    Q = max(1, int(query_blocks))
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("ck", F.pmod(F.xxhash64("neighbor_id"), F.lit(C)).cast("int"))
+        .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(Q)])))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qb", F.pmod(F.xxhash64("query_id"), F.lit(Q)).cast("int"))
+        .withColumn("ck", F.explode(F.array(*[F.lit(i) for i in range(C)])))
+    )
+
+    def score_cell(key, cg: "pd.DataFrame", qg: "pd.DataFrame"):
+        if not len(cg) or not len(qg):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        cmat = np.array(list(cg["cv"]), dtype=np.float64)
+        qmat = np.array(list(qg["qv"]), dtype=np.float64)
+        cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+        qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        sims = cnorm @ qnorm.T  # |chunk| x |block|
+        nids = cg["neighbor_id"].to_numpy()
+        qids = qg["query_id"].to_numpy()
+        kk = min(k, sims.shape[0])
+        out_q, out_n, out_c = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            if kk < len(col):
+                # tie-SAFE prefilter: keep everything >= the kth value,
+                # then order the (small) candidate set exactly —
+                # argpartition alone could drop the smaller-id member
+                # of a tie straddling the k boundary
+                kth = -np.partition(-col, kk - 1)[kk - 1]
+                cand = np.nonzero(col >= kth)[0]
+            else:
+                cand = np.arange(len(col))
+            order = cand[np.lexsort((nids[cand], -col[cand]))][:kk]
+            out_q.append(np.full(len(order), qids[j]))
+            out_n.append(nids[order])
+            out_c.append(col[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    local = (
+        c.groupby("ck", "qb")
+        .cogroup(q.groupby("ck", "qb"))
+        .applyInPandas(
+            score_cell, schema="query_id long, neighbor_id long, cosine double"
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1206,6 +1206,47 @@ def sim_knn_join(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
+@_register(
+    "sim_knn_blocked",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        FROM embeddings e CROSS JOIN q
+    )
+    -- round(round(.,6),4) mirrors the engine's op order exactly: the
+    -- operator emits 6-digit cosines and the gate rounds to 4; a single
+    -- round(.,4) here would double-round-diverge near x.xxx[45]9999
+    SELECT query_id, neighbor_id, round(round(cos, 6), 4) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) <= 5
+    """,
+)
+def sim_knn_blocked(spark, sf_dir):
+    """Exact k-NN join past the broadcast ceiling: grid cogroup over
+    (corpus-chunk × query-block) cells — no driver-side collect of the
+    query set anywhere in the plan (knn_join's documented ~100k-query
+    ceiling removed while keeping exactness). The query cohort here is
+    every 10th vector (50 at sf0.01) split over 2 blocks × 4 corpus
+    chunks, so the gate actually exercises multi-cell candidate
+    merging; the oracle is the same brute-force cross join as
+    sim_knn_join's."""
+    from ftm_lakehouse_spark.operators.similarity import knn_join_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    out = knn_join_blocked(e, queries, k=5, corpus_chunks=4, query_blocks=2)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _hyperplane_sig_sql(num_bits: int, dim: int, seed: int = 7) -> str:
     """SQL expression computing ``operators/similarity.hyperplane_signature``
     over a DOUBLE[] column ``v``: the seeded numpy hyperplane components

@@ -591,3 +591,37 @@ def test_residual_ivfpq_beats_raw_on_clustered_data(spark):
     r_raw = recall(ivfpq_topk(df, queries, C, books_raw, k=5, nprobe=2))
     r_res = recall(ivfpq_topk(df, queries, C, books_res, k=5, nprobe=2, residual=True))
     assert r_res > r_raw + 0.1, (r_raw, r_res)
+
+
+def test_knn_join_blocked_matches_broadcast(spark):
+    """The grid-cogroup exact path must return EXACTLY the broadcast
+    path's answer on the same inputs (neighbor sets, tie-breaks, and
+    rounded cosines), across uneven blocks and a query count that
+    straddles multiple blocks."""
+    from ftm_lakehouse_spark.operators.similarity import knn_join, knn_join_blocked
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") % 7 == 0)  # 72 queries, hash-split
+    a = knn_join(e, queries, k=5)
+    b = knn_join_blocked(e, queries, k=5, corpus_chunks=3, query_blocks=4)
+    pa = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in a.collect()}
+    pb = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in b.collect()}
+    assert pa == pb and len(pb) == queries.count() * 5
+
+
+def test_knn_join_blocked_never_collects_queries(spark):
+    """Plan pin: the query side stays IN the plan (a parquet scan
+    feeding the cogroup), never a driver collect — the property that
+    removes knn_join's ~100k-query broadcast-matrix ceiling."""
+    from ftm_lakehouse_spark.operators.similarity import knn_join_blocked
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_join_blocked(e, e.filter(F.col("vec_id") < 40), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # both grid sides are real scans of the parquet source — two Scan
+    # nodes, no LocalTableScan (a collected query set would re-enter
+    # the plan as local rows) and no broadcast of either side
+    assert plan.count("Scan parquet") == 2
+    assert "LocalTableScan" not in plan
+    assert "BroadcastExchange" not in plan

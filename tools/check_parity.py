@@ -5,6 +5,13 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and an order-insensitive value hash. Usage:
 
     python tools/check_parity.py [sf_dir] [query ...]
+
+``--staged`` (or env PARITY_STAGED=1): for gates registered in
+``tools/staged_oracles.py``, run the staged multi-statement DuckDB
+oracle instead of the single static SQL — same computation, bounded
+intermediates, for sweep scales where the unrolled CTE chain exceeds
+DuckDB's temp capacity (the driver itself always runs the static SQL
+at sf0.01; default local runs mirror that).
 """
 
 from __future__ import annotations
@@ -36,8 +43,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    import os
+
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    use_staged = "--staged" in sys.argv[1:] or os.environ.get("PARITY_STAGED") == "1"
+    staged = {}
+    if use_staged:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from staged_oracles import STAGED as staged  # noqa: N811
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
@@ -70,7 +86,10 @@ def main() -> int:
             continue
         _t0 = _time.perf_counter()
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            if name in staged:
+                ddf = staged[name](con)
+            else:
+                ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
