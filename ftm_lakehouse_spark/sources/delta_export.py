@@ -177,23 +177,27 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
     live: dict[str, dict] = {}
     schema_json: str | None = None
     partition_cols: list[str] = []
+    table_config: dict[str, str] = {}
 
     def _check_protocol(p: dict) -> None:
-        # A table demanding reader features this replay does not
-        # implement (column mapping, deletion vectors, …) must be
-        # refused LOUDLY: replaying it naively resurfaces rows masked
-        # by deletion vectors and misreads column-mapped schemas —
+        # Reader v1 (plain) and v2 (column mapping — implemented below)
+        # replay here; v3 only when its feature list is exactly the
+        # column-mapping feature. Everything else (deletion vectors,
+        # v2Checkpoint, timestampNtz, …) is refused LOUDLY: replaying
+        # naively resurfaces DV-masked rows or misreads schemas —
         # silently wrong results. Same policy as the multi-part
         # checkpoint refusal above.
         mrv = int(p.get("minReaderVersion", 1))
-        feats = p.get("readerFeatures") or []
-        if mrv > 1 or feats:
+        feats = set(p.get("readerFeatures") or [])
+        if mrv > 3 or (mrv == 3 and not feats <= {"columnMapping"}) or (
+            mrv < 3 and feats
+        ):
             raise NotImplementedError(
                 f"Delta table requires minReaderVersion={mrv} "
-                f"readerFeatures={list(feats)} — this reader implements the "
-                "version-1 reader protocol only (no column mapping / "
-                "deletion vectors); install delta-spark/delta-rs for this "
-                "table"
+                f"readerFeatures={sorted(feats)} — this reader implements "
+                "the version-1/2 reader protocol (+ the columnMapping "
+                "feature) only, no deletion vectors; install "
+                "delta-spark/delta-rs for this table"
             )
 
     start = 0
@@ -210,6 +214,7 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
             if d.get("metaData") and d["metaData"].get("schemaString"):
                 schema_json = d["metaData"]["schemaString"]
                 partition_cols = list(d["metaData"].get("partitionColumns") or [])
+                table_config = dict(d["metaData"].get("configuration") or {})
         start = cp + 1
     missing = [v for v in range(start, target + 1) if v not in commits]
     if missing:
@@ -236,12 +241,34 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
                     partition_cols = list(
                         action["metaData"].get("partitionColumns") or []
                     )
+                    table_config = dict(
+                        action["metaData"].get("configuration") or {}
+                    )
 
     from pyspark.sql.types import StructType
 
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
+    mapping_mode = table_config.get("delta.columnMapping.mode", "none")
+    if mapping_mode == "id":
+        # id mode resolves columns by parquet FIELD ID, a different
+        # matching machinery (and one a hand-rolled schema read gets
+        # silently wrong when files predate a rename) — refuse loudly,
+        # name mode below covers the common modern-Delta rename case
+        raise NotImplementedError(
+            "Delta column mapping mode 'id' (parquet field-id resolution) "
+            "is not implemented — only 'name' mode; install "
+            "delta-spark/delta-rs for this table"
+        )
+    if mapping_mode == "name":
+        if schema is None:
+            raise ValueError(
+                "column-mapped Delta table with no metaData schema action"
+            )
+        return _read_column_mapped(
+            spark, table_path, live, schema, partition_cols
+        )
     if not live:
         if schema is None:
             raise ValueError("empty Delta snapshot with no schema action")
@@ -296,6 +323,125 @@ def read_delta_snapshot(spark, table_path: str, version: int | None = None):
         df = (
             spark.read.schema(data_schema)
             .parquet(*[os.path.join(table_path, p) for p in sorted(groups[key])])
+        )
+        for col, val in zip(partition_cols, key):
+            df = df.withColumn(col, F.lit(val).cast(schema[col].dataType))
+        parts.append(df.select([f.name for f in schema.fields]))
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------- column
+# mapping (reader protocol v2 / the columnMapping reader feature):
+# parquet files store columns under stable PHYSICAL names
+# (``delta.columnMapping.physicalName`` in each schema field's
+# metadata); logical names live only in the log's schema. Renames and
+# drops are therefore metadata-only — the reader must resolve every
+# level of the schema through the physical names (delta.io PROTOCOL.md
+# "Column Mapping"; reference interop reads this through delta-rs).
+
+
+def _physical_name(field) -> str:
+    return (field.metadata or {}).get("delta.columnMapping.physicalName", field.name)
+
+
+def _physical_type(dt):
+    """The parquet-side type of a logical type: every struct field at
+    every nesting level renamed to its physical name."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    _physical_name(f), _physical_type(f.dataType), f.nullable, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _to_logical(col, dt):
+    """Rebuild a physically-named column as its logical shape: struct
+    fields re-aliased recursively, arrays/maps descended with
+    ``transform``/``transform_values`` (map keys are primitive in
+    parquet). A null struct stays null (the rebuilt struct literal
+    would otherwise materialize as a struct of nulls)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType):
+        rebuilt = F.struct(
+            *[
+                _to_logical(col.getField(_physical_name(f)), f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(dt, ArrayType):
+        return F.transform(col, lambda x: _to_logical(x, dt.elementType))
+    if isinstance(dt, MapType):
+        return F.transform_values(col, lambda _, v: _to_logical(v, dt.valueType))
+    return col
+
+
+def _read_column_mapped(spark, table_path, live, schema, partition_cols):
+    """Read the live add set of a name-mode column-mapped table.
+
+    Data files never contain partition columns, and in mapped tables
+    the file layout is typically flat (no Hive directories) — the add
+    actions' ``partitionValues`` are the only truth, keyed by PHYSICAL
+    name. Reads group by distinct partition tuple (same cardinality any
+    Delta reader's file index tracks), scan with the physical data
+    schema, rebuild logical names/shapes, then attach the recorded
+    partition values as typed literals."""
+    import os
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    part_set = set(partition_cols)
+    data_fields = [f for f in schema.fields if f.name not in part_set]
+    phys_data_schema = _physical_type(
+        type(schema)([f for f in data_fields])
+    )
+    phys_key = {f.name: _physical_name(f) for f in schema.fields}
+
+    def _logical_select(df):
+        return df.select(
+            *[
+                _to_logical(F.col(f"`{_physical_name(f)}`"), f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        )
+
+    if not live:
+        return spark.createDataFrame([], schema)
+
+    if not partition_cols:
+        df = spark.read.schema(phys_data_schema).parquet(
+            *[os.path.join(table_path, p) for p in sorted(live)]
+        )
+        return _logical_select(df)
+
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in live.items():
+        key = tuple(pv.get(phys_key[c]) for c in partition_cols)
+        groups.setdefault(key, []).append(p)
+    parts = []
+    for key in sorted(groups, key=lambda t: tuple("" if x is None else x for x in t)):
+        df = _logical_select(
+            spark.read.schema(phys_data_schema).parquet(
+                *[os.path.join(table_path, p) for p in sorted(groups[key])]
+            )
         )
         for col, val in zip(partition_cols, key):
             df = df.withColumn(col, F.lit(val).cast(schema[col].dataType))

@@ -170,18 +170,31 @@ def test_reader_refuses_silent_wrongness(spark, tmp_path):
         ]) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
         read_delta_snapshot(spark, str(ext3))
-    # minReaderVersion=2 (column mapping era) refused even without the
-    # explicit feature list
+    # minReaderVersion=2 (column mapping, implemented in name mode) is
+    # ACCEPTED now; mode 'id' (parquet field-id resolution) still
+    # refuses loudly
     ext4 = tmp_path / "t4"
     log4 = ext4 / "_delta_log"
     log4.mkdir(parents=True)
+    meta_id = j.loads(j.dumps(meta))
+    meta_id["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     (log4 / f"{0:020d}.json").write_text(
+        "\n".join(j.dumps(a) for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta_id,
+        ]) + "\n")
+    with pytest.raises(NotImplementedError, match="'id'"):
+        read_delta_snapshot(spark, str(ext4))
+    # a v2 table WITHOUT mapping config (mode none) reads normally
+    ext5 = tmp_path / "t5"
+    log5 = ext5 / "_delta_log"
+    log5.mkdir(parents=True)
+    (log5 / f"{0:020d}.json").write_text(
         "\n".join(j.dumps(a) for a in [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
             meta,
         ]) + "\n")
-    with pytest.raises(NotImplementedError, match="minReaderVersion=2"):
-        read_delta_snapshot(spark, str(ext4))
+    assert read_delta_snapshot(spark, str(ext5)).count() == 0
 
 
 def test_partition_values_unescape_and_null():
@@ -285,3 +298,175 @@ def test_read_foreign_hive_layout_with_escaped_values(spark, tmp_path):
     assert {r["id"]: r["src"] for r in out.collect()} == {
         1: "crawl run%1", 2: "crawl run%1", 3: "plain"
     }
+
+
+def test_read_column_mapped_name_mode_rename_and_drop(spark, tmp_path):
+    """Round-4 VERDICT item 2: name-mode column mapping (reader v2) —
+    the most common modern-Delta feature (any OSS Delta >= 2.x table
+    after a column RENAME or DROP). Hand-built log: parquet files carry
+    stable physical names (col-<uuid>); the logical schema renamed one
+    column and dropped another AFTER the files were written — both are
+    metadata-only, so the reader must resolve through
+    delta.columnMapping.physicalName and never trust parquet names."""
+    import json as j
+
+    from pyspark.sql import Row
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "cm"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    # physical file: columns col-aaa (id), col-bbb (renamed later),
+    # col-ccc (dropped later), written under PHYSICAL names
+    pdf = spark.createDataFrame(
+        [Row(**{"col-aaa": i, "col-bbb": f"v{i}", "col-ccc": i * 10}) for i in range(4)]
+    )
+    pdf.coalesce(1).write.mode("overwrite").parquet(str(ext / "data"))
+    import os
+
+    part_files = [
+        "data/" + n for n in os.listdir(ext / "data") if n.endswith(".parquet")
+    ]
+    # logical schema AFTER rename (amount -> amount_renamed happened on
+    # col-bbb) and AFTER dropping col-ccc: only 2 logical columns remain
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "label_renamed", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cm-table", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": j.dumps({"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name",
+                                        "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}},
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p in part_files
+    ]
+    (log / f"{0:020d}.json").write_text("\n".join(j.dumps(a) for a in actions) + "\n")
+
+    df = read_delta_snapshot(spark, str(ext))
+    assert df.columns == ["id", "label_renamed"]  # drop honored, rename honored
+    rows = {r["id"]: r["label_renamed"] for r in df.collect()}
+    assert rows == {0: "v0", 1: "v1", 2: "v2", 3: "v3"}
+
+
+def test_read_column_mapped_partitioned_flat_layout(spark, tmp_path):
+    """Column-mapped tables use flat file layouts — partitionValues
+    (keyed by PHYSICAL name) are the only source of partition columns;
+    data files do not contain them."""
+    import json as j
+
+    from pyspark.sql import Row
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "cmp"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    for tag, lo in (("x", 0), ("y", 10)):
+        spark.createDataFrame(
+            [Row(**{"col-val": lo + i}) for i in range(3)]
+        ).coalesce(1).write.mode("overwrite").parquet(str(ext / f"part-{tag}"))
+    import os
+
+    def one_file(tag):
+        d = ext / f"part-{tag}"
+        return f"part-{tag}/" + next(
+            n for n in os.listdir(d) if n.endswith(".parquet")
+        )
+
+    fields = [
+        {"name": "val", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-val"}},
+        {"name": "cat", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-cat"}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmp-table", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": j.dumps({"type": "struct", "fields": fields}),
+                      "partitionColumns": ["cat"],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+        {"add": {"path": one_file("x"), "partitionValues": {"col-cat": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": one_file("y"), "partitionValues": {"col-cat": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text("\n".join(j.dumps(a) for a in actions) + "\n")
+
+    df = read_delta_snapshot(spark, str(ext))
+    assert sorted(df.columns) == ["cat", "val"]
+    got = sorted((r["cat"], r["val"]) for r in df.collect())
+    assert got == [("x", 0), ("x", 1), ("x", 2), ("y", 10), ("y", 11), ("y", 12)]
+
+
+def test_read_column_mapped_nested_struct_and_array(spark, tmp_path):
+    """Physical names apply at EVERY nesting level in name mode: a
+    struct column whose inner fields were renamed must rebuild the
+    logical shape recursively (arrays descended, null structs stay
+    null)."""
+    import json as j
+
+    from ftm_lakehouse_spark.sources.delta_export import read_delta_snapshot
+
+    ext = tmp_path / "cmn"
+    log = ext / "_delta_log"
+    log.mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, {"col-in": 5}, [{"col-in": 7}]), (2, None, [])],
+        "`col-id` long, `col-st` struct<`col-in`: long>, "
+        "`col-ar` array<struct<`col-in`: long>>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(ext / "data"))
+    import os
+
+    part_files = [
+        "data/" + n for n in os.listdir(ext / "data") if n.endswith(".parquet")
+    ]
+    inner = [{"name": "inner", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 10,
+                           "delta.columnMapping.physicalName": "col-in"}}]
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-id"}},
+        {"name": "st", "type": {"type": "struct", "fields": inner}, "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-st"}},
+        {"name": "ar",
+         "type": {"type": "array",
+                  "elementType": {"type": "struct", "fields": inner},
+                  "containsNull": True},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ar"}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmn-table", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": j.dumps({"type": "struct", "fields": fields}),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p in part_files
+    ]
+    (log / f"{0:020d}.json").write_text("\n".join(j.dumps(a) for a in actions) + "\n")
+
+    df = read_delta_snapshot(spark, str(ext))
+    assert df.columns == ["id", "st", "ar"]
+    by_id = {r["id"]: r for r in df.collect()}
+    assert by_id[1]["st"]["inner"] == 5
+    assert by_id[1]["ar"][0]["inner"] == 7
+    assert by_id[2]["st"] is None and by_id[2]["ar"] == []
