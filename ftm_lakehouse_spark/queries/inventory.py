@@ -1596,10 +1596,13 @@ def ftm_canonicalize(spark, sf_dir):
     )
 
 
-def _events_as_statements(spark, sf_dir):
+def _events_as_statements(spark, sf_dir, where=None):
     """Events → deterministic statement rows (the ftm_canonicalize
-    mapping, shared by the incremental gate)."""
+    mapping, shared by the incremental and streaming gates).
+    ``where``: optional cohort predicate applied to events first."""
     ev = load_table(spark, sf_dir, "events")
+    if where is not None:
+        ev = ev.filter(where)
     minute = F.date_trunc("minute", F.col("ts"))
     stmts = ev.select(
         F.lit("0").alias("shard"),
@@ -5934,3 +5937,94 @@ def pipeline_ftm_e2e(spark, sf_dir):
         F.concat_ws(",", "_values").alias("prop_values"),
         "first_seen", "last_seen", "last_change", "origins", "n_statements",
     )
+
+
+def _streaming_ingest_oracle() -> str:
+    """Final canonical per-prop row counts, independent of HOW the rows
+    arrived: the streaming pipeline's batch face. Branch algebra is the
+    (already-verified) ftm_canonicalize oracle's, reduced to counts —
+    nonfrag props keep one row per statement id; fragment props keep
+    only the ids at each (entity, prop)'s max last_seen. first_seen and
+    value never appear: in-flight dedup keeps an arbitrary member of
+    each (id, fragment, origin) key, which is exactly why those columns
+    are not part of the graded face (the reference journal's ON
+    CONFLICT DO UPDATE has the same property)."""
+    return """
+    WITH stmts AS (
+        SELECT DISTINCT
+               CAST(user_id AS VARCHAR) || ':' || event_type || ':' ||
+                   strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)),
+                            '%Y%m%d%H%M') AS id,
+               CAST(user_id AS VARCHAR) AS entity_id,
+               event_type AS prop,
+               CASE WHEN event_type IN ('view', 'click') THEN 'f'
+                    ELSE '' END AS fragment,
+               date_trunc('minute', CAST(ts AS TIMESTAMP)) AS last_seen
+        FROM events WHERE user_id % 3 = 0
+    ),
+    nonfrag AS (SELECT prop, id FROM stmts WHERE fragment = ''
+                GROUP BY prop, id),
+    frag AS (
+        SELECT prop, id FROM (
+            SELECT entity_id, prop, id, last_seen,
+                   max(last_seen) OVER (PARTITION BY entity_id, prop) AS mx
+            FROM stmts WHERE fragment <> ''
+        ) WHERE last_seen = mx GROUP BY prop, id
+    )
+    SELECT prop, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM nonfrag UNION ALL SELECT * FROM frag)
+    GROUP BY prop
+    """
+
+
+@_register("pipeline_streaming_ingest", _streaming_ingest_oracle())
+def pipeline_streaming_ingest(spark, sf_dir):
+    """Streaming capstone, run FOR REAL against a throwaway store:
+    three micro-batch waves of statement drops → ``StreamingJournal``
+    (checkpointed ``dropDuplicatesWithinWatermark`` + the
+    (txnAppId, epoch) exactly-once append fence) → physical merge →
+    ``IncrementalAggregate`` refresh after every commit — the
+    reference's journal-flush → optimize → stats lifecycle
+    (storage/journal/sql.py + operation/maintenance.py) as ONE graded
+    composition. Wave membership is a hash of the statement id, so the
+    oracle (final canonical counts) is provably independent of the
+    batch boundaries — stream == batch, the property the pytest
+    recovery suite pins per-operator, now value-hash-graded end to end.
+    Wave 2 re-emits wave 1's purchase rows: the cross-batch dedup state
+    (not in-batch luck) has to drop them for the counts to match.
+
+    Scale notes: the journal watermark is sized to the corpus' full
+    time spread here (historical fixture timestamps), where a live
+    cluster deployment sizes it to ingest lag — state is bounded either
+    way; every refresh reads O(committed files), never the table."""
+    import os
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.operators.matview import IncrementalAggregate
+    from ftm_lakehouse_spark.streaming.journal import StreamingJournal
+
+    root = _e2e_tmpdir()
+    ds = Lakehouse(spark, root).dataset("stream")
+    store = ds.store
+    src = os.path.join(root, "drops")
+    ckpt = os.path.join(root, "ckpt")
+    mv = IncrementalAggregate(store, os.path.join(root, "mv"), keys=["prop"])
+
+    stmts = _events_as_statements(
+        spark, sf_dir, where=F.col("user_id") % 3 == 0
+    ).withColumn("_w", F.pmod(F.xxhash64("id"), F.lit(3)))
+    journal = StreamingJournal(spark, store, src, ckpt, watermark="87600 hours")
+    for wave in range(3):
+        batch = stmts.filter(F.col("_w") == wave).drop("_w")
+        if wave == 1:  # re-emission: the cross-batch dedup must drop these
+            batch = batch.unionByName(
+                stmts.filter((F.col("_w") == 0) & (F.col("prop") == "purchase"))
+                .drop("_w")
+            )
+        batch.write.mode("append").parquet(src)
+        journal.start(trigger_once=True).awaitTermination()
+        mv.refresh()  # incremental: reads only this wave's committed files
+
+    ds.merge(grace_days=100000, force=True)  # canonicalize, reap nothing
+    mv.refresh()  # rewrite-aware: recompute the merged partitions
+    return mv.read().select("prop", F.col("n").cast("bigint").alias("n"))
