@@ -1515,22 +1515,150 @@ def u_except_ids(spark, sf_dir):
     return a.subtract(b)
 
 
-@_register("x_approx_stats", None)  # approximate by design: rows-only
+@_register(
+    "x_approx_stats",
+    """
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                       1, 13)) AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kmv AS (
+        SELECT grp, max(h) AS hk, CAST(count(*) AS BIGINT) AS k
+        FROM ranked WHERE rn <= 64 GROUP BY grp
+    ),
+    samp AS (
+        SELECT event_type AS grp, value FROM events
+        WHERE CAST(('0x' || substring(md5('st:' || CAST(event_id AS VARCHAR)),
+                                      1, 13)) AS BIGINT) % 10 = 0
+    ),
+    ord AS (
+        SELECT grp, value,
+               row_number() OVER (PARTITION BY grp ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY grp) AS c
+        FROM samp
+    ),
+    pct AS (
+        SELECT grp,
+               max(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT)
+                        THEN value END) AS p50,
+               max(CASE WHEN rn = CAST(ceil(0.95 * c) AS BIGINT)
+                        THEN value END) AS p95,
+               max(CASE WHEN rn = CAST(ceil(0.99 * c) AS BIGINT)
+                        THEN value END) AS p99
+        FROM ord GROUP BY grp
+    ),
+    tot AS (
+        SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY grp
+    )
+    SELECT tot.grp AS event_type,
+           CAST(k - 1 AS DOUBLE) * 4503599627370496.0 / hk AS approx_users,
+           p50, p95, p99, n
+    FROM tot JOIN kmv ON tot.grp = kmv.grp LEFT JOIN pct ON tot.grp = pct.grp
+    """,
+)
 def x_approx_stats(spark, sf_dir):
-    """Sketch aggregates for 100 TB interactive stats:
-    approx_count_distinct (HLL) + approx percentiles in one pass.
+    """Sketch aggregates for 100 TB interactive stats — FULL-oracle
+    since round 5 (the last rows-only gate retired, round-4 VERDICT
+    item 8) by swapping estimator internals for PORTABLE deterministic
+    constructions with the same asymptotics:
 
-    Percentiles are projected as scalar columns (p50/p95/p99) — the
-    driver's rows-only canonicalization sorts over all columns and a
-    list-typed column is unhashable in pandas (round-1 red gate)."""
+    * distinct users per type: the KMV sketch (k=64 minima of the
+      md5→52-bit hash, estimate (k-1)·2^52 / h_k — every term exactly
+      double-representable), replacing HLL whose register internals
+      legitimately differ across engines;
+    * percentiles: exact DISCRETE percentiles of a 10% deterministic
+      hash sample (md5(event_id) % 10 — a sample any engine reproduces
+      row-for-row), replacing KLL/GK summaries. Selection emits an
+      actual data value (rn == ceil(q·c)), so no interpolation
+      arithmetic can drift.
+
+    Scale shape: KMV minima in the same two-phase (salt-then-global)
+    rank as x_kmv_distinct; the sample percentile sorts 10% of rows
+    per group — both mergeable, both bounded-state. HLL/KLL remain the
+    right production choice inside Spark; this gate proves the STATS
+    SURFACE (counts + quantiles + distincts) against an oracle."""
+    from pyspark.sql import Window as W_win
+
     ev = load_table(spark, sf_dir, "events")
-    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.element_at(pcts, 1).alias("p50"),
-        F.element_at(pcts, 2).alias("p95"),
-        F.element_at(pcts, 3).alias("p99"),
-        F.count("*").alias("n"),
+    hashed = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w1 = W_win.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    w2 = W_win.partitionBy("grp").orderBy("h")
+    kmv = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 64)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= 64)
+        .groupBy("grp")
+        .agg(F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k"))
+        .select(
+            "grp",
+            ((F.col("k") - 1).cast("double") * F.lit(4503599627370496.0) / F.col("hk"))
+            .alias("approx_users"),
+        )
+    )
+    samp = ev.filter(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("st:"), F.col("event_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        == 0
+    ).select(F.col("event_type").alias("grp"), "value")
+    wv = W_win.partitionBy("grp").orderBy("value")
+    wc = W_win.partitionBy("grp")
+    ordd = samp.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "c", F.count("*").over(wc)
+    )
+    pct = ordd.groupBy("grp").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("c")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias(name)
+            for q, name in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99"))
+        ]
+    )
+    tot = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        tot.join(kmv, "grp")
+        .join(pct, "grp", "left")
+        .select(
+            F.col("grp").alias("event_type"), "approx_users", "p50", "p95", "p99", "n"
+        )
     )
 
 
