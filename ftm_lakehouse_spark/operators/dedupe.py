@@ -19,8 +19,19 @@ covers pathological buckets (e.g. boilerplate-heavy corpora).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Materialization policy (SCALE.md §8): every lineage cut in this
+#: module holds a DATA-SIZED table (collapsed texts, shingle/signature
+#: projections — O(distinct docs) rows or wider), so none may cache as
+#: deserialized JVM objects (the sf10 pagerank OOM, generalized) —
+#: they take the serialized-with-spill policy level. Exceptions: label
+#: propagation's edge set is iteration-invariant (the pagerank-edges
+#: analog) and stays hard DISK_ONLY; its per-round ``new_labels``,
+#: replaced and dropped next round, keeps the memory default.
+from ftm_lakehouse_spark.persist import DATA_SIZED as _DISK
 
 from ftm_lakehouse_spark.functions.text import (
     fingerprint,
@@ -104,7 +115,7 @@ def minhash_lsh_pairs(
             F.min("doc").alias("rep"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     base = (
         # explicit repartition between the collapse and the projection:
@@ -120,7 +131,7 @@ def minhash_lsh_pairs(
         # base feeds three plan branches (band keys + two candidate
         # re-hydrations); cutting lineage materializes the shingle
         # computation once instead of three times
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     # band keys only — the heavy shingle arrays do NOT travel through
     # the bucket join; candidates are re-hydrated afterwards
@@ -260,14 +271,14 @@ def simhash_duplicates(
             F.min("doc").alias("rep"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     sh = (
         grp.repartition(par)
         .select(F.col("rep").alias("doc"), simhash(F.col("text"), bits).alias("sh"))
         # three consumers (both probe sides + the within-group branch):
         # materialize the signature fold once
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     chunked = sh.select(
         "doc",
@@ -361,7 +372,7 @@ def ngram_jaccard_pairs(
             F.min("doc").alias("rep"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     base = (
         grp.repartition(par)
@@ -371,7 +382,7 @@ def ngram_jaccard_pairs(
             F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("block"),
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect("l.sh", "r.sh")).cast("double")
@@ -453,7 +464,7 @@ def embedding_near_dups(
             F.min("doc").alias("rep"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     # norm once per VECTOR (n rows), not per candidate pair (~n²/buckets
     # rows) — cosine(a,b) = dot(a,b)/(|a|·|b|) is float-identical either
@@ -469,7 +480,7 @@ def embedding_near_dups(
             sig.alias("sig"),
             l2_norm(F.col("vec")).alias("norm"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     chunked = base.select(
         "doc",
@@ -574,7 +585,7 @@ def connected_components(
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # cut lineage once up front: the edge set feeds every iteration
-    und = und.localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     labels = (
         und.select(F.col("u").alias("doc")).distinct().withColumn("label", F.col("doc"))
     )
@@ -749,8 +760,8 @@ def winnow_fingerprint_pairs(
         # both sides of the self-join) — materialize the gram-explode +
         # window + distinct ONCE instead of re-running it per consumer
         # (the pagerank/pretrain repeated-subtree lesson; measured ~2×
-        # on the gate). Cluster form: persist(MEMORY_AND_DISK).
-        .localCheckpoint(eager=True)
+        # on the gate). DISK_ONLY per SCALE.md §8 (data-sized).
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     rare = (
         fps.groupBy("fp")
@@ -833,7 +844,7 @@ def semantic_dedup_pairs(
             F.first("norm").alias("norm"),
             F.sort_array(F.collect_list("doc")).alias("members"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     reps = grp.select("rep", "vec", "cell", "norm")
     # candidate generation moves only (rep, cell): the cell key has k

@@ -23,6 +23,7 @@ plan is pinned by test_plans (no SinglePartition window exchange).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from ftm_lakehouse_spark.persist import DATA_SIZED as _DATA_LEVEL
 from pyspark.sql import functions as F
 
 __all__ = ["global_cumsum", "pack_sequences"]
@@ -45,7 +46,7 @@ def global_cumsum(
         "*",
         (F.sum(value_col).over(w_run) - F.col(value_col)).alias("_local"),
         F.sum(value_col).over(w_all).alias("_ptotal"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_DATA_LEVEL)
     # one row per partition — prefix-summed into broadcast offsets
     # (the SinglePartition window below is over #partitions rows,
     # bounded by construction)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
+from ftm_lakehouse_spark.persist import DATA_SIZED as _DATA_LEVEL
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -209,7 +210,7 @@ def _global_rank(keyed: DataFrame, order: list[Column]) -> DataFrame:
         "*",
         F.row_number().over(w_run).alias("_lrn"),
         F.count("*").over(w_all).alias("_pn"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_DATA_LEVEL)
     offsets = (
         local.select("_pid", "_pn")
         .distinct()

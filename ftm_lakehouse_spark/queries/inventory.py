@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.sources.tables import load_table
 
+#: SCALE.md §8: capstone shared projections are corpus/entity-sized
+#: multi-consumer materializations -> the data-sized policy level;
+#: vocab-bound tables (unigram-LM term counts) keep the memory default.
+from ftm_lakehouse_spark.persist import DATA_SIZED as _DISK
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
@@ -3776,7 +3781,7 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", "text"
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_DISK)
 
     # quality (the text_quality_score expressions)
     n = F.greatest(F.length("text"), F.lit(1))
@@ -4358,7 +4363,7 @@ def pipeline_embedding_curation(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned, _ = ivf_assign(e, centroids=_ivf_centroids())
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True, storageLevel=_DISK)
     pairs = semantic_dedup_pairs(
         e, threshold=0.4, assigned=assigned
     )
@@ -6003,7 +6008,7 @@ def pipeline_ftm_e2e(spark, sf_dir):
         ev.groupBy(F.col("user_id").alias("uid"))
         .agg(F.array_sort(F.collect_set("event_type")).alias("etypes"))
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     eid = F.concat(F.lit("u"), uid.cast("string"))
     schema1 = F.when(uid % 4 == 0, F.lit("Company")).otherwise(F.lit("Person"))

@@ -45,6 +45,7 @@ import uuid
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from ftm_lakehouse_spark.persist import DATA_SIZED as _DATA_LEVEL
 from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.model.dataset import DatasetConfig
@@ -268,9 +269,10 @@ class StatementStore:
             # canonicalize), recomputing it per consumer is the
             # repeated-subtree trap (round-3 lesson, SCALE.md §6):
             # materialize ONCE and let every pass read the
-            # materialization. localCheckpoint here; on a cluster,
-            # persist(DISK_ONLY) + unpersist at the same call site.
-            df = df.localCheckpoint(eager=True)
+            # materialization — the data-sized policy level (SCALE.md
+            # §8): the cohort is the merge hot path and must not bloat
+            # as deserialized objects against its own write jobs.
+            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
             materialized = True
             buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
         groups = [
@@ -280,7 +282,7 @@ class StatementStore:
         if not materialized and all(members for _, members in groups):
             # both writer profiles present → two write jobs over df;
             # same trap, same cure
-            df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
         for large, members in groups:
             if not members:
                 continue

@@ -266,7 +266,7 @@ def test_offset_without_limit_avoids_single_partition_rank(spark, lake_root):
     import pyspark.sql.classic.dataframe as _cdf
 
     orig = _cdf.DataFrame.localCheckpoint
-    _cdf.DataFrame.localCheckpoint = lambda self, eager=True: self
+    _cdf.DataFrame.localCheckpoint = lambda self, eager=True, storageLevel=None: self
     try:
         ids = q_offset.matching_ids(ds.store.live())
         plan = ids._sc._jvm.PythonSQLUtils.explainString(

@@ -86,10 +86,19 @@ def test_streaming_windowed_stats(spark, tmp_path):
 
 
 def test_approx_stats_error_bounds(spark):
-    """x_approx_stats is the one rows-only gate query (HLL / KLL sketch
-    internals are engine-specific, so no DuckDB value hash). Pin its
-    accuracy here instead: sketches must land within their configured
-    error bounds of the exact answers."""
+    """x_approx_stats became FULL-oracle in round 5 (KMV distinct +
+    deterministic 10%-sample percentiles — value-hash-graded against
+    DuckDB), so cross-engine equality is already pinned by the gate.
+    This test pins the other axis the oracle cannot: the estimators
+    stay within their theoretical error of the EXACT answers.
+
+    KMV with k=64 minima has relative standard error 1/sqrt(k-2)
+    ≈ 12.7%; the estimate is a deterministic function of the data (md5
+    order statistics), so per-dataset error is fixed — allow 3σ.
+    Percentiles come from a 10% deterministic hash sample: a q-quantile
+    of an n·p sample deviates from the population quantile by
+    O(sqrt(q(1-q)/(n·p))) in RANK; allow the corresponding value slack
+    via the p50–p95 spread."""
     import pyspark.sql.functions as F
 
     from ftm_lakehouse_spark.queries.inventory import QUERIES
@@ -117,14 +126,13 @@ def test_approx_stats_error_bounds(spark):
     for et, a in approx.items():
         e = exact[et]
         assert a["n"] == e["n"]  # plain count rides along exactly
-        # approx_count_distinct at rsd=0.01: allow 5% slack
-        assert abs(a["approx_users"] - e["users"]) <= max(5, 0.05 * e["users"])
-        # percentile_approx at accuracy=10000: near-exact on 60k rows;
-        # compare against the exact interpolated percentiles loosely
-        # (the sketch returns an observed value, not an interpolation)
+        # KMV k=64: 3σ = 3/sqrt(62) ≈ 38% relative
+        assert abs(a["approx_users"] - e["users"]) <= max(5, 0.381 * e["users"])
+        # 10% sample quantiles: the sample emits an observed value, not
+        # an interpolation — compare loosely via the p50–p95 spread
         spread = e["p95"] - e["p50"] or 1.0
-        assert abs(a["p50"] - e["p50"]) <= 0.05 * spread
-        assert abs(a["p95"] - e["p95"]) <= 0.05 * spread
+        assert abs(a["p50"] - e["p50"]) <= 0.15 * spread
+        assert abs(a["p95"] - e["p95"]) <= 0.15 * spread
 
 
 def test_approx_count_distinct_error_bounds(spark):
