@@ -12,9 +12,13 @@ comparable — and ``warm`` carries the median of $SPARK_GRAFT_BENCH_WARM
 compare (cold runs pay codegen + Python-worker startup and swing
 ±30-50% with host contention; see SCALE.md §6d).
 
-``pipeline_ftm_e2e`` is the one write-path query: every run (cold AND
-each warm rep) builds a real throwaway store (3 MVCC appends + merge),
-so its "warm" number still includes full store-creation cost — that is
+``pipeline_ftm_e2e`` and ``pipeline_streaming_ingest`` are the two
+write-path queries: every run (cold AND each warm rep) builds a real
+throwaway store (``ftm_e2e``: 3 MVCC appends + merge;
+``streaming_ingest``: 3 checkpointed micro-batch waves + merge +
+incremental refreshes — its wall time is dominated by per-wave
+Structured Streaming query startup at this SF, not data volume), so
+their "warm" numbers still include full store-lifecycle cost — that is
 the measurement, not an artifact. Temp stores live under one
 process-scoped directory removed at exit (no leaks across runs).
 """
@@ -100,6 +104,12 @@ HEADLINE = [
     "pipeline_ftm_e2e",
     # round-4 additions
     "text_bpe_merges",
+    # round-5 additions: exact k-NN past the broadcast ceiling, and the
+    # streaming capstone (a write-path query like pipeline_ftm_e2e: each
+    # run drives real micro-batch ingest + merge + incremental refresh,
+    # so warm includes store-lifecycle cost by design)
+    "sim_knn_blocked",
+    "pipeline_streaming_ingest",
 ]
 
 
