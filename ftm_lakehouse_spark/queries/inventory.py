@@ -334,8 +334,17 @@ def j_broadcast_dims(spark, sf_dir):
     """,
 )
 def j_multiway_star(spark, sf_dir):
-    """TPC-H Q5-shaped multiway join: fact-fact shuffle join on orderkey,
-    dims broadcast; Catalyst/AQE pick the physical strategy."""
+    """TPC-H Q5-shaped multiway join: fact-fact shuffle join on orderkey.
+
+    Broadcast policy (applies to every TPC-H-shaped gate): explicit
+    ``F.broadcast`` hints go ONLY on cardinality-BOUNDED tables (nation,
+    region — fixed row counts at any SF). customer/supplier/part scale
+    with the data, so their join strategy is left to the size-based
+    planner + AQE: at bench SF they broadcast (under the threshold), at
+    100 TB they shuffle — a forced hint would instead OOM every
+    executor. The session raises the broadcast thresholds to an
+    executor-memory-bounded 64 MB (session.py) so the broadcast regime
+    extends exactly as far as memory allows and no further."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -346,8 +355,8 @@ def j_multiway_star(spark, sf_dir):
     rev = (_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -375,14 +384,16 @@ def j_correlated_threshold(spark, sf_dir):
     the rewrite Catalyst applies to the correlated SQL: one per-key
     aggregate, re-joined on the correlation key. The threshold is
     sum/count of integer-valued doubles (exact at any partial-agg
-    order), so the float compare is engine-stable."""
+    order), so the float compare is engine-stable. part scales with SF
+    (no broadcast hint — j_multiway_star's policy); the thr aggregate is
+    one row per partkey, likewise size-decided by AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     thr = li.groupBy("l_partkey").agg(
         (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("thr")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thr, "l_partkey")
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
@@ -3264,13 +3275,14 @@ def x_correlation(spark, sf_dir):
     with order count? corr/covar_samp are single-pass streaming
     aggregates (Welford-style) in both engines — deterministic given
     exact inputs, round(6/4) for accumulation-order noise. The order
-    counts come from a LEFT join against a pre-aggregated (small)
-    count table — broadcastable, no skew."""
+    counts come from a LEFT join against a pre-aggregated count table —
+    one row per customer, so it is DATA-sized: no broadcast hint
+    (j_multiway_star's policy), AQE picks broadcast only while it fits."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
     joined = (
-        c.join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+        c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
         .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
     )
     return (
@@ -3691,7 +3703,9 @@ def q5_local_supplier_volume(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            # supplier scales with SF — size-decided (j_multiway_star's
+            # broadcast policy); nation/region stay hinted (bounded)
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -4809,7 +4823,9 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # segment-filtered customer still scales with SF — size-decided
+        # (j_multiway_star's broadcast policy)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -4963,16 +4979,17 @@ def q18_large_volume_customer(spark, sf_dir):
 def x_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users bucketed by first-seen ISO week
     crossed with each week they were active. The per-user firsts
-    aggregate is tiny (|users|) and broadcast back into the event
-    stream, so the fact table shuffles exactly once — on the
-    (cohort_week, active_week) group key. Monday-start date_trunc
-    matches across Spark and DuckDB."""
+    aggregate is one row per user — data-sized, so no broadcast hint
+    (j_multiway_star's policy): AQE broadcasts it while it fits and
+    falls back to a shuffle join on user_id (the key the aggregate
+    already partitioned on, so that exchange is reused) beyond.
+    Monday-start date_trunc matches across Spark and DuckDB."""
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .withColumn("active_week", F.date_trunc("week", F.col("ts")))
         .groupBy("cohort_week", "active_week")
         .agg(

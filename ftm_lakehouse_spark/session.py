@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast budget: explicit hints are reserved for
+        # cardinality-BOUNDED tables (see j_multiway_star's policy);
+        # data-sized dims rely on these size thresholds, raised from
+        # the 10 MB default to an executor-memory-bounded 64 MB so the
+        # broadcast regime extends exactly as far as memory allows
+        # (per-executor cost is one 64 MB map, independent of SF).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -82,6 +90,8 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
         "spark.sql.shuffle.partitions": str(_cpus()),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
