@@ -177,15 +177,21 @@ class Dataset:
         grace_days: int = 30,
         force: bool = False,
         retention_hours: float = 168.0,
+        zorder: tuple[str, ...] | None = None,
     ) -> None:
         """merge → compact → vacuum → publish a statistics snapshot
         (reference OptimizeOperation, operation/maintenance.py:28-49).
         Vacuum reaps files retired before the retention window — time
         travel inside the window stays readable (Delta semantics). The
         snapshot is checksum-deduped, so an optimize that changes
-        nothing publishes nothing (reference versions store)."""
+        nothing publishes nothing (reference versions store).
+
+        ``zorder``: rewrite file layout on the interleaved key over the
+        given columns (Delta ``OPTIMIZE ZORDER`` analog — see
+        ``StatementStore.compact``), making footer stats selective on
+        every listed dimension for ``scan_range`` pruning."""
         self.merge(grace_days=grace_days, force=force)
-        self.store.compact()
+        self.store.compact(zorder=zorder)
         self.store.vacuum(retention_hours=retention_hours)
         self.versions.put("statistics", self.stats())
 

@@ -763,13 +763,20 @@ def winnow_fingerprint_pairs(
         # on the gate). DISK_ONLY per SCALE.md §8 (data-sized).
         .localCheckpoint(eager=True, storageLevel=_DISK)
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.countDistinct("doc").alias("df"))
+    # stop-fingerprint guard as a WINDOW over fp, not a groupBy+join:
+    # fps is already distinct (doc, fp), so count(*) per fp IS the doc
+    # frequency. The former aggregate-then-join-back shape let Catalyst
+    # broadcast the post-aggregate side on a size estimate it cannot
+    # make (caught at sf10: a 1 GB fingerprint list collected to the
+    # driver); the window form has no join to mis-plan, and its fp
+    # hash partitioning is REUSED by the self-join below — one shuffle
+    # fewer at every scale.
+    dfreq = W.partitionBy("fp")
+    fps = (
+        fps.withColumn("df", F.count("*").over(dfreq))
         .filter((F.col("df") > 1) & (F.col("df") <= max_doc_freq))
-        .select("fp")
+        .drop("df")
     )
-    fps = fps.join(rare, "fp")
     l, r = fps.alias("l"), fps.alias("r")
     return (
         l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc") < F.col("r.doc")))

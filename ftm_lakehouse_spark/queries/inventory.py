@@ -6178,3 +6178,49 @@ def pipeline_streaming_ingest(spark, sf_dir):
     ds.merge(grace_days=100000, force=True)  # canonicalize, reap nothing
     mv.refresh()  # rewrite-aware: recompute the merged partitions
     return mv.read().select("prop", F.col("n").cast("bigint").alias("n"))
+
+
+@_register(
+    "pipeline_zorder_scan",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           count(*) AS n_stmts,
+           min(event_type) AS first_prop
+    FROM events
+    WHERE user_id % 5 = 0
+      AND date_trunc('minute', CAST(ts AS TIMESTAMP))
+          BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+              AND TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def pipeline_zorder_scan(spark, sf_dir):
+    """Z-order lifecycle run FOR REAL against a throwaway store
+    (SCALE.md §9, Delta ``OPTIMIZE ZORDER`` analog): events →
+    statements (first_seen minute-truncated so row identity is
+    deterministic) → MVCC append → ``compact(zorder=("entity_id",
+    "first_seen"))`` — quantile-rank Morton clustering via a range
+    repartition — → ``scan_range`` over a 5-day window, which prunes
+    the live file set through parquet footer min/max stats BEFORE
+    planning the scan. The oracle is the plain filtered aggregate over
+    the source events: the gate grades that stats-based file pruning
+    is exactly lossless end to end (tests/test_zorder.py pins that it
+    also actually PRUNES; this pins that it never over-prunes)."""
+    from datetime import datetime, timezone
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+
+    root = _e2e_tmpdir()
+    ds = Lakehouse(spark, root).dataset("zscan")
+    stmts = _events_as_statements(
+        spark, sf_dir, where=F.col("user_id") % 5 == 0
+    ).withColumn("first_seen", F.date_trunc("minute", F.col("first_seen")))
+    ds.store.append(stmts)
+    ds.store.compact(zorder=("entity_id", "first_seen"))
+    lo = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    hi = datetime(2024, 1, 15, tzinfo=timezone.utc)
+    win = ds.store.scan_range("first_seen", lo, hi)
+    return win.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_stmts"),
+        F.min("prop").alias("first_prop"),
+    )

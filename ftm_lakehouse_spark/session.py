@@ -52,17 +52,24 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Broadcast budget: explicit hints are reserved for
         # cardinality-BOUNDED tables (see j_multiway_star's policy);
-        # data-sized dims rely on these size thresholds, raised from
-        # the 10 MB default to an executor-memory-bounded 64 MB so the
-        # broadcast regime extends exactly as far as memory allows
-        # (per-executor cost is one 64 MB map, independent of SF).
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # data-sized dims rely on the size thresholds, deliberately
+        # LEFT AT Spark's conservative defaults — Catalyst's size
+        # estimates above aggregates are unreliable upward (measured:
+        # a 64m threshold broadcast a 1 GB post-aggregate fingerprint
+        # table at sf10 and blew spark.driver.maxResultSize), so a
+        # raised threshold trades a bounded local win for an unbounded
+        # cluster failure mode.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # modern parquet timestamps (µs int64) instead of legacy INT96:
+        # INT96 columns carry NO min/max statistics, which blinds every
+        # footer-stat consumer (scan_range pruning, z-order clustering,
+        # row-group skipping on time predicates) and is refused by
+        # strict Delta/Iceberg readers
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
@@ -90,8 +97,7 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.autoBroadcastJoinThreshold": "64m",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.shuffle.partitions": str(_cpus()),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -239,7 +239,10 @@ class StatementStore:
         self.commits.try_bootstrap(parts, files)
 
     def _stage_move(
-        self, df: DataFrame, buckets: set[str] | None = None
+        self,
+        df: DataFrame,
+        buckets: set[str] | None = None,
+        zorder: tuple[str, ...] | None = None,
     ) -> tuple[set[str], list[tuple[str, ...]]]:
         """Write ``df`` via a private stage directory, then move each
         (uniquely-named) file into the table. Returns (data-dir-relative
@@ -287,9 +290,20 @@ class StatementStore:
             if not members:
                 continue
             stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
+            slice_df = df.filter(F.col("bucket").isin(members))
+            if zorder:
+                from ftm_lakehouse_spark.functions.zorder import zorder_cluster
+
+                fanout = int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+                )
+                clustered = zorder_cluster(
+                    slice_df, zorder, list(PARTITION_COLUMNS), fanout
+                )
+            else:
+                clustered = self._cluster_for_write(slice_df)
             (
-                self._cluster_for_write(df.filter(F.col("bucket").isin(members)))
-                .write.mode("overwrite")
+                clustered.write.mode("overwrite")
                 .options(**self._write_options(large=large))
                 .partitionBy(*PARTITION_COLUMNS)
                 .parquet(stage)
@@ -387,6 +401,7 @@ class StatementStore:
         expected: list[tuple[str, str, str]] | None = None,
         files_removed: list[str] | None = None,
         read_version: int | None = None,
+        zorder: tuple[str, ...] | None = None,
     ) -> None:
         """Partition-scoped rewrite (merge / Delta ``replaceWhere``
         analog, reference S4 storage/parquet.py:644-663): new files
@@ -418,7 +433,9 @@ class StatementStore:
         # canonicalize windows running 3× through this path)
         buckets = {p[1] for p in expected} if expected else None
         added, written = self._stage_move(
-            df.select(*STATEMENT_SCHEMA.fieldNames()), buckets=buckets
+            df.select(*STATEMENT_SCHEMA.fieldNames()),
+            buckets=buckets,
+            zorder=zorder,
         )
         all_parts = sorted(
             set(written) | {tuple(p) for p in expected or []}
@@ -490,12 +507,26 @@ class StatementStore:
             self.tags.touch("last_optimized", now)
         return True
 
-    def compact(self, max_files_per_partition: int = 8) -> list[tuple[str, str, str]]:
+    def compact(
+        self,
+        max_files_per_partition: int = 8,
+        zorder: tuple[str, ...] | list[str] | None = None,
+    ) -> list[tuple[str, str, str]]:
         """Bin-pack partitions whose LIVE file count (from the log
         snapshot — retired files don't count) exceeds the threshold
         (reference compact, storage/parquet.py:683-706 / Delta
         OPTIMIZE). Same pinned-snapshot rewrite as merge. Returns the
-        partitions compacted."""
+        partitions compacted.
+
+        ``zorder`` (Delta ``OPTIMIZE ... ZORDER BY`` analog): rewrite
+        row order on the interleaved Morton key over the given columns
+        (``functions/zorder.py``) instead of the default entity
+        clustering sort, so file min/max stats become selective on
+        EVERY z-dimension — the stat surface :meth:`scan_range` prunes
+        through. A z-order request rewrites every multi-file partition
+        (clustering is the point, not just file count), like Delta's
+        OPTIMIZE ZORDER which rewrites regardless of bin-packing
+        need."""
         if not self.exists():
             return []
         with self._maint_lock:
@@ -506,18 +537,66 @@ class StatementStore:
             for f in snap:
                 p = _partition_of(f)
                 per_part[p] = per_part.get(p, 0) + 1
-            crowded = sorted(
-                p for p, n in per_part.items() if n > max_files_per_partition
-            )
+            threshold = 0 if zorder else max_files_per_partition
+            crowded = sorted(p for p, n in per_part.items() if n > threshold)
             if not crowded:
                 return []
             target = [f for f in snap if _partition_of(f) in set(crowded)]
             data = self._data_path()
             df = self._read_files([self._fs.join(data, f) for f in target])
             self.overwrite_partitions(
-                df, expected=crowded, files_removed=target, read_version=head
+                df,
+                expected=crowded,
+                files_removed=target,
+                read_version=head,
+                zorder=tuple(zorder) if zorder else None,
             )
         return crowded
+
+    def scan_range(self, column: str, lo, hi) -> DataFrame:
+        """Range scan with ENGINE-side file pruning: read only the live
+        files whose footer min/max for ``column`` overlaps ``[lo, hi]``,
+        then apply the exact predicate to the survivors.
+
+        Stock Spark pushes range predicates to parquet row groups but
+        still OPENS every file the partition-pruned listing names; on a
+        z-ordered store (``compact(zorder=...)``) the footers alone
+        rule most files out, so this plans a scan over the overlap set
+        only — the engine-level analog of Delta's stats-based file
+        skipping, built on ``parquet_rowgroup_stats`` (one footer read
+        per file, no data pages, embarrassingly parallel at 100k
+        files). Files with no usable stats for ``column`` are always
+        kept, and the stat compare is STRING-ordered (footer min/max
+        surface as strings) — order-preserving for the statement
+        schema's string and ISO-timestamp columns, the only supported
+        range/z dimensions here. Results are EXACTLY ``raw()`` filtered
+        to the range — pruning only removes files the predicate could
+        never match (pinned by test_zorder). The kept-file list is a
+        driver-side collect bounded by file COUNT (metadata-sized, the
+        same regime as the commit-log snapshot itself)."""
+        from ftm_lakehouse_spark.sources.parquet_meta import parquet_rowgroup_stats
+
+        pred = F.col(column).between(F.lit(lo), F.lit(hi))
+        if not self.commits.current_version():
+            return self.raw().filter(pred)
+        data = self._data_path()
+        live = sorted(self.commits.snapshot())
+        paths = [self._fs.join(data, f) for f in live]
+        stats = (
+            parquet_rowgroup_stats(self.spark, paths, columns=[column])
+            .groupBy("file")
+            .agg(F.min("min_v").alias("lo_v"), F.max("max_v").alias("hi_v"))
+        )
+        lo_s, hi_s = str(lo), str(hi)
+        keep = stats.filter(
+            F.col("lo_v").isNull()
+            | F.col("hi_v").isNull()
+            | ((F.col("hi_v") >= F.lit(lo_s)) & (F.col("lo_v") <= F.lit(hi_s)))
+        )
+        kept_paths = [r["file"] for r in keep.select("file").collect()]
+        if not kept_paths:
+            return self.raw().filter(pred).limit(0)
+        return self._read_files(sorted(kept_paths)).filter(pred)
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Reap physical garbage older than the retention window:

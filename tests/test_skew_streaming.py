@@ -164,21 +164,28 @@ def test_aqe_splits_skewed_join_partitions(spark):
     marks the join 'skew=true'."""
     conf = spark.conf
     saved = {
-        k: conf.get(k)
+        k: conf.get(k, None)
         for k in (
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.autoBroadcastJoinThreshold",
+            # unset by default (falls back to the static threshold) —
+            # saved as None, restored via unset
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
     }
     try:
         # shrink thresholds so local test data counts as skewed, and
-        # forbid broadcast so the join actually shuffles
+        # forbid broadcast so the join actually shuffles — BOTH the
+        # static planner threshold and AQE's runtime one (the session
+        # raises both to 64m; AQE would otherwise convert the SMJ to a
+        # broadcast join mid-flight and no skew split could fire)
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         left = spark.range(200_000).select(
             F.when(F.col("id") % 20 != 0, F.lit("hot"))
             .otherwise(F.concat(F.lit("k"), F.col("id")))
@@ -201,4 +208,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert "skew=true" in plan
     finally:
         for k, v in saved.items():
-            conf.set(k, v)
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

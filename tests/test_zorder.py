@@ -1,106 +1,129 @@
-"""Z-order clustering: interleave correctness + the property that
-actually matters — parquet footer min/max stats prune files on EVERY
-interleaved dimension, where a linear sort prunes on one."""
+"""Z-order compaction + stats-based file pruning (Delta OPTIMIZE
+ZORDER analog, functions/zorder.py + StatementStore.compact(zorder=) +
+StatementStore.scan_range).
 
-import glob
+The pin that matters: after ``compact(zorder=("entity_id",
+"first_seen"))`` a narrow ``first_seen`` range scan PLANS a strict
+subset of the store's files (footer min/max pruning has something to
+bite on), while the default entity-sorted layout — where every file
+spans the full time range — plans essentially all of them. Both layouts
+must return byte-identical results to an unpruned ``raw()`` filter:
+pruning may only drop files the predicate could never match."""
 
-import pyarrow.parquet as pq
-import pytest
 from pyspark.sql import functions as F
 
-from ftm_lakehouse_spark.operators.zorder import zorder_frame, zorder_value
+from tests.helpers import make_df, stmt, ts
 
 
-def _interleave_py(vals, bits):
-    z = 0
-    for i, v in enumerate(vals):
-        for j in range(bits):
-            z += ((v >> j) & 1) << (j * len(vals) + i)
-    return z
+def _build_store(spark, root, *, n_entities=120, n_days=64):
+    """One statement per (entity, day-slot): entity e{i} active on day
+    i%n_days — entity order and time order are deliberately
+    uncorrelated so an entity-sorted file always spans most of the
+    time range."""
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+
+    ds = Lakehouse(spark, root).dataset("zo", shards=2)
+    rows = []
+    for i in range(n_entities):
+        day = i % n_days
+        when = f"2024-{1 + day // 28:02d}-{1 + day % 28:02d}T00:00:00"
+        for p in range(4):
+            rows.append(
+                stmt(
+                    id=f"s{i}-{p}",
+                    entity_id=f"e{i:04d}",
+                    prop=f"p{p}",
+                    value=f"v{i}-{p}",
+                    first_seen=when,
+                    last_seen=when,
+                    shard=str(i % 2),
+                )
+            )
+    ds.store.append(make_df(spark, rows))
+    return ds
 
 
-def test_zvalue_matches_python_reference(spark):
-    # minmax over 0..15 with bits=4 is the identity bucket mapping
-    rows = [(x, y) for x in range(16) for y in range(16)]
-    df = spark.createDataFrame(rows, "x int, y int")
-    got = {
-        (r["x"], r["y"]): r["z"]
-        for r in df.withColumn("z", zorder_value(df, ["x", "y"], bits=4)).collect()
-    }
-    for (x, y), z in got.items():
-        assert z == _interleave_py([x, y], 4), (x, y)
+def test_zorder_key_interleaves_rank_buckets(spark):
+    from ftm_lakehouse_spark.functions.zorder import zorder_key
 
-
-def _file_ranges(path: str, col: str):
-    out = []
-    for f in sorted(glob.glob(f"{path}/*.parquet")):
-        md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(col)
-        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
-        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
-        out.append((lo, hi))
-    return out
-
-
-def _prune_fraction(ranges, v) -> float:
-    return sum(1 for lo, hi in ranges if not (lo <= v <= hi)) / len(ranges)
-
-
-@pytest.fixture(scope="module")
-def grid(spark):
-    # 2-D uniform grid: every (x, y) in [0, 128)^2
-    return spark.range(128 * 128).select(
-        (F.col("id") % 128).cast("int").alias("x"),
-        (F.col("id") / 128).cast("int").alias("y"),
-        F.col("id").alias("payload"),
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x in range(16) for y in range(16)],
+        "x double, y double",
     )
+    out = df.withColumn("z", zorder_key(df, ["x", "y"], bits_per_dim=4)).collect()
+    zs = {(r["x"], r["y"]): r["z"] for r in out}
+    # cells spread over nearly the whole key space (quantile cut-point
+    # ties may collapse a few edge buckets — documented), and the key
+    # fits bits_per_dim * ndims bits
+    assert len(set(zs.values())) >= 0.75 * len(zs)
+    assert all(0 <= z < 2**8 for z in zs.values())
+    # per-dimension monotonicity: with one dimension fixed, the Morton
+    # key is non-decreasing in the other (interleaving is order-
+    # preserving per dim; quantile bucketing is non-strictly monotone).
+    # The exact bucket a value lands in depends on where approxQuantile
+    # places its cut points, so the pin is on ORDER, not identity.
+    for fixed in range(16):
+        row = [zs[(float(x), float(fixed))] for x in range(16)]
+        col = [zs[(float(fixed), float(y))] for y in range(16)]
+        assert row == sorted(row)
+        assert col == sorted(col)
 
 
-def test_zorder_prunes_both_dimensions(spark, grid, tmp_path):
-    zpath = str(tmp_path / "z")
-    zorder_frame(grid, ["x", "y"], bits=7, num_files=16).write.parquet(zpath)
-    lpath = str(tmp_path / "linear")
-    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+def test_compact_zorder_prunes_time_range_files(spark, tmp_path):
+    ds = _build_store(spark, str(tmp_path / "lake"))
+    store = ds.store
 
-    probes = (13, 64, 111)
-    zx = [_prune_fraction(_file_ranges(zpath, "x"), p) for p in probes]
-    zy = [_prune_fraction(_file_ranges(zpath, "y"), p) for p in probes]
-    lx = [_prune_fraction(_file_ranges(lpath, "x"), p) for p in probes]
-    ly = [_prune_fraction(_file_ranges(lpath, "y"), p) for p in probes]
-    # z-order: point predicates prune files on BOTH columns. The range
-    # partitioner estimates split bounds from a per-partition sample,
-    # so individual probes can sit a bucket off the ideal split — the
-    # pinned property is a solid floor per probe plus the ideal-shape
-    # average, with the measured fractions in the failure message.
-    assert min(zx) >= 0.4 and min(zy) >= 0.4, (zx, zy)
-    assert sum(zx) / len(zx) >= 0.5 and sum(zy) / len(zy) >= 0.5, (zx, zy)
-    # linear sort: x prunes nearly everything, y prunes nothing
-    assert min(lx) >= 0.8, lx
-    assert max(ly) == 0.0, ly
+    # expected answer, computed BEFORE any rewrite
+    lo, hi = ts("2024-01-08T00:00:00"), ts("2024-01-14T00:00:00")
+    pred = F.col("first_seen").between(F.lit(lo), F.lit(hi))
+    expected = sorted(r["id"] for r in store.raw().filter(pred).select("id").collect())
+    assert expected  # the window is non-empty
 
+    # default layout: entity-sorted files span the whole time range
+    store.compact(max_files_per_partition=0)
+    plain = store.scan_range("first_seen", lo, hi)
+    assert sorted(r["id"] for r in plain.select("id").collect()) == expected
 
-def test_quantile_mode_handles_skew(spark, tmp_path):
-    # heavily skewed x (quadratic stretch): minmax buckets collapse the
-    # dense low end into one bucket; quantile buckets stay populated
-    df = spark.range(4096).select(
-        (F.col("id") * F.col("id")).alias("x"),
-        (F.col("id") % 64).cast("int").alias("y"),
+    # z-order rewrite: (entity, time) Morton clustering
+    done = store.compact(zorder=("entity_id", "first_seen"))
+    assert done  # every multi-file partition rewritten
+    total = len(store.commits.snapshot())
+    zscan = store.scan_range("first_seen", lo, hi)
+    kept = len(zscan.inputFiles())
+    assert sorted(r["id"] for r in zscan.select("id").collect()) == expected
+    # the whole point: the narrow window PLANS a strict subset of files
+    assert kept < total, f"zorder pruned nothing ({kept}/{total} files)"
+    # a full-range scan still sees everything (pruning is predicate-
+    # driven, not lossy)
+    full = store.scan_range(
+        "first_seen", ts("2023-01-01T00:00:00"), ts("2025-01-01T00:00:00")
     )
-    zq = str(tmp_path / "zq")
-    zm = str(tmp_path / "zm")
-    zorder_frame(df, ["x", "y"], bits=6, mode="quantile", num_files=16).write.parquet(zq)
-    zorder_frame(df, ["x", "y"], bits=6, mode="minmax", num_files=16).write.parquet(zm)
-    # a point in the DENSE region: minmax crams ~95% of rows into
-    # bucket 0 of x (quadratic stretch), so files barely separate on x;
-    # equal-population quantile buckets keep x prunable there
-    dense_probe = 100 * 100
-    q_prune = _prune_fraction(_file_ranges(zq, "x"), dense_probe)
-    m_prune = _prune_fraction(_file_ranges(zm, "x"), dense_probe)
-    assert q_prune > m_prune
-    assert q_prune >= 0.4
-    assert _prune_fraction(_file_ranges(zq, "y"), 13) >= 0.4
+    assert full.count() == store.raw().count()
 
 
-def test_zorder_rejects_overflow(spark, grid):
-    with pytest.raises(ValueError, match="overflows"):
-        zorder_value(grid, ["x", "y"], bits=32)
+def test_scan_range_exact_on_unclustered_store(spark, tmp_path):
+    ds = _build_store(spark, str(tmp_path / "lake"), n_entities=40, n_days=8)
+    store = ds.store
+    lo, hi = ts("2024-01-02T00:00:00"), ts("2024-01-05T00:00:00")
+    pred = F.col("first_seen").between(F.lit(lo), F.lit(hi))
+    want = sorted(r["id"] for r in store.raw().filter(pred).select("id").collect())
+    got = sorted(
+        r["id"] for r in store.scan_range("first_seen", lo, hi).select("id").collect()
+    )
+    assert got == want
+
+
+def test_zorder_rewrite_preserves_content_and_log(spark, tmp_path):
+    ds = _build_store(spark, str(tmp_path / "lake"), n_entities=60, n_days=16)
+    store = ds.store
+    before = sorted(
+        r["id"] for r in store.raw().select("id").collect()
+    )
+    v0 = store.commits.current_version()
+    store.compact(zorder=("entity_id", "first_seen"))
+    assert store.commits.current_version() == v0 + 1
+    after = sorted(r["id"] for r in store.raw().select("id").collect())
+    assert after == before
+    # time travel to the pre-rewrite version still works (files retired,
+    # not deleted, until vacuum)
+    assert store.raw(as_of=v0).count() == len(before)
