@@ -80,6 +80,18 @@ def knn_join(
     per-partition candidates.
 
     Returns (query_id, neighbor_id, cosine) — k rows per query.
+
+    Ranking happens in a 6-decimal-digit cosine domain: raw float64
+    dot products are NOT portable across engines (BLAS accumulation
+    order differs from a SQL engine's left-to-right sum in the last
+    ulps, and on a large corpus the resulting near-tie rank flips are
+    common — caught by the sf10 oracle sweep). Rounding to 6 digits
+    BEFORE ranking absorbs that noise; genuine ties then break on
+    neighbor_id, identically in any engine. The batch-local cut uses
+    the same composite (rounded cosine desc, id asc) order as the
+    final window, so a locally cut row is dominated by k rows from its
+    own batch under the GLOBAL order — the cut is exact, not a
+    heuristic.
     """
     import pandas as pd
     from pyspark.sql import Window as W
@@ -99,16 +111,31 @@ def knn_join(
                 continue
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-            sims = cnorm @ qn.T  # |batch| x |queries|
+            # rank domain: 6-digit cosines (see docstring)
+            sims = np.round(cnorm @ qn.T, 6)  # |batch| x |queries|
+            nids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[0])
-            # per query: local top-k within this batch
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            out = {
-                "query_id": np.repeat(ids, kk),
-                "neighbor_id": pdf.iloc[top.T.ravel()][id_col].to_numpy(),
-                "cosine": np.take_along_axis(sims, top, 0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if kk < len(col):
+                    # tie-safe prefilter: keep everything >= the kth
+                    # value, then order the small candidate set exactly
+                    kth = -np.partition(-col, kk - 1)[kk - 1]
+                    cand = np.nonzero(col >= kth)[0]
+                else:
+                    cand = np.arange(len(col))
+                order = cand[np.lexsort((nids[cand], -col[cand]))][:kk]
+                out_q.append(np.full(len(order), ids[j]))
+                out_n.append(nids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
 
     # spread a single-file corpus, but cap the fan-out: each partition
     # costs a Python-worker spin-up, and the matmul amortizes only over
@@ -191,7 +218,9 @@ def knn_join_blocked(
         qmat = np.array(list(qg["qv"]), dtype=np.float64)
         cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
         qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-        sims = cnorm @ qnorm.T  # |chunk| x |block|
+        # 6-digit rank domain — cross-engine float portability, same
+        # rationale and exact-cut argument as knn_join's docstring
+        sims = np.round(cnorm @ qnorm.T, 6)  # |chunk| x |block|
         nids = cg["neighbor_id"].to_numpy()
         qids = qg["query_id"].to_numpy()
         kk = min(k, sims.shape[0])

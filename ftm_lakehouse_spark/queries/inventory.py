@@ -1203,17 +1203,24 @@ def dedup_simhash(spark, sf_dir):
                   * sqrt(list_dot_product(q.qv, q.qv))) AS cos
         FROM embeddings e CROSS JOIN q
     )
-    SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+    -- ranking in the 6-digit cosine domain exactly like the operator
+    -- (raw float64 sums differ between BLAS and SQL in the last ulps;
+    -- near-tie rank flips at corpus scale were caught by the sf10
+    -- sweep); round(round(.,6),4) mirrors the engine's op order
+    SELECT query_id, neighbor_id, round(round(cos, 6), 4) AS cosine
     FROM scored
     QUALIFY row_number() OVER (
-        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id
     ) <= 5
     """,
 )
 def sim_knn_join(spark, sf_dir):
     """Exact k-NN join: numpy-matmul mapInPandas (one BLAS call per
-    Arrow batch) + per-query top-k window. The oracle is the brute-force
-    SQL cross join — proving the vectorized path preserves semantics."""
+    Arrow batch) + per-query top-k window, ranked in the 6-digit
+    cosine domain (cross-engine float portability — see knn_join's
+    docstring). The oracle is the brute-force SQL cross join under the
+    identical rank domain — proving the vectorized path preserves
+    semantics."""
     from ftm_lakehouse_spark.operators.similarity import knn_join
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1242,7 +1249,7 @@ def sim_knn_join(spark, sf_dir):
     SELECT query_id, neighbor_id, round(round(cos, 6), 4) AS cosine
     FROM scored
     QUALIFY row_number() OVER (
-        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id
     ) <= 5
     """,
 )
