@@ -3415,20 +3415,10 @@ def dedup_winnow_substrings(spark, sf_dir):
     return winnow_fingerprint_pairs(d)
 
 
-def _bpe_oracle(num_merges: int = 12) -> str:
-    """Unrolled BPE training as static SQL — the same trick that made
-    ``graph_pagerank`` full-oracle: a fixed number of iterations,
-    integer-exact arithmetic, deterministic tie-breaks. Each round is
-    pair-count → argmax (count DESC, left ASC, right ASC — binary
-    string order on both engines for these ASCII symbols) →
-    re-segment. The re-segmentation uses a wrapped-symbol string
-    representation: every symbol is enclosed in U+27E8/U+27E9 angle
-    brackets, so a plain ``replace()`` of ``⟨l⟩⟨r⟩`` with ``⟨lr⟩`` is
-    exactly the leftmost-greedy NON-overlapping merge (markers are
-    consumed with the pair, never shared between adjacent matches —
-    ``⟨a⟩⟨a⟩⟨a⟩⟨a⟩`` → ``⟨aa⟩⟨aa⟩``, matching the Spark fold in
-    operators/bpe._merge_pair). CTEs are MATERIALIZED: each ``w{r}``
-    feeds two consumers and would otherwise inline exponentially."""
+def _bpe_training_ctes(num_merges: int = 12) -> tuple[list[str], list[str]]:
+    """The unrolled BPE-training CTE chain (see ``_bpe_oracle``) as
+    (parts, per-round merge SELECTs) so both the training oracle and
+    the encode oracle compose the same chain."""
     parts = [f"""w0 AS MATERIALIZED (
     SELECT '⟨' || array_to_string(string_split(word, ''), '⟩⟨')
            || '⟩⟨</w>⟩' AS w, n
@@ -3470,8 +3460,64 @@ def _bpe_oracle(num_merges: int = 12) -> str:
             f'SELECT CAST({r} AS INTEGER) AS rank, "left", "right",'
             f' "left" || "right" AS merged, pair_count FROM b{r}'
         )
+    return parts, finals
+
+
+def _bpe_oracle(num_merges: int = 12) -> str:
+    """Unrolled BPE training as static SQL — the same trick that made
+    ``graph_pagerank`` full-oracle: a fixed number of iterations,
+    integer-exact arithmetic, deterministic tie-breaks. Each round is
+    pair-count → argmax (count DESC, left ASC, right ASC — binary
+    string order on both engines for these ASCII symbols) →
+    re-segment. The re-segmentation uses a wrapped-symbol string
+    representation: every symbol is enclosed in U+27E8/U+27E9 angle
+    brackets, so a plain ``replace()`` of ``⟨l⟩⟨r⟩`` with ``⟨lr⟩`` is
+    exactly the leftmost-greedy NON-overlapping merge (markers are
+    consumed with the pair, never shared between adjacent matches —
+    ``⟨a⟩⟨a⟩⟨a⟩⟨a⟩`` → ``⟨aa⟩⟨aa⟩``, matching the Spark fold in
+    operators/bpe._merge_pair). CTEs are MATERIALIZED: each ``w{r}``
+    feeds two consumers and would otherwise inline exponentially."""
+    parts, finals = _bpe_training_ctes(num_merges)
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL\n".join(finals) + "\nORDER BY rank")
+
+
+def _bpe_encode_oracle(num_merges: int = 12) -> str:
+    """Tokenize the held-out corpus (doc_id >= 300) with the merge
+    table the training chain just learned: the encode vocabulary is
+    segmented through the SAME per-round ``replace()`` rewrite as
+    training words (``ev{r}`` mirrors ``w{r}`` over held-out DISTINCT
+    words), then per-document token counts come from one join back to
+    the per-(doc, word) frequency table — the linear-in-distinct-words
+    shape the Spark side uses."""
+    parts, _ = _bpe_training_ctes(num_merges)
+    parts.append("""ew AS MATERIALIZED (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS word
+        FROM documents WHERE doc_id >= 300
+    ) GROUP BY doc_id, word
+)""")
+    parts.append("""ev0 AS MATERIALIZED (
+    SELECT word, '⟨' || array_to_string(string_split(word, ''), '⟩⟨')
+           || '⟩⟨</w>⟩' AS w
+    FROM (SELECT DISTINCT word FROM ew)
+)""")
+    for r in range(num_merges):
+        parts.append(f"""ev{r + 1} AS MATERIALIZED (
+    SELECT v.word, replace(v.w,
+                   '⟨' || b."left" || '⟩⟨' || b."right" || '⟩',
+                   '⟨' || b."left" || b."right" || '⟩') AS w
+    FROM ev{r} v, b{r} b
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT e.doc_id,
+       CAST(sum(e.cnt) AS BIGINT) AS n_words,
+       CAST(sum(e.cnt * len(string_split(substr(v.w, 2, length(v.w) - 2),
+                                         '⟩⟨'))) AS BIGINT) AS n_tokens
+FROM ew e JOIN ev{num_merges} v ON e.word = v.word
+GROUP BY e.doc_id""")
 
 
 @_register("text_bpe_merges", _bpe_oracle(12))
@@ -3490,6 +3536,48 @@ def text_bpe_merges(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d.filter("doc_id < 300"), num_merges=12)
+
+
+@_register("text_bpe_encode", _bpe_encode_oracle(12))
+def text_bpe_encode(spark, sf_dir):
+    """Corpus tokenization with the learned subword vocabulary — the
+    apply half of the BPE story (train half: ``text_bpe_merges``).
+    Per-document token counts for the held-out corpus (doc_id >= 300,
+    disjoint from the doc_id < 300 training slice), computed the only
+    way that scales: segment the DISTINCT word table (vocabulary-sized
+    — sublinear in corpus, operators/bpe.bpe_segment_words: merges
+    fold JVM-side in rank order, no UDF) and join piece counts back to
+    the per-(doc, word) frequency table, so per-document totals are
+    one map-side-combinable aggregation. The merge-table collect is
+    bounded (num_merges rows) — the tokenizer artifact, not data.
+    Reference analog: the reference ships no tokenizer, but token
+    accounting over a trained vocab is the standard corpus-statistics
+    step between its export surface and an LLM training run."""
+    from ftm_lakehouse_spark.functions.text import tokens
+    from ftm_lakehouse_spark.operators.bpe import bpe_segment_words, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges_rows = (
+        bpe_train(d.filter("doc_id < 300"), num_merges=12).orderBy("rank").collect()
+    )
+    merges = [(r["left"], r["right"]) for r in merges_rows]
+    per_word = (
+        d.filter("doc_id >= 300")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seg = bpe_segment_words(per_word.select("word").distinct(), merges).select(
+        "word", F.size("pieces").alias("n_pieces")
+    )
+    return (
+        per_word.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("n_tokens"),
+        )
+    )
 
 
 def _pq_books(m: int = 4, ksub: int = 8, dim: int = 64, seed: int = 17):
