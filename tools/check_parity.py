@@ -62,6 +62,16 @@ def main() -> int:
 
     spark = get_spark("parity-check")
     con = duckdb.connect()
+    # An in-memory DuckDB connection does NOT spill unless a temp
+    # directory is set — at sweep scales (sf1/sf10) the heavy capstone
+    # oracles otherwise grow to >100 GB RSS and get OOM-killed (round
+    # 4's sweep casualty). Cap the oracle's memory and let it spill;
+    # insertion order is irrelevant (the comparator sorts rows).
+    mem_gb = os.environ.get("PARITY_DUCKDB_MEM", "48")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
