@@ -83,4 +83,59 @@ def pagerank_staged(con) -> pd.DataFrame:
     return out
 
 
-STAGED = {"graph_pagerank": pagerank_staged}
+def pretrain_staged(con) -> pd.DataFrame:
+    """pipeline_pretrain_corpus: the static oracle embeds four
+    already-verified sub-oracles (quality filter, MinHash-LSH pairs,
+    decontamination, temperature mix) as subqueries of ONE statement —
+    at sf10 DuckDB holds all four pipelines' intermediates at once
+    (>110 GB RSS unspilled; >70 GB temp spilled). Staged: each
+    sub-oracle materializes its doc_id set to a temp table (tiny — id
+    lists) in its own statement, so peak memory is the worst SINGLE
+    sub-oracle, then the final join runs over the id sets. The final
+    SELECT is textually the static oracle's with subqueries swapped
+    for the temp tables — same rows, same hash."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ftm_lakehouse_spark.queries.inventory import QUERIES
+
+    quality = QUERIES["text_quality_score"][1]
+    pairs = QUERIES["dedup_minhash_lsh"][1]
+    decon = QUERIES["text_decontaminate"][1]
+    mix = QUERIES["sample_temperature_mix"][1]
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE pt_q AS SELECT doc_id FROM ({quality}) "
+        "WHERE stopword_ratio >= 0.02 AND digit_ratio <= 0.3"
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE pt_pairs AS SELECT DISTINCT b FROM ({pairs})"
+    )
+    con.execute(f"CREATE OR REPLACE TEMP TABLE pt_decon AS SELECT doc_id FROM ({decon})")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE pt_mix AS SELECT doc_id FROM ({mix})")
+    out = con.execute(
+        """
+    WITH keepers AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+           md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\[\\]. -]{6,}[0-9]', '<PHONE>', 'g')) AS text_hash,
+           len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+               x -> x <> '')) AS n_tokens
+    FROM documents d
+    JOIN pt_q q USING (doc_id)
+    JOIN (SELECT doc_id FROM keepers WHERE doc_id = keeper) k USING (doc_id)
+    JOIN pt_decon dc USING (doc_id)
+    JOIN pt_mix mx USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT b FROM pt_pairs)
+    """
+    ).fetchdf()
+    for t in ("pt_q", "pt_pairs", "pt_decon", "pt_mix"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
+STAGED = {"graph_pagerank": pagerank_staged, "pipeline_pretrain_corpus": pretrain_staged}
