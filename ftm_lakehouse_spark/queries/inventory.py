@@ -66,7 +66,11 @@ GRADE_ORDER = [
     "f_point_lookup",
     "f_timestamp_range",
     "f_property_semi_join",
-    "f_like_prefix",
+    # f_like_prefix ceded its slot to pipeline_zorder_scan (round 6):
+    # prefix pushdown stays parity-verified and f_point_lookup grades
+    # the same id-pushdown shape; the z-order capstone composes
+    # clustered rewrite + stats-pruned scan under one oracle
+    "pipeline_zorder_scan",
     "j_semi_join_changed",
     "j_anti_join_deleted",
     "j_multiway_star",
@@ -91,7 +95,13 @@ GRADE_ORDER = [
     "w_sessionize",
     "o_entity_slice",
     "i_matview_refresh",
-    "u_union_branches",
+    # u_union_branches ceded its slot to pipeline_streaming_ingest
+    # (round 6): the set-ops family stays parity-verified
+    # (u_intersect_except / u_except_ids) and unionByName is exercised
+    # inside every merge-branch gate; the streaming capstone grades
+    # micro-batch ingest → watermarked dedup → merge → incremental
+    # refresh under one batch-boundary-independent oracle
+    "pipeline_streaming_ingest",
     "i_canonical_since",
     "x_asof_join",
     "x_range_join",
@@ -101,13 +111,22 @@ GRADE_ORDER = [
     "dedup_cluster_canonical",
     "dedup_winnow_substrings",
     "mm_image_roundtrip",
-    "sim_cosine_topk",
+    # sim_cosine_topk ceded its slot to sim_knn_blocked (round 6): the
+    # sequential-fold cosine stays parity-verified and is the distance
+    # kernel inside both knn gates; the blocked variant grades the
+    # exact k-NN path that scales past the broadcast ceiling
+    "sim_knn_blocked",
     "sim_knn_join",
     "sim_ann_lsh",
     "sim_ivfpq_topk",
     "graph_pagerank",
     "x_kmv_distinct",
-    "q13_customer_distribution",
+    # q13_customer_distribution ceded its slot to text_bpe_encode
+    # (round 6): the TPC-H family keeps q1+q5 in the window (q13 stays
+    # parity-verified); the encode gate grades BOTH tokenizer halves —
+    # it trains the merge table (bpe_train) and applies it to the
+    # held-out corpus under one oracle
+    "text_bpe_encode",
     "text_lang_id",
     "text_quality_score",
     "pipeline_embedding_curation",
