@@ -100,16 +100,23 @@ def pretrain_staged(con) -> pd.DataFrame:
     from ftm_lakehouse_spark.queries.inventory import QUERIES
 
     quality = QUERIES["text_quality_score"][1]
-    pairs = QUERIES["dedup_minhash_lsh"][1]
     decon = QUERIES["text_decontaminate"][1]
     mix = QUERIES["sample_temperature_mix"][1]
     con.execute(
         f"CREATE OR REPLACE TEMP TABLE pt_q AS SELECT doc_id FROM ({quality}) "
         "WHERE stopword_ratio >= 0.02 AND digit_ratio <= 0.3"
     )
+    # near-dup drop set via the value-collapsed MinHash tables (the
+    # static pairs subquery is the sf10-infeasible one — see
+    # minhash_staged); only the DISTINCT greater-member set is kept
+    _minhash_value_tables(con, "pmh")
     con.execute(
-        f"CREATE OR REPLACE TEMP TABLE pt_pairs AS SELECT DISTINCT b FROM ({pairs})"
+        "CREATE OR REPLACE TEMP TABLE pt_pairs AS SELECT DISTINCT b FROM ("
+        + _MINHASH_EXPAND.format(p="pmh")
+        + ")"
     )
+    for t in ("pmh_docs", "pmh_sh", "pmh_sig", "pmh_sig2", "pmh_band", "pmh_vj"):
+        con.execute(f"DROP TABLE {t}")
     con.execute(f"CREATE OR REPLACE TEMP TABLE pt_decon AS SELECT doc_id FROM ({decon})")
     con.execute(f"CREATE OR REPLACE TEMP TABLE pt_mix AS SELECT doc_id FROM ({mix})")
     out = con.execute(
@@ -138,4 +145,105 @@ def pretrain_staged(con) -> pd.DataFrame:
     return out
 
 
-STAGED = {"graph_pagerank": pagerank_staged, "pipeline_pretrain_corpus": pretrain_staged}
+def _minhash_value_tables(con, prefix: str = "mh") -> None:
+    """Build the value-collapsed MinHash-LSH candidate tables.
+
+    The static oracle carries BOTH documents' full shingle lists
+    through the band-collision join — at sf10 the 100×-replicated
+    corpus makes that ~25M candidate pairs × two ~10 KB lists (≈0.5 TB
+    of intermediate), unrunnable in any memory/spill budget. But
+    signatures are a pure function of the text VALUE, so collision
+    structure lives at value grain: collapse to distinct texts first
+    (the engine's own round-4 pre-collapse, dedupe.py), do all
+    signature/band/jaccard work on ~|distinct| rows, and expand to doc
+    pairs at the very end carrying only (a, b, jaccard). The output
+    SET is identical: doc-level band keys equal value-level band keys,
+    same-value docs always collide (equal signatures) with jaccard
+    exactly 1.0, and cross-value jaccard is the same two lists the
+    static oracle intersects."""
+    num_hashes, bands = 16, 4
+    rows = num_hashes // bands
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    shingles = (
+        "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+        " i -> array_to_string(t[i:i+2], ' ')))"
+    )
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows)) + f") AS k{b}"
+        for b in range(bands)
+    )
+    band_union = "\n        UNION ALL\n".join(
+        f"SELECT tv, {b} AS band, k{b} AS key FROM {prefix}_sig" for b in range(bands)
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {prefix}_docs AS "
+        "SELECT doc_id, md5(text) AS tv FROM documents"
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_sh AS
+        SELECT tv, {shingles} AS shingles FROM (
+            SELECT md5(min(text)) AS tv, {toks.replace('text', 'min(text)')} AS t
+            FROM documents GROUP BY md5(text)
+        ) WHERE len(t) >= 3"""
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {prefix}_sig AS "
+        f"SELECT tv, {mh} FROM (SELECT tv, shingles FROM {prefix}_sh) "
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {prefix}_sig2 AS "
+        f"SELECT tv, {band_keys} FROM {prefix}_sig"
+    )
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {prefix}_band AS {band_union.replace(prefix + '_sig', prefix + '_sig2')}"
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_vj AS
+        SELECT va, vb,
+               round(CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+                     / (len(l.shingles) + len(r.shingles)
+                        - len(list_intersect(l.shingles, r.shingles))), 6) AS jaccard
+        FROM (
+            SELECT DISTINCT l.tv AS va, r.tv AS vb
+            FROM {prefix}_band l JOIN {prefix}_band r
+              ON l.band = r.band AND l.key = r.key AND l.tv < r.tv
+        ) c
+        JOIN {prefix}_sh l ON l.tv = c.va
+        JOIN {prefix}_sh r ON r.tv = c.vb
+        WHERE round(CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+                    / (len(l.shingles) + len(r.shingles)
+                       - len(list_intersect(l.shingles, r.shingles))), 6) >= 0.5"""
+    )
+
+
+_MINHASH_EXPAND = """
+    SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM {p}_docs l JOIN {p}_docs r
+      ON l.tv = r.tv AND l.doc_id < r.doc_id
+    WHERE l.tv IN (SELECT tv FROM {p}_sh)
+    UNION ALL
+    SELECT least(da.doc_id, db.doc_id) AS a,
+           greatest(da.doc_id, db.doc_id) AS b, j.jaccard
+    FROM {p}_vj j
+    JOIN {p}_docs da ON da.tv = j.va
+    JOIN {p}_docs db ON db.tv = j.vb
+"""
+
+
+def minhash_staged(con) -> pd.DataFrame:
+    _minhash_value_tables(con, "mh")
+    out = con.execute(_MINHASH_EXPAND.format(p="mh")).fetchdf()
+    for t in ("mh_docs", "mh_sh", "mh_sig", "mh_sig2", "mh_band", "mh_vj"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
+STAGED = {
+    "graph_pagerank": pagerank_staged,
+    "pipeline_pretrain_corpus": pretrain_staged,
+    "dedup_minhash_lsh": minhash_staged,
+}
