@@ -242,8 +242,59 @@ def minhash_staged(con) -> pd.DataFrame:
     return out
 
 
+def cluster_staged(con) -> pd.DataFrame:
+    """dedup_cluster_canonical: the static oracle closes a recursive
+    CTE over the DOC-level near-dup graph — at sf10 the 100× copy
+    cliques make the closure Σ|component|² rows on top of the already
+    infeasible pair SQL. Identical-text docs are interchangeable in
+    the graph (same signatures → same collisions), so components are
+    computed at VALUE level (a ~|distinct|-node recursive closure) and
+    expanded: a value participates iff it has a cross-value edge or
+    ≥2 copies (its copies form a clique); the component label is the
+    min doc_id over the component's values — exactly what the doc-level
+    closure's min(label) converges to."""
+    _minhash_value_tables(con, "cc")
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE cc_part AS
+        SELECT tv, min(doc_id) AS mind, count(*) AS n FROM cc_docs
+        WHERE tv IN (SELECT tv FROM cc_sh) GROUP BY tv"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE cc_nodes AS
+        SELECT tv, mind FROM cc_part WHERE n >= 2
+        UNION
+        SELECT tv, mind FROM cc_part
+        WHERE tv IN (SELECT va FROM cc_vj UNION SELECT vb FROM cc_vj)"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE cc_ev AS
+        SELECT va AS u, vb AS v FROM cc_vj
+        UNION ALL SELECT vb AS u, va AS v FROM cc_vj"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE cc_clusters AS
+        WITH RECURSIVE reach AS (
+            SELECT tv AS node, mind AS label FROM cc_nodes
+            UNION
+            SELECT e.v AS node, r.label FROM reach r JOIN cc_ev e ON e.u = r.node
+        )
+        SELECT node AS tv, min(label) AS cluster FROM reach GROUP BY node"""
+    )
+    out = con.execute(
+        """SELECT d.doc_id AS doc, c.cluster AS cluster
+        FROM cc_docs d JOIN cc_clusters c ON d.tv = c.tv"""
+    ).fetchdf()
+    for t in (
+        "cc_docs", "cc_sh", "cc_sig", "cc_sig2", "cc_band", "cc_vj",
+        "cc_part", "cc_nodes", "cc_ev", "cc_clusters",
+    ):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
 STAGED = {
     "graph_pagerank": pagerank_staged,
     "pipeline_pretrain_corpus": pretrain_staged,
     "dedup_minhash_lsh": minhash_staged,
+    "dedup_cluster_canonical": cluster_staged,
 }
