@@ -292,9 +292,103 @@ def cluster_staged(con) -> pd.DataFrame:
     return out
 
 
+def curation_staged(con) -> pd.DataFrame:
+    """pipeline_embedding_curation: the static oracle's within-cell
+    pair join evaluates ~2.5B row pairs at sf10 (100× copy groups
+    squared) — streamable but half-hour-slow. Cell assignment, cosine,
+    and quantization are pure functions of the vector VALUE, so the
+    staged variant does all pair work at value grain (~|distinct|²
+    within cells) and resolves the SemDeDup drop rule per row
+    algebraically: row r (value v) is dropped iff some row l < r
+    shares a cell with cos ≥ t — i.e. iff r > min over {v's own min
+    id (cos(v,v)=1) and neighbor values' min ids}. Quantization
+    metrics compute once per value and expand to survivors."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ftm_lakehouse_spark.queries.inventory import _ivf_dists_sql
+
+    dists = _ivf_dists_sql(8, 64, 11)
+    cos = (
+        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+        " * sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE ec_rows AS
+        SELECT vec_id, label,
+               md5(CAST(CAST(embedding AS DOUBLE[]) AS VARCHAR)) AS vh
+        FROM embeddings"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE ec_vals AS
+        SELECT vh, v, m,
+               CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+        FROM (
+            SELECT vh, v, m, [{dists}] AS ds FROM (
+                SELECT md5(CAST(v AS VARCHAR)) AS vh, v, min(vec_id) AS m
+                FROM (SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id
+                      FROM embeddings)
+                GROUP BY v
+            )
+        )"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE ec_vj AS
+        SELECT l.vh AS va, r.vh AS vb
+        FROM ec_vals l JOIN ec_vals r ON l.cell = r.cell AND l.vh < r.vh
+        WHERE {cos} >= 0.4"""
+    )
+    # threshold per value: min id that can evict members (own min id if
+    # cos(v,v) is defined, i.e. a nonzero vector; else neighbors' mins)
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE ec_thr AS
+        SELECT v.vh,
+               least(COALESCE(CASE WHEN list_dot_product(v.v, v.v) > 0
+                                   THEN v.m END, nb.mn),
+                     COALESCE(nb.mn,
+                              CASE WHEN list_dot_product(v.v, v.v) > 0
+                                   THEN v.m END)) AS thr
+        FROM ec_vals v LEFT JOIN (
+            SELECT vh, min(m) AS mn FROM (
+                SELECT j.va AS vh, v2.m FROM ec_vj j JOIN ec_vals v2 ON v2.vh = j.vb
+                UNION ALL
+                SELECT j.vb AS vh, v2.m FROM ec_vj j JOIN ec_vals v2 ON v2.vh = j.va
+            ) GROUP BY vh
+        ) nb ON nb.vh = v.vh"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE ec_quant AS
+        SELECT vh, cell, round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_sum(q) AS BIGINT) AS q_sum
+        FROM (
+            SELECT vh, cell, scale,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+            FROM (
+                SELECT vh, cell, v,
+                       greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                                1e-12) AS scale
+                FROM ec_vals
+            )
+        )"""
+    )
+    out = con.execute(
+        """SELECT r.vec_id, CAST(r.label AS INT) AS label, q.cell,
+                  q.scale, q.q_l1, q.q_sum
+        FROM ec_rows r
+        JOIN ec_thr t ON t.vh = r.vh
+        JOIN ec_quant q ON q.vh = r.vh
+        WHERE t.thr IS NULL OR r.vec_id <= t.thr"""
+    ).fetchdf()
+    for t in ("ec_rows", "ec_vals", "ec_vj", "ec_thr", "ec_quant"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
 STAGED = {
     "graph_pagerank": pagerank_staged,
     "pipeline_pretrain_corpus": pretrain_staged,
     "dedup_minhash_lsh": minhash_staged,
     "dedup_cluster_canonical": cluster_staged,
+    "pipeline_embedding_curation": curation_staged,
 }
