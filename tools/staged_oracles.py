@@ -385,10 +385,127 @@ def curation_staged(con) -> pd.DataFrame:
     return out
 
 
+def ngram_jaccard_staged(con) -> pd.DataFrame:
+    """dedup_ngram_jaccard: same value-collapse as minhash_staged —
+    shingles and the 4-token block key are pure functions of the text
+    value, so candidate generation and Jaccard run over distinct
+    values (same-value pairs are exactly 1.0) and expand at the end."""
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    shingles = (
+        "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+        " i -> array_to_string(t[i:i+2], ' ')))"
+    )
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE nj_docs AS "
+        "SELECT doc_id, md5(text) AS tv FROM documents"
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE nj_sh AS
+        SELECT tv, {shingles} AS sh, md5(array_to_string(t[1:4], ' ')) AS block
+        FROM (
+            SELECT md5(min(text)) AS tv, {toks.replace('text', 'min(text)')} AS t
+            FROM documents GROUP BY md5(text)
+        ) WHERE len(t) >= 3"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE nj_vj AS
+        SELECT l.tv AS va, r.tv AS vb,
+               round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                     / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6)
+                   AS jaccard
+        FROM nj_sh l JOIN nj_sh r ON l.block = r.block AND l.tv < r.tv
+        WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                    / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6)
+              >= 0.3"""
+    )
+    out = con.execute(
+        """
+        SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM nj_docs l JOIN nj_docs r ON l.tv = r.tv AND l.doc_id < r.doc_id
+        WHERE l.tv IN (SELECT tv FROM nj_sh)
+        UNION ALL
+        SELECT least(da.doc_id, db.doc_id) AS a,
+               greatest(da.doc_id, db.doc_id) AS b, j.jaccard
+        FROM nj_vj j
+        JOIN nj_docs da ON da.tv = j.va
+        JOIN nj_docs db ON db.tv = j.vb
+        """
+    ).fetchdf()
+    for t in ("nj_docs", "nj_sh", "nj_vj"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
+def simhash_staged(con) -> pd.DataFrame:
+    """dedup_simhash: the static oracle is a deliberate O(n²) hamming
+    scan (valid because pigeonhole probing is exhaustive) — 125B pair
+    evaluations at sf10. The 48-bit signature is a pure function of
+    the text value, so the scan runs over distinct values (~|distinct|²
+    / 2 pairs) and expands; same-value pairs have hamming exactly 0.
+    Unlike the shingle gates EVERY doc participates (empty token sets
+    fold to signature 0), so the same-value expansion is unfiltered."""
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE sx_docs AS "
+        "SELECT doc_id, md5(text) AS tv FROM documents"
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE sx_sig AS
+        WITH vals AS (
+            SELECT md5(text) AS tv, min(text) AS text FROM documents
+            GROUP BY md5(text)
+        ), toks AS (
+            SELECT tv,
+                   unnest(list_distinct(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> ''))) AS tok
+            FROM vals
+        ), bitv AS (
+            SELECT tv, j,
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                              >> (3 - CAST(j % 4 AS INT))) & 1 = 1
+                        THEN 1 ELSE -1 END AS vote
+            FROM toks, (SELECT range AS j FROM range(48)) bits
+        ), votes AS (
+            SELECT tv, j, sum(vote) AS v FROM bitv GROUP BY tv, j
+        )
+        SELECT d.tv,
+               coalesce(sum(CASE WHEN v.v > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(v.j AS INT))
+                                 ELSE 0 END), 0) AS sh
+        FROM vals d LEFT JOIN votes v ON d.tv = v.tv
+        GROUP BY d.tv"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE sx_vj AS
+        SELECT l.tv AS va, r.tv AS vb,
+               CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+        FROM sx_sig l JOIN sx_sig r ON l.tv < r.tv
+        WHERE bit_count(xor(l.sh, r.sh)) <= 3"""
+    )
+    out = con.execute(
+        """
+        SELECT l.doc_id AS a, r.doc_id AS b, CAST(0 AS INT) AS hamming
+        FROM sx_docs l JOIN sx_docs r ON l.tv = r.tv AND l.doc_id < r.doc_id
+        UNION ALL
+        SELECT least(da.doc_id, db.doc_id) AS a,
+               greatest(da.doc_id, db.doc_id) AS b, j.hamming
+        FROM sx_vj j
+        JOIN sx_docs da ON da.tv = j.va
+        JOIN sx_docs db ON db.tv = j.vb
+        """
+    ).fetchdf()
+    for t in ("sx_docs", "sx_sig", "sx_vj"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
 STAGED = {
     "graph_pagerank": pagerank_staged,
     "pipeline_pretrain_corpus": pretrain_staged,
     "dedup_minhash_lsh": minhash_staged,
     "dedup_cluster_canonical": cluster_staged,
     "pipeline_embedding_curation": curation_staged,
+    "dedup_ngram_jaccard": ngram_jaccard_staged,
+    "dedup_simhash": simhash_staged,
 }
