@@ -81,17 +81,22 @@ def knn_join(
 
     Returns (query_id, neighbor_id, cosine) — k rows per query.
 
-    Ranking happens in a 6-decimal-digit cosine domain: raw float64
-    dot products are NOT portable across engines (BLAS accumulation
-    order differs from a SQL engine's left-to-right sum in the last
-    ulps, and on a large corpus the resulting near-tie rank flips are
-    common — caught by the sf10 oracle sweep). Rounding to 6 digits
-    BEFORE ranking absorbs that noise; genuine ties then break on
-    neighbor_id, identically in any engine. The batch-local cut uses
-    the same composite (rounded cosine desc, id asc) order as the
-    final window, so a locally cut row is dominated by k rows from its
-    own batch under the GLOBAL order — the cut is exact, not a
-    heuristic.
+    Cross-engine float portability (two layers, both needed — the sf10
+    sweep caught each failing alone): (1) the REPORTED-and-RANKED
+    cosine is the SEQUENTIAL left-to-right fold (``np.cumsum``) — the
+    identical float64 accumulation order a SQL engine's
+    ``list_dot_product`` / the JVM ``aggregate`` fold uses — so the
+    raw double entering the final 6-digit rounding is bit-equal in any
+    engine (BLAS reorders the sum; its last-ulp noise can straddle a
+    rounding boundary, and on quantized corpora such straddles are
+    common, not rare). (2) BLAS still powers CANDIDATE GENERATION (it
+    is ~10× the fold's throughput); the batch-local cut keeps
+    everything within ``1e-5`` of the kth 6-digit BLAS cosine, which
+    strictly covers the ≤1e-6 disagreement between the BLAS and
+    sequential rank domains, so a row cut locally is dominated by k
+    rows from its own batch under the global sequential order — the
+    cut stays exact, not a heuristic. The final window ranks on
+    ``F.round(cosine, 6)`` (ties break on neighbor_id).
     """
     import pandas as pd
     from pyspark.sql import Window as W
@@ -100,18 +105,21 @@ def knn_join(
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # sequential self-dot norms (cumsum = left-to-right), for layer (1)
+    qseq = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
 
     spark = corpus.sparkSession
-    bq = spark.sparkContext.broadcast((qids, qnorm))
+    bq = spark.sparkContext.broadcast((qids, qnorm, qmat, qseq))
 
     def score(batches):
-        ids, qn = bq.value
+        ids, qn, qm, qs = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-            # rank domain: 6-digit cosines (see docstring)
+            cseq = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+            # candidate domain: 6-digit BLAS cosines (see docstring)
             sims = np.round(cnorm @ qn.T, 6)  # |batch| x |queries|
             nids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[0])
@@ -119,16 +127,17 @@ def knn_join(
             for j in range(sims.shape[1]):
                 col = sims[:, j]
                 if kk < len(col):
-                    # tie-safe prefilter: keep everything >= the kth
-                    # value, then order the small candidate set exactly
+                    # margin-and-tie-safe prefilter (see docstring)
                     kth = -np.partition(-col, kk - 1)[kk - 1]
-                    cand = np.nonzero(col >= kth)[0]
+                    cand = np.nonzero(col >= kth - 1e-5)[0]
                 else:
                     cand = np.arange(len(col))
-                order = cand[np.lexsort((nids[cand], -col[cand]))][:kk]
-                out_q.append(np.full(len(order), ids[j]))
-                out_n.append(nids[order])
-                out_c.append(col[order])
+                # report the sequential-fold cosine for the candidates
+                num = np.cumsum(cmat[cand] * qm[j], axis=1)[:, -1]
+                den = np.maximum(cseq[cand] * qs[j], 1e-12)
+                out_q.append(np.full(len(cand), ids[j]))
+                out_n.append(nids[cand])
+                out_c.append(num / den)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -145,12 +154,13 @@ def knn_join(
         corpus.select(id_col, vec_col)
         .repartition(par)
         .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "cosine")
     )
 
 
@@ -175,12 +185,12 @@ def knn_join_blocked(
     ×Q — plain ``explode`` of a literal range, a shuffle, never a
     collect), so every (chunk, block) grid cell cogroups one corpus
     chunk with one query block inside ``applyInPandas`` and scores it
-    with a single BLAS matmul. Each cell emits its block-local
-    per-query top-k (tie-broken exactly like the final window:
-    cosine desc, neighbor id asc — a candidate cut locally is
-    dominated by k better-ordered candidates from its own chunk, so
-    the cut is globally safe), and one window over the C·k candidates
-    per query yields the exact global answer.
+    with a single BLAS matmul. Each cell emits its per-query top-k
+    candidates under the margin-and-tie-safe cut with
+    sequential-fold reported cosines (knn_join's two-layer
+    cross-engine portability scheme — see its docstring), and one
+    window over the ~C·k candidates per query yields the exact global
+    answer in the 6-digit sequential domain.
 
     Scale accounting: exactness costs |corpus|×|queries| dot products
     no matter how they're scheduled — the matmul work is identical to
@@ -218,8 +228,11 @@ def knn_join_blocked(
         qmat = np.array(list(qg["qv"]), dtype=np.float64)
         cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
         qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-        # 6-digit rank domain — cross-engine float portability, same
-        # rationale and exact-cut argument as knn_join's docstring
+        cseq = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+        qseq = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+        # BLAS candidate domain + sequential-fold reported cosine —
+        # same two-layer portability scheme and exact-cut argument as
+        # knn_join's docstring (margin covers BLAS-vs-fold rank skew)
         sims = np.round(cnorm @ qnorm.T, 6)  # |chunk| x |block|
         nids = cg["neighbor_id"].to_numpy()
         qids = qg["query_id"].to_numpy()
@@ -228,18 +241,18 @@ def knn_join_blocked(
         for j in range(sims.shape[1]):
             col = sims[:, j]
             if kk < len(col):
-                # tie-SAFE prefilter: keep everything >= the kth value,
-                # then order the (small) candidate set exactly —
-                # argpartition alone could drop the smaller-id member
-                # of a tie straddling the k boundary
+                # margin-and-tie-safe prefilter: keep everything within
+                # 1e-5 of the kth value — covers genuine ties AND the
+                # ≤1e-6 BLAS/sequential rank-domain disagreement
                 kth = -np.partition(-col, kk - 1)[kk - 1]
-                cand = np.nonzero(col >= kth)[0]
+                cand = np.nonzero(col >= kth - 1e-5)[0]
             else:
                 cand = np.arange(len(col))
-            order = cand[np.lexsort((nids[cand], -col[cand]))][:kk]
-            out_q.append(np.full(len(order), qids[j]))
-            out_n.append(nids[order])
-            out_c.append(col[order])
+            num = np.cumsum(cmat[cand] * qmat[j], axis=1)[:, -1]
+            den = np.maximum(cseq[cand] * qseq[j], 1e-12)
+            out_q.append(np.full(len(cand), qids[j]))
+            out_n.append(nids[cand])
+            out_c.append(num / den)
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
@@ -254,12 +267,13 @@ def knn_join_blocked(
         .applyInPandas(
             score_cell, schema="query_id long, neighbor_id long, cosine double"
         )
+        .withColumn("cosine", F.round("cosine", 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "cosine")
     )
 
 

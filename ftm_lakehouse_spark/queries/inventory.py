@@ -1222,11 +1222,15 @@ def dedup_simhash(spark, sf_dir):
                   * sqrt(list_dot_product(q.qv, q.qv))) AS cos
         FROM embeddings e CROSS JOIN q
     )
-    -- ranking in the 6-digit cosine domain exactly like the operator
-    -- (raw float64 sums differ between BLAS and SQL in the last ulps;
-    -- near-tie rank flips at corpus scale were caught by the sf10
-    -- sweep); round(round(.,6),4) mirrors the engine's op order
-    SELECT query_id, neighbor_id, round(round(cos, 6), 4) AS cosine
+    -- rank and report in the 6-digit SEQUENTIAL-fold cosine domain,
+    -- exactly like the operator: the engine's reported cosine is the
+    -- left-to-right fold (bit-equal to list_dot_product here), so one
+    -- 6-digit round of the identical double matches on both engines.
+    -- (A further round to 4 digits was REMOVED: 6-digit values landing
+    -- on a 4-digit midpoint, e.g. 0.340450, tie-resolve differently
+    -- between BigDecimal shortest-string and multiply-based rounding —
+    -- the sf0.1/sf10 sweeps caught real rows doing exactly that.)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
     FROM scored
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id
@@ -1235,17 +1239,16 @@ def dedup_simhash(spark, sf_dir):
 )
 def sim_knn_join(spark, sf_dir):
     """Exact k-NN join: numpy-matmul mapInPandas (one BLAS call per
-    Arrow batch) + per-query top-k window, ranked in the 6-digit
-    cosine domain (cross-engine float portability — see knn_join's
-    docstring). The oracle is the brute-force SQL cross join under the
-    identical rank domain — proving the vectorized path preserves
-    semantics."""
+    Arrow batch) for candidates + sequential-fold reported cosines +
+    per-query top-k window in the 6-digit domain (cross-engine float
+    portability — see knn_join's docstring). The oracle is the
+    brute-force SQL cross join under the identical fold and rank
+    domain — proving the vectorized path preserves semantics."""
     from ftm_lakehouse_spark.operators.similarity import knn_join
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id").isin(0, 1, 2))
-    out = knn_join(e, queries, k=5)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    return knn_join(e, queries, k=5)
 
 
 @_register(
@@ -1262,10 +1265,9 @@ def sim_knn_join(spark, sf_dir):
                   * sqrt(list_dot_product(q.qv, q.qv))) AS cos
         FROM embeddings e CROSS JOIN q
     )
-    -- round(round(.,6),4) mirrors the engine's op order exactly: the
-    -- operator emits 6-digit cosines and the gate rounds to 4; a single
-    -- round(.,4) here would double-round-diverge near x.xxx[45]9999
-    SELECT query_id, neighbor_id, round(round(cos, 6), 4) AS cosine
+    -- 6-digit sequential-fold domain, no further 4-digit round — same
+    -- rationale as sim_knn_join's oracle comment
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
     FROM scored
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id
@@ -1285,8 +1287,7 @@ def sim_knn_blocked(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 10 == 0)
-    out = knn_join_blocked(e, queries, k=5, corpus_chunks=4, query_blocks=2)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    return knn_join_blocked(e, queries, k=5, corpus_chunks=4, query_blocks=2)
 
 
 def _hyperplane_sig_sql(num_bits: int, dim: int, seed: int = 7) -> str:

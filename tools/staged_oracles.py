@@ -500,6 +500,187 @@ def simhash_staged(con) -> pd.DataFrame:
     return out
 
 
+def _embedding_value_tables(con, prefix: str) -> None:
+    """(vec_id, value-hash) row table + distinct-value table with min
+    vec_id — the embedding-side analog of _minhash_value_tables."""
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_rows AS
+        SELECT vec_id, md5(CAST(CAST(embedding AS DOUBLE[]) AS VARCHAR)) AS vh
+        FROM embeddings"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_vals AS
+        SELECT md5(CAST(v AS VARCHAR)) AS vh, v, min(vec_id) AS m
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id FROM embeddings)
+        GROUP BY v"""
+    )
+
+
+_COS_VV = (
+    "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+    " * sqrt(list_dot_product(r.v, r.v))), 6)"
+)
+
+
+def knn_blocked_staged(con) -> pd.DataFrame:
+    """sim_knn_blocked: the static oracle cross-joins 20k query rows ×
+    200k corpus rows at sf10 (4B cosine evals materialized under a
+    window). Both sides are 100× value copies, so: score distinct
+    query values × distinct corpus values (~200×2k), keep per query
+    value the corpus values whose cos6-rank() ≤ 5 (rank() ties share a
+    number, so a cosine level is kept or dropped atomically — dropped
+    only when ≥5 docs are strictly ahead), expand each kept value to
+    its 5 smallest vec_ids (only those can win the id tiebreak), run
+    the exact final window at candidate grain, then broadcast the
+    per-query-VALUE answer to every query id sharing the value."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    _embedding_value_tables(con, "kb")
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE kb_qrows AS
+        SELECT vec_id AS query_id,
+               md5(CAST(CAST(embedding AS DOUBLE[]) AS VARCHAR)) AS qh
+        FROM embeddings WHERE vec_id % 10 = 0"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE kb_qvals AS
+        SELECT md5(CAST(v AS VARCHAR)) AS qh, v AS qv
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id % 10 = 0)
+        GROUP BY v"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE kb_top5 AS
+        SELECT vh, vec_id FROM (
+            SELECT r.vh, r.vec_id,
+                   row_number() OVER (PARTITION BY r.vh ORDER BY r.vec_id) AS rn
+            FROM kb_rows r
+        ) WHERE rn <= 5"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE kb_vcand AS
+        SELECT qh, vh, cos6 FROM (
+            SELECT q.qh, c.vh,
+                   round(list_dot_product(c.v, q.qv)
+                         / (sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos6
+            FROM kb_vals c CROSS JOIN kb_qvals q
+        ) QUALIFY rank() OVER (PARTITION BY qh ORDER BY cos6 DESC) <= 5"""
+    )
+    out = con.execute(
+        """
+        WITH cand AS (
+            SELECT v.qh, t.vec_id AS neighbor_id, v.cos6
+            FROM kb_vcand v JOIN kb_top5 t ON t.vh = v.vh
+        ), ranked AS (
+            SELECT qh, neighbor_id, cos6 AS cosine
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY qh ORDER BY cos6 DESC, neighbor_id) <= 5
+        )
+        SELECT q.query_id, r.neighbor_id, r.cosine
+        FROM kb_qrows q JOIN ranked r ON r.qh = q.qh
+        """
+    ).fetchdf()
+    for t in ("kb_rows", "kb_vals", "kb_qrows", "kb_qvals", "kb_top5", "kb_vcand"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
+def embedding_cosine_staged(con) -> pd.DataFrame:
+    """dedup_embedding_cosine: the OR-of-chunks join condition forces a
+    40B-pair blockwise scan at sf10. Signature and cosine are value
+    functions: candidate + verify at distinct-value grain, expand
+    (same-value pairs always share every chunk and round to cosine
+    exactly 1.0, excluded only for zero-norm values — mirroring the
+    static NULL-cosine exclusion)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ftm_lakehouse_spark.queries.inventory import _hyperplane_sig_sql
+
+    sig_terms = _hyperplane_sig_sql(16, 64, 7)
+    # blocks/width/mask mirror _embedding_cosine_oracle(max_hamming=2)
+    width, mask = 16 // 3, (1 << (16 // 3)) - 1
+    share_chunk = " OR ".join(
+        f"((l.sig >> {b * width}) & {mask}) = ((r.sig >> {b * width}) & {mask})"
+        for b in range(3)
+    )
+    _embedding_value_tables(con, "ed")
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE ed_sig AS
+        SELECT vh, v, m, ({sig_terms}) AS sig FROM ed_vals"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE ed_vj AS
+        SELECT l.vh AS va, r.vh AS vb, {_COS_VV} AS cosine
+        FROM ed_sig l JOIN ed_sig r ON l.vh < r.vh AND ({share_chunk})
+        WHERE {_COS_VV} >= 0.4"""
+    )
+    out = con.execute(
+        """
+        SELECT l.vec_id AS a, r.vec_id AS b, CAST(1.0 AS DOUBLE) AS cosine
+        FROM ed_rows l JOIN ed_rows r ON l.vh = r.vh AND l.vec_id < r.vec_id
+        WHERE l.vh IN (SELECT vh FROM ed_vals
+                       WHERE list_dot_product(v, v) > 0)
+        UNION ALL
+        SELECT least(da.vec_id, db.vec_id) AS a,
+               greatest(da.vec_id, db.vec_id) AS b, j.cosine
+        FROM ed_vj j
+        JOIN ed_rows da ON da.vh = j.va
+        JOIN ed_rows db ON db.vh = j.vb
+        """
+    ).fetchdf()
+    for t in ("ed_rows", "ed_vals", "ed_sig", "ed_vj"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
+def semantic_staged(con) -> pd.DataFrame:
+    """dedup_semantic: within-cell pair verify at distinct-value grain
+    (cell assignment and cosine are value functions), expanded to doc
+    pairs; same-value pairs share the cell and round to cosine exactly
+    1.0 (zero-norm values excluded, as the static NULL does)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ftm_lakehouse_spark.queries.inventory import _ivf_dists_sql
+
+    dists = _ivf_dists_sql(8, 64, 11)
+    _embedding_value_tables(con, "sd")
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE sd_cell AS
+        SELECT vh, v, m, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+        FROM (SELECT vh, v, m, [{dists}] AS ds FROM sd_vals)"""
+    )
+    con.execute(
+        f"""CREATE OR REPLACE TEMP TABLE sd_vj AS
+        SELECT l.vh AS va, r.vh AS vb, l.cell AS cell, {_COS_VV} AS cosine
+        FROM sd_cell l JOIN sd_cell r ON l.cell = r.cell AND l.vh < r.vh
+        WHERE {_COS_VV} >= 0.4"""
+    )
+    out = con.execute(
+        """
+        SELECT l.vec_id AS a, r.vec_id AS b, c.cell AS cell,
+               CAST(1.0 AS DOUBLE) AS cosine
+        FROM sd_rows l
+        JOIN sd_rows r ON l.vh = r.vh AND l.vec_id < r.vec_id
+        JOIN sd_cell c ON c.vh = l.vh
+        WHERE list_dot_product(c.v, c.v) > 0
+        UNION ALL
+        SELECT least(da.vec_id, db.vec_id) AS a,
+               greatest(da.vec_id, db.vec_id) AS b, j.cell, j.cosine
+        FROM sd_vj j
+        JOIN sd_rows da ON da.vh = j.va
+        JOIN sd_rows db ON db.vh = j.vb
+        """
+    ).fetchdf()
+    for t in ("sd_rows", "sd_vals", "sd_cell", "sd_vj"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
 STAGED = {
     "graph_pagerank": pagerank_staged,
     "pipeline_pretrain_corpus": pretrain_staged,
@@ -508,4 +689,7 @@ STAGED = {
     "pipeline_embedding_curation": curation_staged,
     "dedup_ngram_jaccard": ngram_jaccard_staged,
     "dedup_simhash": simhash_staged,
+    "sim_knn_blocked": knn_blocked_staged,
+    "dedup_embedding_cosine": embedding_cosine_staged,
+    "dedup_semantic": semantic_staged,
 }
