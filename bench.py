@@ -151,8 +151,15 @@ def main() -> None:
     if warm:
         out["warm"] = warm
         out["warm_total"] = round(sum(warm.values()), 4)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # The driver's stdout capture can truncate the head of long runs;
+    # persist the same JSON to a file and make the JSON the sole final
+    # stdout line so BENCH_r{N}.json always parses.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

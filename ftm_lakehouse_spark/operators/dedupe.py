@@ -522,8 +522,15 @@ def embedding_near_dups(
         "b",
     )
     cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # zero-norm guard: a zero vector's cosine is 0/0 = NaN, and BOTH
+    # Spark and DuckDB order NaN above every number, so `cosine >=
+    # threshold` would silently INCLUDE undefined-cosine pairs. A zero
+    # vector is similar to nothing — exclude it explicitly so engine,
+    # static oracle, and staged oracle agree by construction rather
+    # than by the corpus happening to contain no zero vectors.
     rep_pairs = (
         hydrated.withColumn("cosine", F.round(cosine, 6))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "cosine")
     )
@@ -547,6 +554,9 @@ def embedding_near_dups(
     )
     within = (
         grp.filter(F.size("members") > 1)
+        # zero-norm guard (see rep_pairs): self-cosine of a zero vector
+        # is NaN, which Spark orders above the threshold
+        .filter(dot_product(F.col("vec"), F.col("vec")) > 0)
         .select("members", self_cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("cosine", F.explode("members").alias("i"), "members")
@@ -886,9 +896,14 @@ def semantic_dedup_pairs(
     cosine = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     rep_pairs = (
         hydrated.select(
-            "ra", "rb", "cell", F.round(cosine, 6).alias("cosine")
+            "ra", "rb", "cell", F.round(cosine, 6).alias("cosine"),
+            "na", "nb",
         )
+        # zero-norm guard (see embedding_near_dups): 0/0 = NaN and both
+        # engines order NaN above the threshold — exclude explicitly
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .filter(F.col("cosine") >= threshold)
+        .select("ra", "rb", "cell", "cosine")
     )
     # expansion 1: each surviving representative pair → all (member of
     # a-group) × (member of b-group) id pairs, the attached cosine
@@ -919,6 +934,8 @@ def semantic_dedup_pairs(
     )
     within = (
         grp.filter(F.size("members") > 1)
+        # zero-norm guard (see embedding_near_dups)
+        .filter(F.col("norm") > 0)
         .select("cell", "members", self_cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("cell", "cosine", F.explode("members").alias("i"), "members")

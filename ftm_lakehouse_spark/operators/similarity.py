@@ -135,9 +135,20 @@ def knn_join(
                 # report the sequential-fold cosine for the candidates
                 num = np.cumsum(cmat[cand] * qm[j], axis=1)[:, -1]
                 den = np.maximum(cseq[cand] * qs[j], 1e-12)
+                seq = num / den
+                if len(cand) > kk:
+                    # re-truncate batch-locally to k under the FINAL
+                    # order (round(seq,6) desc, neighbor_id asc): the
+                    # same exact-cut argument holds in the sequential
+                    # domain, and it bounds output to k rows per query
+                    # per batch — without it, quantized/duplicated
+                    # corpora push whole copy-cliques of near-ties into
+                    # the 1e-5 band and balloon the shuffle
+                    keep = np.lexsort((nids[cand], -np.round(seq, 6)))[:kk]
+                    cand, seq = cand[keep], seq[keep]
                 out_q.append(np.full(len(cand), ids[j]))
                 out_n.append(nids[cand])
-                out_c.append(num / den)
+                out_c.append(seq)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -250,9 +261,15 @@ def knn_join_blocked(
                 cand = np.arange(len(col))
             num = np.cumsum(cmat[cand] * qmat[j], axis=1)[:, -1]
             den = np.maximum(cseq[cand] * qseq[j], 1e-12)
+            seq = num / den
+            if len(cand) > kk:
+                # batch-local top-k under the final order — bounds each
+                # cell's output to k rows per query (see knn_join)
+                keep = np.lexsort((nids[cand], -np.round(seq, 6)))[:kk]
+                cand, seq = cand[keep], seq[keep]
             out_q.append(np.full(len(cand), qids[j]))
             out_n.append(nids[cand])
-            out_c.append(num / den)
+            out_c.append(seq)
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),

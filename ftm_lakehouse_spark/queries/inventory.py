@@ -54,10 +54,10 @@ def _register(name: str, oracle: str | None):
 #: variants whose mechanics a window occupant already grades (IVF-PQ
 #: composes sim_ivf_topk + sim_pq_adc_topk; f_scan/point/like cover
 #: IN/NULL pushdown; dedup_embedding_cosine's pigeonhole math is
-#: graded via sim_ann_lsh) or the one remaining rows-only check
-#: (x_approx_stats; text_bpe_merges became full-oracle in round 4 via
-#: the unrolled-iteration trick) — still verified by
-#: tools/check_parity.py and pytest, just not burning a graded slot.
+#: graded via sim_ann_lsh) — still verified by tools/check_parity.py
+#: and pytest, just not burning a graded slot. Since round 5 ALL 132
+#: gates are full-oracle (x_approx_stats was the last rows-only gate,
+#: retired via the portable KMV + deterministic-sample construction).
 GRADE_ORDER = [
     "pipeline_pretrain_corpus",
     "q1_pricing_summary",
@@ -1840,7 +1840,11 @@ def _embedding_cosine_oracle(
     SELECT l.vec_id AS a, r.vec_id AS b, {cos} AS cosine
     FROM sig l JOIN sig r
       ON l.vec_id < r.vec_id AND ({share_chunk})
-    WHERE {cos} >= {threshold}
+    -- zero-norm guard: 0/0 = NaN, which DuckDB (and Spark) order above
+    -- every number, so the threshold alone would include
+    -- undefined-cosine pairs; the engine excludes them explicitly
+    WHERE list_dot_product(l.v, l.v) > 0 AND list_dot_product(r.v, r.v) > 0
+      AND {cos} >= {threshold}
     """
 
 
@@ -3525,11 +3529,21 @@ def _bpe_encode_oracle(num_merges: int = 12) -> str:
     FROM (SELECT DISTINCT word FROM ew)
 )""")
     for r in range(num_merges):
+        # b{r} has AT MOST one row; when BPE stops early (no pair with
+        # count >= 2) it is EMPTY. Scalar subqueries then yield NULL,
+        # the replace() yields NULL, and COALESCE falls back to the
+        # unmodified segmentation — an empty round is a no-op rewrite,
+        # matching the engine side (bpe_train breaks out of the loop
+        # and bpe_segment_words applies the shorter merge list). A
+        # cross join `FROM ev{r}, b{r}` would instead empty every
+        # later stage and return zero rows.
         parts.append(f"""ev{r + 1} AS MATERIALIZED (
-    SELECT v.word, replace(v.w,
-                   '⟨' || b."left" || '⟩⟨' || b."right" || '⟩',
-                   '⟨' || b."left" || b."right" || '⟩') AS w
-    FROM ev{r} v, b{r} b
+    SELECT v.word, COALESCE(replace(v.w,
+                   '⟨' || (SELECT "left" FROM b{r}) || '⟩⟨'
+                       || (SELECT "right" FROM b{r}) || '⟩',
+                   '⟨' || (SELECT "left" || "right" FROM b{r}) || '⟩'),
+               v.w) AS w
+    FROM ev{r} v
 )""")
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT e.doc_id,
@@ -4403,7 +4417,10 @@ def _semantic_dedup_oracle(
     )
     SELECT l.vec_id AS a, r.vec_id AS b, l.cell AS cell, {cos} AS cosine
     FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
-    WHERE {cos} >= {threshold}
+    -- zero-norm guard: NaN cosines order above the threshold in both
+    -- engines; the engine excludes zero vectors explicitly
+    WHERE list_dot_product(l.v, l.v) > 0 AND list_dot_product(r.v, r.v) > 0
+      AND {cos} >= {threshold}
     """
 
 
@@ -4449,7 +4466,11 @@ def _embedding_curation_oracle(
     ), dups AS (
         SELECT DISTINCT r.vec_id AS vec_id
         FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id
-        WHERE {cos} >= {threshold}
+        -- zero-norm guard: NaN cosines order above the threshold in
+        -- both engines; the engine excludes zero vectors explicitly
+        WHERE list_dot_product(l.v, l.v) > 0
+          AND list_dot_product(r.v, r.v) > 0
+          AND {cos} >= {threshold}
     ), kept AS (
         SELECT * FROM a WHERE vec_id NOT IN (SELECT vec_id FROM dups)
     ), s AS (
@@ -5599,8 +5620,9 @@ def x_kmv_distinct(spark, sf_dir):
     exactly double-representable) and the estimator
     (k-1)·2^52 / h_k is a division of exactly-representable ints,
     the sketch AND its estimate are bit-identical on any engine —
-    unlike HLL (x_approx_stats stays rows-only because engines'
-    HLL internals legitimately differ). Emits the exact distinct
+    unlike HLL, whose register internals legitimately differ across
+    engines (which is why x_approx_stats swapped HLL for this same
+    KMV construction in round 5). Emits the exact distinct
     count alongside, so the gate also GRADES the estimator's error.
 
     Scale shape: Spark computes the k-minima in two phases — per

@@ -625,3 +625,53 @@ def test_knn_join_blocked_never_collects_queries(spark):
     assert plan.count("Scan parquet") == 2
     assert "LocalTableScan" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_zero_vector_pairs_excluded_everywhere(spark):
+    """A zero vector's cosine is 0/0 = NaN, and BOTH Spark and DuckDB
+    order NaN above any numeric threshold — without an explicit
+    zero-norm guard every zero-vector pair would be silently included
+    by the engine AND the static oracles (while the staged oracles
+    exclude them), letting NaN-comparison semantics decide parity.
+    Round-7 ADVICE fix: the guard is pinned on all three layers."""
+    import duckdb
+    import pandas as pd
+
+    from ftm_lakehouse_spark.operators.dedupe import (
+        embedding_near_dups,
+        semantic_dedup_pairs,
+    )
+    from ftm_lakehouse_spark.queries.inventory import (
+        _embedding_cosine_oracle,
+        _ivf_centroids,
+        _semantic_dedup_oracle,
+    )
+
+    dim = 64
+    v1 = [0.0] * dim
+    v1[0] = 1.0
+    v2 = [0.0] * dim
+    v2[0] = 1.0
+    v2[1] = 0.01
+    rows = [(1, v1), (2, v2), (3, [0.0] * dim), (4, [0.0] * dim)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_near_dups(e, threshold=0.4, dim=dim).collect()
+    ids = {i for r in pairs for i in (r["a"], r["b"])}
+    assert 3 not in ids and 4 not in ids  # incl. the exact-dup within branch
+    assert any((r["a"], r["b"]) == (1, 2) for r in pairs)
+
+    sem = semantic_dedup_pairs(e, _ivf_centroids(), threshold=0.4).collect()
+    sids = {i for r in sem for i in (r["a"], r["b"])}
+    assert 3 not in sids and 4 not in sids
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    )
+    con.register("embeddings", pdf)
+    got = con.execute(_embedding_cosine_oracle(threshold=0.4)).fetchdf()
+    assert not (set(got["a"]) | set(got["b"])) & {3, 4}
+    assert (1, 2) in set(zip(got["a"], got["b"]))
+    got2 = con.execute(_semantic_dedup_oracle(0.4)).fetchdf()
+    assert not (set(got2["a"]) | set(got2["b"])) & {3, 4}

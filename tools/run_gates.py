@@ -50,6 +50,7 @@ def main() -> None:
     qmap = query_map()
     qmap["q1_pricing_summary"](spark, sf_dir).limit(1).collect()  # warmup
     total = 0.0
+    failed: list[str] = []
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -58,8 +59,12 @@ def main() -> None:
             total += dt
             print(f"{dt:9.2f}s  {name}", flush=True)
         except Exception as e:  # keep sweeping; report the failure loudly
+            failed.append(name)
             print(f"   FAILED  {name}: {type(e).__name__}: {e}", flush=True)
-    print(f"{total:9.2f}s  TOTAL ({len(names)} gates)", flush=True)
+    tail = f", {len(failed)} FAILED" if failed else ""
+    print(f"{total:9.2f}s  TOTAL ({len(names) - len(failed)} gates{tail})", flush=True)
+    if failed:  # sweep automation must see a non-zero exit for any broken gate
+        sys.exit(1)
 
 
 if __name__ == "__main__":
