@@ -44,43 +44,38 @@ def _register(name: str, oracle: str | None):
 
 
 #: The correctness driver grades the FIRST 50 entries of query_map()
-#: against the DuckDB oracle — order carries evidence. This window is
-#: curated: the capstones (the three pipelines, TPC-H Q5, IVF-PQ,
-#: winnowing, sequence packing, parent chains, pack codec) plus at
-#: least one gate per SURVEY §2 family AND per added family (iterative
-#: graph, oracle-verified approx-distinct, outer-join semantics,
-#: the multimodal binary-column path),
-#: every one full-oracle. Gates past position 50 are same-family
-#: variants whose mechanics a window occupant already grades (IVF-PQ
-#: composes sim_ivf_topk + sim_pq_adc_topk; f_scan/point/like cover
-#: IN/NULL pushdown; dedup_embedding_cosine's pigeonhole math is
-#: graded via sim_ann_lsh) — still verified by tools/check_parity.py
-#: and pytest, just not burning a graded slot. Since round 5 ALL 132
-#: gates are full-oracle (x_approx_stats was the last rows-only gate,
-#: retired via the portable KMV + deterministic-sample construction).
+#: against the DuckDB oracle — order carries evidence. The window is
+#: curated per round: the active capstones (the four pipelines, TPC-H
+#: Q5, winnowing, sequence packing, parent chains + pagerank, pack
+#: codec, blocked k-NN) plus at least one gate per SURVEY §2 family
+#: AND per added family, every one full-oracle. Gates past position 50
+#: are same-family variants whose mechanics a window occupant already
+#: grades OR multi-round-stable veterans rotated out to let
+#: never-graded gates earn driver evidence — all of them still
+#: verified every round by tools/check_parity.py (132/132) and pytest.
+#: Since round 5 ALL 132 gates are full-oracle (x_approx_stats was the
+#: last rows-only gate, retired via the portable KMV +
+#: deterministic-sample construction).
 GRADE_ORDER = [
+    # ---- round-7 rotation (VERDICT r6 item 1): evidence-rotation.
+    # 20 gates that had never occupied a driver-graded slot (only
+    # check_parity + pytest evidence) now earn CORRECTNESS rows; 20
+    # multi-round-stable veterans cede their slots (each stayed green
+    # across >= 2 driver rounds and remains parity-verified every
+    # round by tools/check_parity.py). Every SURVEY §2 family and
+    # every added family keeps >= 1 anchor in the window; the window
+    # contract is unchanged: first 50 of query_map(), all full-oracle.
+    #
+    # kept anchors (30) -------------------------------------------
     "pipeline_pretrain_corpus",
-    "q1_pricing_summary",
     "q5_local_supplier_volume",
-    "f_scan_filter_project",
     "f_point_lookup",
     "f_timestamp_range",
     "f_property_semi_join",
-    # f_like_prefix ceded its slot to pipeline_zorder_scan (round 6):
-    # prefix pushdown stays parity-verified and f_point_lookup grades
-    # the same id-pushdown shape; the z-order capstone composes
-    # clustered rewrite + stats-pruned scan under one oracle
     "pipeline_zorder_scan",
     "j_semi_join_changed",
-    "j_anti_join_deleted",
     "j_multiway_star",
     "j_correlated_threshold",
-    "a_merge_dedupe_latest",
-    "a_supersession_ties",
-    # a_first_seen_fold ceded its slot to pipeline_ftm_e2e (round-3
-    # VERDICT item 1): ftm_canonicalize already grades the same
-    # fold-before-filter window, and the e2e capstone composes it with
-    # explode/append/assembly under one oracle
     "pipeline_ftm_e2e",
     "a_entity_assembly",
     "a_stats_facets",
@@ -88,50 +83,52 @@ GRADE_ORDER = [
     "graph_parent_chain",
     "c_shard_assignment",
     "c_statement_id",
-    "c_checksum_fold",
     "c_pack_codec",
-    "w_running_total",
-    "pipeline_chunk_pack",
-    "w_sessionize",
     "o_entity_slice",
     "i_matview_refresh",
-    # u_union_branches ceded its slot to pipeline_streaming_ingest
-    # (round 6): the set-ops family stays parity-verified
-    # (u_intersect_except / u_except_ids) and unionByName is exercised
-    # inside every merge-branch gate; the streaming capstone grades
-    # micro-batch ingest → watermarked dedup → merge → incremental
-    # refresh under one batch-boundary-independent oracle
     "pipeline_streaming_ingest",
-    "i_canonical_since",
     "x_asof_join",
-    "x_range_join",
-    "j_interval_attribution",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
     "dedup_winnow_substrings",
-    "mm_image_roundtrip",
-    # sim_cosine_topk ceded its slot to sim_knn_blocked (round 6): the
-    # sequential-fold cosine stays parity-verified and is the distance
-    # kernel inside both knn gates; the blocked variant grades the
-    # exact k-NN path that scales past the broadcast ceiling
     "sim_knn_blocked",
-    "sim_knn_join",
     "sim_ann_lsh",
-    "sim_ivfpq_topk",
     "graph_pagerank",
-    "x_kmv_distinct",
-    # q13_customer_distribution ceded its slot to text_bpe_encode
-    # (round 6): the TPC-H family keeps q1+q5 in the window (q13 stays
-    # parity-verified); the encode gate grades BOTH tokenizer halves —
-    # it trains the merge table (bpe_train) and applies it to the
-    # held-out corpus under one oracle
     "text_bpe_encode",
-    "text_lang_id",
     "text_quality_score",
-    "pipeline_embedding_curation",
-    "sample_temperature_mix",
     "sample_pack_sequences",
+    # rotated IN: never driver-graded before round 7 (20) ---------
+    # window-frame family (w_running_total / w_sessionize ceded):
+    "w_range_frame",
+    "w_percent_rank",
+    "w_first_last_value",
+    "w_lag_lead",
+    # pivot family (distinct Expand/aggregate mechanics):
+    "x_pivot_wide",
+    "x_unpivot_long",
+    "a_grouping_sets",
+    # standalone ANN stages (sim_ivfpq_topk ceded — it composes both;
+    # now each half is graded on its own):
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    # sketch family (x_kmv_distinct ceded — x_approx_stats embeds the
+    # same KMV construction plus deterministic-sample percentiles, so
+    # one slot now grades strictly more):
+    "x_approx_stats",
+    "x_countmin_sketch",
+    "x_bloom_filter",
+    "x_histogram",
+    # TPC-H rotation (q1 ceded after 4 green rounds; q5 stays):
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    # outer-join semantics — the family the window docstring always
+    # claimed; now it actually holds a slot:
+    "j_full_outer_nations",
+    # training-data families rotation:
+    "dedup_semantic",
+    "sample_stratified",
+    "text_benchmark_overlap",
+    "mm_audio_roundtrip",
 ]
 
 
