@@ -15,12 +15,20 @@ storage/parquet.py:326-475); here it is an explicit, idempotent
 publish step (the moral equivalent of ``CONVERT TO DELTA`` run
 against a consistent snapshot).
 
-Scale: the export writes one JSON line per live file — O(files), no
-data movement, no scan. Re-export after maintenance overwrites the
-version-0 log with the new snapshot (external readers see each
-publish as a fresh table; incremental Delta version mirroring would
-require writing one Delta commit per store commit, a straightforward
-extension recorded in SCALE.md).
+Scale: the FIRST export writes one JSON line per live file — O(files),
+no data movement, no scan. Every subsequent export is INCREMENTAL
+(round-6 VERDICT item 4): it appends Delta version N+1 containing only
+the ``add``/``remove`` delta since the last export — derived by
+folding the store's commit records after the recorded ``sourceVersion``
+cursor (the same ordered add-then-discard algebra as
+``CommitLog.snapshot``/``files_since``) — so consumers polling the log
+see one stable table id with a growing history, and each publish costs
+O(changes), not O(files). Every ``checkpoint_interval`` versions the
+exporter also writes a classic single-file parquet checkpoint plus the
+``_last_checkpoint`` pointer, so ANY reader's log replay (including
+:func:`read_delta_snapshot`, delta-spark, delta-rs) stays
+O(interval + files) regardless of how many versions have been
+published.
 """
 
 from __future__ import annotations
@@ -61,61 +69,260 @@ def _partition_values(rel_file: str) -> dict[str, str | None]:
     return vals
 
 
-def export_delta_log(store, now_ms: int | None = None) -> str:
-    """Write ``<data>/_delta_log/00000000000000000000.json`` for the
-    store's current snapshot; returns the log file path. Idempotent:
-    re-running replaces the log with the current snapshot."""
+#: write a parquet checkpoint + ``_last_checkpoint`` whenever the
+#: published Delta version is a multiple of this (Delta's own default
+#: cadence) — bounds every reader's JSON replay to O(interval)
+CHECKPOINT_INTERVAL = 10
+
+
+def _log_state(fs, log_dir) -> tuple[int, int, set[str]] | None:
+    """(head delta version, source store version at head, live paths at
+    head) replayed from the exported log itself — newest checkpoint at
+    or before head, then the JSON tail. Returns None when no log has
+    been exported yet. O(interval + files), never O(versions)."""
+    import re
+
+    if not fs.isdir(log_dir):
+        return None
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, str] = {}
+    for name in fs.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.json", name)
+        if m:
+            commits[int(m.group(1))] = fs.join(log_dir, name)
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
+        if m:
+            checkpoints[int(m.group(1))] = fs.join(log_dir, name)
+    if not commits:
+        return None
+    head = max(commits)
+    live: dict[str, None] = {}
+    start = 0
+    cp_versions = [v for v in checkpoints if v <= head]
+    if cp_versions:
+        import io
+
+        import pyarrow.parquet as pq
+
+        cp = max(cp_versions)
+        tbl = pq.read_table(
+            io.BytesIO(fs.read_bytes(checkpoints[cp])), columns=["add"]
+        )
+        for a in tbl.column("add").to_pylist():
+            if a and a.get("path"):
+                live[a["path"]] = None
+        start = cp + 1
+    source_version = 0
+    for v in sorted(v for v in commits if start <= v <= head):
+        for line in fs.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = None
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "commitInfo" in action:
+                source_version = int(
+                    action["commitInfo"]
+                    .get("operationParameters", {})
+                    .get("sourceVersion", source_version)
+                )
+    return head, source_version, set(live)
+
+
+def _metadata_action(store, now_ms: int) -> dict:
+    # deterministic table id: stable across re-exports of one store
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"ftm-lakehouse-spark:{store.path}"))
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": STATEMENT_SCHEMA.json(),
+            "partitionColumns": _PARTITION_COLUMNS,
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+    }
+
+
+def _add_action(fs, data: str, rel: str, now_ms: int) -> dict:
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": _partition_values(rel),
+            "size": fs.filesize(fs.join(data, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+    }
+
+
+def _write_checkpoint(store, fs, log_dir, version: int, live: set[str], now_ms: int):
+    """Classic single-file parquet checkpoint (PROTOCOL.md
+    "Checkpoints"): one row per action — protocol, metaData, and one
+    ``add`` per live file — plus the ``_last_checkpoint`` pointer.
+    Written with pyarrow driver-side (O(files) rows of metadata, no
+    Spark job); the nested columns mirror the JSON action shapes, which
+    is exactly what :func:`read_delta_snapshot` (and any Delta reader)
+    replays."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = store._data_path()
+    meta = _metadata_action(store, now_ms)["metaData"]
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (
+        1 + len(live)
+    )
+    rows_meta = [None] + [
+        {
+            "id": meta["id"],
+            "format": {"provider": "parquet"},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta["partitionColumns"],
+            "createdTime": meta["createdTime"],
+        }
+    ] + [None] * len(live)
+    rows_add = [None, None] + [
+        {
+            "path": rel,
+            "partitionValues": list(_partition_values(rel).items()),
+            "size": fs.filesize(fs.join(data, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        for rel in sorted(live)
+    ]
+    tbl = pa.table(
+        {
+            "protocol": pa.array(rows_proto, type=proto_t),
+            "metaData": pa.array(rows_meta, type=meta_t),
+            "add": pa.array(rows_add, type=add_t),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    fs.write_bytes_atomic(
+        fs.join(log_dir, f"{version:020d}.checkpoint.parquet"), buf.getvalue()
+    )
+    fs.write_text_atomic(
+        fs.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": tbl.num_rows}) + "\n",
+    )
+
+
+def export_delta_log(
+    store,
+    now_ms: int | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> str:
+    """Publish the store's current snapshot into the table's
+    ``_delta_log``; returns the written commit file path.
+
+    First call writes version 0 with the full live file set. Each
+    later call appends version N+1 carrying only ``add``/``remove``
+    actions for what changed since the previous export — the delta is
+    derived by folding the store's commit records after the previous
+    export's ``sourceVersion`` cursor over the previously-published
+    live set (identical algebra to ``CommitLog.snapshot``; restores
+    and rewrites fold correctly because liveness is decided by ordered
+    replay). Idempotent: exporting twice at the same store version
+    returns the existing head without writing. Every
+    ``checkpoint_interval`` versions a parquet checkpoint +
+    ``_last_checkpoint`` is written (see :func:`_write_checkpoint`).
+    """
     fs = store._fs
     data = store._data_path()
-    files = store.commits.snapshot()
     if now_ms is None:
         import time as _time
 
         now_ms = int(_time.time() * 1000)
 
-    # deterministic table id: stable across re-exports of one store
-    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"ftm-lakehouse-spark:{store.path}"))
-    actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": table_id,
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": STATEMENT_SCHEMA.json(),
-                "partitionColumns": _PARTITION_COLUMNS,
-                "configuration": {},
-                "createdTime": now_ms,
-            }
-        },
-    ]
-    for rel in sorted(files):
-        actions.append(
+    log_dir = fs.join(data, DELTA_LOG_DIR)
+    state = _log_state(fs, log_dir)
+    source_now = store.commits.current_version()
+
+    if state is None:
+        live = set(store.commits.snapshot())
+        version = 0
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _metadata_action(store, now_ms),
+        ]
+        actions += [_add_action(fs, data, rel, now_ms) for rel in sorted(live)]
+        operation = "CONVERT"
+    else:
+        version, prev_source, prev_live = state
+        if source_now == prev_source:
+            return fs.join(log_dir, f"{version:020d}.json")  # no-op re-export
+        if prev_source + 1 >= store.commits.oldest_version():
+            folded: dict[str, None] = dict.fromkeys(sorted(prev_live))
+            for rec in store.commits.read(since=prev_source):
+                for f in rec["files_added"]:
+                    folded[f] = None
+                for f in rec.get("files_removed", ()):
+                    folded.pop(f, None)
+            live = set(folded)
+        else:
+            # the store's log cleanup removed records past the cursor —
+            # fall back to a full current-snapshot state diff (still
+            # published as ONE incremental Delta version)
+            live = set(store.commits.snapshot())
+        version += 1
+        actions = [
+            _add_action(fs, data, rel, now_ms)
+            for rel in sorted(live - prev_live)
+        ]
+        actions += [
             {
-                "add": {
+                "remove": {
                     "path": rel,
-                    "partitionValues": _partition_values(rel),
-                    "size": fs.filesize(fs.join(data, rel)),
-                    "modificationTime": now_ms,
+                    "deletionTimestamp": now_ms,
                     "dataChange": True,
                 }
             }
-        )
+            for rel in sorted(prev_live - live)
+        ]
+        operation = "WRITE"
+
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "CONVERT",
-                "operationParameters": {
-                    "sourceVersion": str(store.commits.current_version())
-                },
+                "operation": operation,
+                "operationParameters": {"sourceVersion": str(source_now)},
                 "engineInfo": "ftm-lakehouse-spark",
             }
         }
     )
-    log_dir = fs.join(data, DELTA_LOG_DIR)
     fs.mkdirs(log_dir)
-    log_path = fs.join(log_dir, f"{0:020d}.json")
+    log_path = fs.join(log_dir, f"{version:020d}.json")
     fs.write_text_atomic(log_path, "\n".join(json.dumps(a) for a in actions) + "\n")
+    if version > 0 and checkpoint_interval > 0 and version % checkpoint_interval == 0:
+        _write_checkpoint(store, fs, log_dir, version, live, now_ms)
     return log_path
 
 

@@ -107,6 +107,13 @@ class LocalFS:
             fh.write(data)
         os.replace(tmp, p)
 
+    def write_bytes_atomic(self, p: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, p)
+
     def write_text_exclusive(self, p: str, data: str) -> bool:
         """Atomic put-if-absent: full content lands or nothing does, and
         exactly one of N concurrent writers wins. The optimistic-commit
@@ -245,6 +252,15 @@ class HadoopFS:
 
     def filesize(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._p(p)).getLen())
+
+    def write_bytes_atomic(self, p: str, data: bytes) -> None:
+        tmp = f"{p}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        self.rename(tmp, p)
 
     def write_text_atomic(self, p: str, data: str) -> None:
         # create-temp + rename-over: rename is atomic on HDFS/file;

@@ -38,13 +38,22 @@ def test_delta_log_export_is_a_readable_delta_snapshot(spark, lake_root):
     paths = [store._fs.join(data, a["path"]) for a in adds]
     df = spark.read.schema(STATEMENT_SCHEMA).parquet(*paths)
     assert df.count() == store.raw().count()
-    # idempotent re-export after maintenance reflects the new snapshot
+    # re-export after more writes is INCREMENTAL: version 0 is
+    # immutable history; version 1 carries only the add delta (no
+    # repeated protocol/metaData), and replaying 0..1 gives the
+    # current snapshot
     ds.write_entities(entities_df(spark, JANE), origin="bulk2")
-    export_delta_log(store)
-    lines2 = [json.loads(l) for l in open(log_path) if l.strip()]
-    adds2 = [l["add"]["path"] for l in lines2 if "add" in l]
-    assert sorted(adds2) == sorted(store.commits.snapshot())
-    assert len(adds2) > len(adds)
+    p1 = export_delta_log(store)
+    assert p1.endswith(f"{1:020d}.json")
+    assert [json.loads(l) for l in open(log_path) if l.strip()] == lines
+    lines1 = [json.loads(l) for l in open(p1) if l.strip()]
+    adds1 = [l["add"]["path"] for l in lines1 if "add" in l]
+    assert adds1 and not any("metaData" in l or "protocol" in l for l in lines1)
+    assert sorted({a["path"] for a in adds} | set(adds1)) == sorted(
+        store.commits.snapshot()
+    )
+    # idempotent: same store version → no new Delta version
+    assert export_delta_log(store) == p1
     # and vacuum never reaps the published log (non-parquet is invisible
     # to the untracked sweep)
     store.vacuum(retention_hours=0.0)
@@ -470,3 +479,86 @@ def test_read_column_mapped_nested_struct_and_array(spark, tmp_path):
     assert by_id[1]["st"]["inner"] == 5
     assert by_id[1]["ar"][0]["inner"] == 7
     assert by_id[2]["st"] is None and by_id[2]["ar"] == []
+
+
+def test_incremental_export_checkpoints_and_version_time_travel(
+    spark, lake_root
+):
+    """Round-6 VERDICT item 4: successive exports publish Delta
+    versions 0..K with add/remove deltas, a parquet checkpoint +
+    _last_checkpoint every N versions, and a foreign reader
+    (read_delta_snapshot replays only the PUBLIC log format) matches
+    raw(as_of=<store version at that export>) at EVERY version — with
+    the checkpoint proven load-bearing by deleting the JSON commits it
+    covers."""
+    import os
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.sources.delta_export import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+        read_delta_snapshot,
+    )
+    from tests.test_lakehouse import JANE, entities_df
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("deltainc")
+    store = ds.store
+
+    src_at: dict[int, int] = {}
+    ds.write_entities(entities_df(spark, JANE), origin="o0")
+    p = export_delta_log(store, checkpoint_interval=3)
+    assert p.endswith(f"{0:020d}.json")
+    src_at[0] = store.commits.current_version()
+    for i in range(1, 8):
+        ds.write_entities(entities_df(spark, JANE), origin=f"o{i}")
+        if i == 4:
+            ds.merge()  # rewrite → this export must publish removes
+        p = export_delta_log(store, checkpoint_interval=3)
+        assert p.endswith(f"{i:020d}.json"), p
+        src_at[i] = store.commits.current_version()
+
+    data = store._data_path()
+    log_dir = os.path.join(data, DELTA_LOG_DIR)
+    names = set(os.listdir(log_dir))
+    assert f"{3:020d}.checkpoint.parquet" in names
+    assert f"{6:020d}.checkpoint.parquet" in names
+    last = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())
+    assert last["version"] == 6 and last["size"] > 2
+
+    # the merge's export carries remove actions (and only deltas)
+    v4 = [json.loads(l) for l in open(os.path.join(log_dir, f"{4:020d}.json"))]
+    assert any("remove" in a for a in v4)
+    assert not any("metaData" in a for a in v4)
+
+    def fingerprint(df):
+        return sorted(
+            (r["entity_id"], r["prop"], r["value"], r["origin"])
+            for r in df.select("entity_id", "prop", "value", "origin").collect()
+        )
+
+    # foreign-read at EVERY published version == raw at the recorded
+    # store version (true version time travel through the public log)
+    for v, src in src_at.items():
+        got = read_delta_snapshot(spark, data, version=v)
+        want = store.raw(as_of=src)
+        assert fingerprint(got) == fingerprint(want), f"delta version {v}"
+
+    # checkpoint honored: drop every JSON commit the v6 checkpoint
+    # covers — replay of head (7) and of 6 must still succeed via the
+    # checkpoint, and match raw exactly
+    for v in range(0, 6):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    assert fingerprint(read_delta_snapshot(spark, data)) == fingerprint(
+        store.raw(as_of=src_at[7])
+    )
+    assert fingerprint(read_delta_snapshot(spark, data, version=6)) == fingerprint(
+        store.raw(as_of=src_at[6])
+    )
+
+    # a further export continues the version chain from the log state
+    # replayed THROUGH the checkpoint (no dependence on deleted JSONs)
+    ds.write_entities(entities_df(spark, JANE), origin="o8")
+    p8 = export_delta_log(store, checkpoint_interval=3)
+    assert p8.endswith(f"{8:020d}.json")
+    assert fingerprint(read_delta_snapshot(spark, data)) == fingerprint(store.raw())
