@@ -209,6 +209,16 @@ class CommitLog:
             try:
                 if self._fs.exists(path):
                     return False  # lost the version race cleanly
+                if getattr(self._fs, "atomic_put_if_absent", True):
+                    # belt and braces: the lock provides liveness
+                    # (ordering, no wasted version races), but when the
+                    # STORE also has an atomic create, let IT provide
+                    # safety — a faulty lock service (duplicate grant,
+                    # lease revoked mid-commit) then cannot tear the
+                    # log: exactly one racer's link/rename lands, the
+                    # other cleanly loses (tests/test_commit_locking
+                    # ChaosLockClient storm)
+                    return self._fs.write_text_exclusive(path, payload)
                 self._fs.write_text_atomic(path, payload)
                 # read-back fence INSIDE the lock too: the lock can be
                 # operator-broken (Dataset.unlock) or lease-expired

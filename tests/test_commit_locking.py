@@ -197,3 +197,121 @@ def test_lock_branch_fences_against_broken_lock_overwrite(tmp_path):
     fs.write_text_atomic = sabotage
     with pytest.raises(CommitConflict):
         log.commit("append", [("s",)], files_added=["a.parquet"])
+
+
+class ChaosLockClient(FileLockClient.__bases__[0]):
+    """Fault-injecting lock service (round-6 VERDICT item 5): models a
+    split-brain / lease-expiring external lock so the commit path's
+    safety can be tested under a BROKEN mutual-exclusion provider.
+
+    Deterministic schedule by acquire counter:
+      * every ``dup_every``-th acquire is granted WITHOUT holding the
+        mutex (duplicate grant — a split-brain lock service or a
+        wrongly-broken lease);
+      * every ``lose_every``-th acquire is revoked immediately after
+        being granted (the mutex is released behind the holder's back
+        — lease expiry mid-commit), so the next acquirer proceeds
+        while the 'holder' still believes it holds;
+      * release() of a duplicate/lost token is a no-op on the mutex
+        (the successor owns it after the takeover), and release() of a
+        healthy token frees it — so a stale holder can never free a
+        successor's lock.
+    """
+
+    def __init__(self, dup_every=0, lose_every=0):
+        import threading
+
+        self._sem = threading.Semaphore(1)
+        self._mu = threading.Lock()
+        self._n = 0
+        self.dup_every = dup_every
+        self.lose_every = lose_every
+
+    def acquire(self, key):
+        with self._mu:
+            self._n += 1
+            n = self._n
+        if self.dup_every and n % self.dup_every == 0:
+            return f"dup-{n}"  # granted while another writer holds
+        self._sem.acquire()
+        if self.lose_every and n % self.lose_every == 0:
+            self._sem.release()  # lease revoked behind the holder's back
+            return f"lost-{n}"
+        return f"tok-{n}"
+
+    def release(self, key, token):
+        if token.startswith("tok-"):
+            self._sem.release()
+
+
+def test_chaos_lock_takeover_release_is_a_noop(tmp_path):
+    """Stale-lock takeover: a holder whose lease was revoked must not
+    be able to free the SUCCESSOR's lock on release — otherwise the
+    takeover chain re-opens the split-brain it just closed."""
+    chaos = ChaosLockClient(lose_every=1)  # every grant is revoked
+    t1 = chaos.acquire("k")  # lost token; mutex available again
+    assert t1.startswith("lost-")
+    chaos.lose_every = 0
+    t2 = chaos.acquire("k")  # successor takes over, healthy grant
+    assert t2.startswith("tok-")
+    chaos.release("k", t1)  # stale holder releases — must be a no-op
+    assert not chaos._sem.acquire(blocking=False)  # successor still holds
+    chaos.release("k", t2)
+    assert chaos._sem.acquire(blocking=False)  # now actually free
+    chaos._sem.release()
+
+
+def test_chaos_lock_storm_exactly_one_wins_no_torn_log(tmp_path):
+    """Two committers race 8 commits each through a lock service that
+    duplicates every 3rd grant and revokes every 5th lease, over a
+    store WITH atomic create (the belt-and-braces split: lock for
+    liveness, store's put-if-absent for safety). Invariants that must
+    hold under ANY interleaving: contiguous versions, every version
+    file a complete record from exactly one writer (no torn bytes),
+    every logical commit lands exactly once, snapshot == union of
+    winners' files."""
+    fs = LocalFS()
+    root = str(tmp_path / "chaoslog")
+    fs.mkdirs(root)
+    chaos = ChaosLockClient(dup_every=3, lose_every=5)
+    log_a = CommitLog(fs, root, lock_client=chaos)
+    log_b = CommitLog(fs, root, lock_client=chaos)
+
+    wins: dict[str, list[int]] = {"a": [], "b": []}
+
+    def writer(log, tag):
+        for i in range(8):
+            for _ in range(20):  # app-level retry on detected conflicts
+                try:
+                    v = log.commit(
+                        "append", [("s",)], files_added=[f"{tag}{i}.parquet"]
+                    )
+                    wins[tag].append(v)
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                raise AssertionError(f"{tag}{i} never committed")
+
+    t1 = threading.Thread(target=writer, args=(log_a, "a"))
+    t2 = threading.Thread(target=writer, args=(log_b, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    head = log_a.current_version()
+    assert head == 16  # every commit a distinct version, none skipped
+    recs = [json.loads(fs.read_text(log_a._path(v))) for v in range(1, head + 1)]
+    # no torn log: every version file is one writer's complete record,
+    # its embedded version matching its file name
+    for v, rec in zip(range(1, head + 1), recs):
+        assert rec["version"] == v
+        assert rec["writer"] in {log_a._writer, log_b._writer}
+    # exactly-once: each logical commit appears exactly once in the log
+    files = [f for rec in recs for f in rec["files_added"]]
+    assert sorted(files) == sorted(
+        [f"a{i}.parquet" for i in range(8)] + [f"b{i}.parquet" for i in range(8)]
+    )
+    assert set(log_a.snapshot()) == set(files)
+    # and each writer's reported win versions match the log's attribution
+    for tag, log in (("a", log_a), ("b", log_b)):
+        for v in wins[tag]:
+            assert json.loads(fs.read_text(log._path(v)))["writer"] == log._writer
