@@ -1,0 +1,109 @@
+"""Row-LEVEL sampled verification for output-size-bound gates
+(round-6 VERDICT item 3).
+
+``dedup_simhash`` at sf10 emits 4.28B pairs — no engine can hand that
+to pandas, so the sweeps verified it by five aggregate checksums. This
+tool strengthens that: BOTH engines materialize only the deterministic
+pair sample ``md5_52('smp:' || a || ':' || b) % mod == 0`` (the
+portable md5→52-bit map every other cross-engine hash in this repo
+uses — bit-identical in Spark's ``conv(substring(md5(..),1,13),16,10)``
+and DuckDB's ``CAST('0x' || substring(md5(..),1,13) AS BIGINT)``) and
+the sample is compared with the same normalize + exact frame compare
+as tools/check_parity.py. The filter runs at the FINAL doc grain, so
+the sampled rows exercise the full value-expansion join path; at
+mod=10000 that is ~428k of the 4.28B sf10 pairs.
+
+The pattern is reusable for any future gate whose output outgrows
+pandas: register a staged oracle taking ``sample_mod`` and filter the
+Spark side with :func:`sample_predicate`.
+
+Usage: python tools/sampled_rowhash.py <sf_dir> [mod]  (default 10000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from check_parity import normalize
+from ftm_lakehouse_spark.queries.inventory import QUERIES
+from ftm_lakehouse_spark.session import get_spark
+from ftm_lakehouse_spark.sources.tables import TESTDATA_TABLES
+from staged_oracles import simhash_staged
+
+
+def sample_predicate(a_col, b_col, mod: int):
+    """The portable deterministic pair-sample predicate (Spark side)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("smp:"),
+                    F.col(a_col).cast("string"),
+                    F.lit(":"),
+                    F.col(b_col).cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % mod == 0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mod = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+
+    spark = get_spark("sampled-rowhash")
+    t0 = time.perf_counter()
+    full = QUERIES["dedup_simhash"][0](spark, sf_dir)
+    sdf = full.filter(sample_predicate("a", "b", mod)).toPandas()
+    ts = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('PARITY_DUCKDB_MEM', '48')}GB'")
+    con.execute("SET preserve_insertion_order=false")
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    t0 = time.perf_counter()
+    ddf = simhash_staged(con, sample_mod=mod)
+    td = time.perf_counter() - t0
+
+    a, b = normalize(sdf), normalize(ddf)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        print(
+            f"FAIL dedup_simhash sample: cols {list(a.columns)} vs "
+            f"{list(b.columns)}, rows {len(a)} vs {len(b)}"
+        )
+        return 1
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    except AssertionError as e:
+        print("FAIL dedup_simhash sample: values differ: "
+              + " | ".join(str(e).splitlines()[:4]))
+        return 1
+    print(
+        f"OK dedup_simhash sampled row-hash: {len(a)} sampled pairs "
+        f"(mod={mod}) match exactly [spark {ts:.1f}s, duckdb {td:.1f}s] "
+        f"at {sf_dir}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

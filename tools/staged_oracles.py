@@ -436,14 +436,24 @@ def ngram_jaccard_staged(con) -> pd.DataFrame:
     return out
 
 
-def simhash_staged(con) -> pd.DataFrame:
+def simhash_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     """dedup_simhash: the static oracle is a deliberate O(n²) hamming
     scan (valid because pigeonhole probing is exhaustive) — 125B pair
     evaluations at sf10. The 48-bit signature is a pure function of
     the text value, so the scan runs over distinct values (~|distinct|²
     / 2 pairs) and expands; same-value pairs have hamming exactly 0.
     Unlike the shingle gates EVERY doc participates (empty token sets
-    fold to signature 0), so the same-value expansion is unfiltered."""
+    fold to signature 0), so the same-value expansion is unfiltered.
+
+    ``sample_mod`` (round-6 VERDICT item 3): materialize only the
+    deterministic doc-pair sample ``md5_52('smp:a:b') % sample_mod ==
+    0`` — the portable md5→52-bit map both engines compute
+    bit-identically — so the output-size-bound sf10/sf100 outputs
+    (4.28B+ rows, unreachable by pandas in ANY engine) get row-LEVEL
+    verification on ~1/sample_mod of the pairs alongside the full
+    aggregate checksums. The filter applies at the FINAL doc grain
+    (after value expansion), so it exercises the same expansion joins
+    as the full output."""
     con.execute(
         "CREATE OR REPLACE TEMP TABLE sx_docs AS "
         "SELECT doc_id, md5(text) AS tv FROM documents"
@@ -483,8 +493,7 @@ def simhash_staged(con) -> pd.DataFrame:
         FROM sx_sig l JOIN sx_sig r ON l.tv < r.tv
         WHERE bit_count(xor(l.sh, r.sh)) <= 3"""
     )
-    out = con.execute(
-        """
+    body = """
         SELECT l.doc_id AS a, r.doc_id AS b, CAST(0 AS INT) AS hamming
         FROM sx_docs l JOIN sx_docs r ON l.tv = r.tv AND l.doc_id < r.doc_id
         UNION ALL
@@ -494,7 +503,14 @@ def simhash_staged(con) -> pd.DataFrame:
         JOIN sx_docs da ON da.tv = j.va
         JOIN sx_docs db ON db.tv = j.vb
         """
-    ).fetchdf()
+    if sample_mod:
+        body = f"""
+        SELECT * FROM ({body})
+        WHERE CAST(('0x' || substring(md5('smp:' || CAST(a AS VARCHAR)
+                                       || ':' || CAST(b AS VARCHAR)), 1, 13))
+                   AS BIGINT) % {int(sample_mod)} = 0
+        """
+    out = con.execute(body).fetchdf()
     for t in ("sx_docs", "sx_sig", "sx_vj"):
         con.execute(f"DROP TABLE {t}")
     return out
