@@ -446,14 +446,15 @@ def simhash_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     fold to signature 0), so the same-value expansion is unfiltered.
 
     ``sample_mod`` (round-6 VERDICT item 3): materialize only the
-    deterministic doc-pair sample ``md5_52('smp:a:b') % sample_mod ==
-    0`` — the portable md5→52-bit map both engines compute
-    bit-identically — so the output-size-bound sf10/sf100 outputs
-    (4.28B+ rows, unreachable by pandas in ANY engine) get row-LEVEL
-    verification on ~1/sample_mod of the pairs alongside the full
-    aggregate checksums. The filter applies at the FINAL doc grain
-    (after value expansion), so it exercises the same expansion joins
-    as the full output."""
+    deterministic doc-pair sample ``pair_hash(a, b) % sample_mod == 0``
+    (the integer LCG-mod-prime hash of tools/sampled_rowhash.py —
+    arithmetic-only because md5 string hashing per pair dominated the
+    4.28B-row run; exact int64 in both engines) so the
+    output-size-bound sf10/sf100 outputs (4.28B+ rows, unreachable by
+    pandas in ANY engine) get row-LEVEL verification on ~1/sample_mod
+    of the pairs alongside the full aggregate checksums. The filter
+    applies at the FINAL doc grain (after value expansion), so it
+    exercises the same expansion joins as the full output."""
     con.execute(
         "CREATE OR REPLACE TEMP TABLE sx_docs AS "
         "SELECT doc_id, md5(text) AS tv FROM documents"
@@ -506,9 +507,8 @@ def simhash_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     if sample_mod:
         body = f"""
         SELECT * FROM ({body})
-        WHERE CAST(('0x' || substring(md5('smp:' || CAST(a AS VARCHAR)
-                                       || ':' || CAST(b AS VARCHAR)), 1, 13))
-                   AS BIGINT) % {int(sample_mod)} = 0
+        WHERE ((a * 2654435761) % 999999937 * 31 + b) % 999999937
+              % {int(sample_mod)} = 0
         """
     out = con.execute(body).fetchdf()
     for t in ("sx_docs", "sx_sig", "sx_vj"):
