@@ -84,6 +84,15 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # sweep-time overrides without code changes, e.g.
+    # SPARK_GRAFT_CONF="spark.io.compression.codec=zstd" halves shuffle
+    # bytes on text-heavy gates when local disk is the binding
+    # constraint (the sf100 single-box sweeps; a cluster spreads
+    # shuffle across executors' disks instead)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip() and v.strip():
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

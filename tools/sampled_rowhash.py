@@ -45,7 +45,22 @@ from check_parity import normalize
 from ftm_lakehouse_spark.queries.inventory import QUERIES
 from ftm_lakehouse_spark.session import get_spark
 from ftm_lakehouse_spark.sources.tables import TESTDATA_TABLES
-from staged_oracles import simhash_staged
+from staged_oracles import (
+    embedding_cosine_staged,
+    minhash_staged,
+    ngram_jaccard_staged,
+    semantic_staged,
+    simhash_staged,
+)
+
+#: every pair-output gate whose staged oracle takes ``sample_mod``
+GATES = {
+    "dedup_simhash": simhash_staged,
+    "dedup_minhash_lsh": minhash_staged,
+    "dedup_ngram_jaccard": ngram_jaccard_staged,
+    "dedup_embedding_cosine": embedding_cosine_staged,
+    "dedup_semantic": semantic_staged,
+}
 
 
 _P = 999999937  # prime, coprime with every replica id span
@@ -64,13 +79,11 @@ def sample_predicate(a_col, b_col, mod: int):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mod = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    names = sys.argv[3:] or ["dedup_simhash"]
+    if names == ["--all"]:
+        names = list(GATES)
 
     spark = get_spark("sampled-rowhash")
-    t0 = time.perf_counter()
-    full = QUERIES["dedup_simhash"][0](spark, sf_dir)
-    sdf = full.filter(sample_predicate("a", "b", mod)).toPandas()
-    ts = time.perf_counter() - t0
-
     con = duckdb.connect()
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
@@ -80,29 +93,38 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    t0 = time.perf_counter()
-    ddf = simhash_staged(con, sample_mod=mod)
-    td = time.perf_counter() - t0
 
-    a, b = normalize(sdf), normalize(ddf)
-    if list(a.columns) != list(b.columns) or len(a) != len(b):
+    failed = []
+    for name in names:
+        t0 = time.perf_counter()
+        full = QUERIES[name][0](spark, sf_dir)
+        sdf = full.filter(sample_predicate("a", "b", mod)).toPandas()
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ddf = GATES[name](con, sample_mod=mod)
+        td = time.perf_counter() - t0
+
+        a, b = normalize(sdf), normalize(ddf)
+        if list(a.columns) != list(b.columns) or len(a) != len(b):
+            failed.append(name)
+            print(
+                f"FAIL {name} sample: cols {list(a.columns)} vs "
+                f"{list(b.columns)}, rows {len(a)} vs {len(b)}", flush=True
+            )
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        except AssertionError as e:
+            failed.append(name)
+            print(f"FAIL {name} sample: values differ: "
+                  + " | ".join(str(e).splitlines()[:4]), flush=True)
+            continue
         print(
-            f"FAIL dedup_simhash sample: cols {list(a.columns)} vs "
-            f"{list(b.columns)}, rows {len(a)} vs {len(b)}"
+            f"OK {name} sampled row-hash: {len(a)} sampled pairs "
+            f"(mod={mod}) match exactly [spark {ts:.1f}s, duckdb {td:.1f}s] "
+            f"at {sf_dir}", flush=True
         )
-        return 1
-    try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False)
-    except AssertionError as e:
-        print("FAIL dedup_simhash sample: values differ: "
-              + " | ".join(str(e).splitlines()[:4]))
-        return 1
-    print(
-        f"OK dedup_simhash sampled row-hash: {len(a)} sampled pairs "
-        f"(mod={mod}) match exactly [spark {ts:.1f}s, duckdb {td:.1f}s] "
-        f"at {sf_dir}"
-    )
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -220,6 +220,21 @@ def _minhash_value_tables(con, prefix: str = "mh") -> None:
     )
 
 
+def _maybe_sample(body: str, sample_mod: int | None) -> str:
+    """Wrap a final (a, b, ...) doc-grain select with the deterministic
+    integer pair-hash sample (tools/sampled_rowhash.py) so
+    output-size-bound scales materialize only ~1/sample_mod of the
+    pairs — row-LEVEL verification where fetchdf() of the full output
+    is impossible in any engine."""
+    if not sample_mod:
+        return body
+    return f"""
+    SELECT * FROM ({body})
+    WHERE ((a * 2654435761) % 999999937 * 31 + b) % 999999937
+          % {int(sample_mod)} = 0
+    """
+
+
 _MINHASH_EXPAND = """
     SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
     FROM {p}_docs l JOIN {p}_docs r
@@ -234,9 +249,11 @@ _MINHASH_EXPAND = """
 """
 
 
-def minhash_staged(con) -> pd.DataFrame:
+def minhash_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     _minhash_value_tables(con, "mh")
-    out = con.execute(_MINHASH_EXPAND.format(p="mh")).fetchdf()
+    out = con.execute(
+        _maybe_sample(_MINHASH_EXPAND.format(p="mh"), sample_mod)
+    ).fetchdf()
     for t in ("mh_docs", "mh_sh", "mh_sig", "mh_sig2", "mh_band", "mh_vj"):
         con.execute(f"DROP TABLE {t}")
     return out
@@ -385,7 +402,7 @@ def curation_staged(con) -> pd.DataFrame:
     return out
 
 
-def ngram_jaccard_staged(con) -> pd.DataFrame:
+def ngram_jaccard_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     """dedup_ngram_jaccard: same value-collapse as minhash_staged —
     shingles and the 4-token block key are pure functions of the text
     value, so candidate generation and Jaccard run over distinct
@@ -418,7 +435,7 @@ def ngram_jaccard_staged(con) -> pd.DataFrame:
                     / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6)
               >= 0.3"""
     )
-    out = con.execute(
+    out = con.execute(_maybe_sample(
         """
         SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
         FROM nj_docs l JOIN nj_docs r ON l.tv = r.tv AND l.doc_id < r.doc_id
@@ -429,8 +446,8 @@ def ngram_jaccard_staged(con) -> pd.DataFrame:
         FROM nj_vj j
         JOIN nj_docs da ON da.tv = j.va
         JOIN nj_docs db ON db.tv = j.vb
-        """
-    ).fetchdf()
+        """, sample_mod
+    )).fetchdf()
     for t in ("nj_docs", "nj_sh", "nj_vj"):
         con.execute(f"DROP TABLE {t}")
     return out
@@ -604,7 +621,7 @@ def knn_blocked_staged(con) -> pd.DataFrame:
     return out
 
 
-def embedding_cosine_staged(con) -> pd.DataFrame:
+def embedding_cosine_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     """dedup_embedding_cosine: the OR-of-chunks join condition forces a
     40B-pair blockwise scan at sf10. Signature and cosine are value
     functions: candidate + verify at distinct-value grain, expand
@@ -634,7 +651,7 @@ def embedding_cosine_staged(con) -> pd.DataFrame:
         FROM ed_sig l JOIN ed_sig r ON l.vh < r.vh AND ({share_chunk})
         WHERE {_COS_VV} >= 0.4"""
     )
-    out = con.execute(
+    out = con.execute(_maybe_sample(
         """
         SELECT l.vec_id AS a, r.vec_id AS b, CAST(1.0 AS DOUBLE) AS cosine
         FROM ed_rows l JOIN ed_rows r ON l.vh = r.vh AND l.vec_id < r.vec_id
@@ -646,14 +663,14 @@ def embedding_cosine_staged(con) -> pd.DataFrame:
         FROM ed_vj j
         JOIN ed_rows da ON da.vh = j.va
         JOIN ed_rows db ON db.vh = j.vb
-        """
-    ).fetchdf()
+        """, sample_mod
+    )).fetchdf()
     for t in ("ed_rows", "ed_vals", "ed_sig", "ed_vj"):
         con.execute(f"DROP TABLE {t}")
     return out
 
 
-def semantic_staged(con) -> pd.DataFrame:
+def semantic_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     """dedup_semantic: within-cell pair verify at distinct-value grain
     (cell assignment and cosine are value functions), expanded to doc
     pairs; same-value pairs share the cell and round to cosine exactly
@@ -676,7 +693,7 @@ def semantic_staged(con) -> pd.DataFrame:
         FROM sd_cell l JOIN sd_cell r ON l.cell = r.cell AND l.vh < r.vh
         WHERE {_COS_VV} >= 0.4"""
     )
-    out = con.execute(
+    out = con.execute(_maybe_sample(
         """
         SELECT l.vec_id AS a, r.vec_id AS b, c.cell AS cell,
                CAST(1.0 AS DOUBLE) AS cosine
@@ -690,8 +707,8 @@ def semantic_staged(con) -> pd.DataFrame:
         FROM sd_vj j
         JOIN sd_rows da ON da.vh = j.va
         JOIN sd_rows db ON db.vh = j.vb
-        """
-    ).fetchdf()
+        """, sample_mod
+    )).fetchdf()
     for t in ("sd_rows", "sd_vals", "sd_cell", "sd_vj"):
         con.execute(f"DROP TABLE {t}")
     return out
