@@ -726,12 +726,15 @@ def winnow_fingerprint_pairs(
     fingerprint, so candidate generation never misses a long overlap).
 
     Pipeline (all JVM-side, no Python):
-      1. k-char gram hashes per position (``md5(substr)``; char
-         positions capped at ``max_chars`` so one pathological doc
-         cannot explode a partition — standard fingerprint budget);
-      2. winnow: min hash per sliding window of ``window`` positions
-         (one partition-local window function per doc), DISTINCT →
-         the selected fingerprints, density ~2/(window+1);
+      1. k-char gram hashes per position — the portable md5→52-bit
+         BIGINT map (char positions capped at ``max_chars`` so one
+         pathological doc cannot explode a row — standard fingerprint
+         budget);
+      2. winnow: min hash per sliding window of ``window`` positions,
+         computed ROW-LOCALLY as array expressions (transform /
+         slice / array_min / array_distinct) — winnowing is
+         per-document by construction, so no shuffle exists until the
+         selected (doc, fp) grain. Density ~2/(window+1);
       3. stop-fingerprint guard: hashes appearing in more than
          ``max_doc_freq`` docs are boilerplate (license headers) and
          are dropped — this caps the self-join bucket size, the same
@@ -739,40 +742,72 @@ def winnow_fingerprint_pairs(
       4. candidate pairs by fingerprint EQUI-join, scored by the
          number of distinct shared fingerprints.
 
-    At 100 TB: the gram explode is partition-local (explode before any
-    shuffle); the only shuffles are the per-doc window, the distinct,
-    and the bucket-bounded self-join. All integer/string-exact — the
-    DuckDB oracle states the identical pipeline. ``use_md5=False``
-    swaps the gram hash for ``xxhash64`` (~an order of magnitude
-    cheaper per gram, same guarantee) — the default stays md5 only
-    because the correctness oracle must compute identical hashes.
+    At 100 TB: steps 1–2 are pure map work; the only shuffles are the
+    (doc, fp)-grain doc-frequency window and the bucket-bounded
+    self-join — ~4× smaller rows than the original gram-grain shape
+    (the sf100 sweep measured the old per-doc window shuffle alone at
+    >55 GB zstd-compressed on one box; the row-local form removed it
+    outright). All integer-exact — the DuckDB oracle states the
+    identical pipeline. ``use_md5=False`` swaps the gram hash for
+    ``xxhash64`` (cheaper per gram, same guarantee) — the default
+    stays md5 only because the correctness oracle must compute
+    identical hashes.
     """
     eligible = docs.filter(F.length(text_col) >= k).select(
         F.col(id_col).alias("doc"),
         F.substring(F.col(text_col), 1, max_chars).alias("t"),
     )
-    grams = eligible.select(
+    # Row-local winnowing (round-7 sf100 fix). The original shape
+    # exploded grams to rows and computed the sliding min with a
+    # per-doc WINDOW — which shuffles the GRAM-grain table (docs ×
+    # ~1177 positions, each row carrying a 32-char hash) just to
+    # group positions that already live together in the source row.
+    # At sf100 that shuffle alone exceeded the box's disk (>55 GB
+    # with zstd; ~350 GB raw) and bought nothing at any scale:
+    # winnowing is per-document by construction, so the gram hashes,
+    # sliding minima, and per-doc distinct all happen INSIDE the row
+    # as array expressions — zero shuffle until the (doc, fp) grain.
+    # Two projections so the hash array is computed once per row, not
+    # once per window (lambda bodies don't share subexpressions).
+    gram_hash = (
+        (
+            lambda p: F.conv(
+                F.substring(F.md5(F.col("t").substr(p, F.lit(k))), 1, 13), 16, 10
+            ).cast("long")
+        )
+        if use_md5
+        else (lambda p: F.xxhash64(F.col("t").substr(p, F.lit(k))))
+    )
+    hashed = eligible.select(
         "doc",
-        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
-        F.col("t"),
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - (k - 1)), gram_hash
+        ).alias("hs"),
     )
-    gram = F.expr(f"substring(t, pos, {k})")
-    grams = grams.select(
-        "doc", "pos", (F.md5(gram) if use_md5 else F.xxhash64(gram)).alias("h")
-    )
-    from pyspark.sql import Window as W
-
-    win = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    # fingerprints are BIGINT (the repo's portable md5→52-bit map, not
+    # the 32-char hex string): identical selection guarantee, and the
+    # (doc, fp) shuffle that remains is ~4× smaller — at sf100 the
+    # difference between fitting this box's disk and not. The oracle
+    # states the same map (CAST('0x'||substr(md5(..),1,13) AS BIGINT)).
     fps = (
-        grams.select("doc", F.min("h").over(win).alias("fp"))
-        .distinct()
+        hashed.select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs")),
+                        lambda i: F.array_min(F.slice("hs", i, window)),
+                    )
+                )
+            ).alias("fp"),
+        )
         # the fingerprint set feeds THREE consumers (the df guard, and
-        # both sides of the self-join) — materialize the gram-explode +
-        # window + distinct ONCE instead of re-running it per consumer
-        # (the pagerank/pretrain repeated-subtree lesson; measured ~2×
-        # on the gate). DISK_ONLY per SCALE.md §8 (data-sized).
+        # both sides of the self-join) — materialize ONCE (the
+        # pagerank/pretrain repeated-subtree lesson; measured ~2× on
+        # the gate). DISK_ONLY per SCALE.md §8 (data-sized).
         .localCheckpoint(eager=True, storageLevel=_DISK)
     )
+    from pyspark.sql import Window as W
     # stop-fingerprint guard as a WINDOW over fp, not a groupBy+join:
     # fps is already distinct (doc, fp), so count(*) per fp IS the doc
     # frequency. The former aggregate-then-join-back shape let Catalyst

@@ -3401,8 +3401,11 @@ def text_length_buckets(spark, sf_dir):
         SELECT doc_id AS doc, substr(text, 1, 1200) AS t
         FROM documents WHERE length(text) >= 24
     ), grams AS (
+        -- fingerprints are the portable md5->52-bit ints (round 7):
+        -- same winnowing guarantee, 4x smaller engine-side shuffle
         SELECT doc, i.generate_series AS pos,
-               md5(substr(t, i.generate_series, 24)) AS h
+               CAST(('0x' || substring(md5(substr(t, i.generate_series, 24)),
+                                       1, 13)) AS BIGINT) AS h
         FROM eligible, generate_series(1, 1177) AS i
         WHERE i.generate_series <= length(t) - 23
     ), winnowed AS (
