@@ -44,6 +44,7 @@ from ftm_lakehouse_spark.functions.text import (
 __all__ = [
     "exact_duplicates",
     "fingerprint_duplicates",
+    "minhash_cluster_canonical",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_duplicates",
@@ -81,20 +82,23 @@ def fingerprint_duplicates(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_value_stage(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_words: int = 3,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified with
-    exact Jaccard over the shingle sets.
-
-    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
-    """
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+    jaccard_threshold: float,
+):
+    """The value-grain core of banded MinHash LSH, shared by the pair
+    expansion (:func:`minhash_lsh_pairs`) and the cluster operator
+    (:func:`minhash_cluster_canonical`): exact-duplicate pre-collapse,
+    shingle/signature projection, banded candidate join, exact-Jaccard
+    verify — all at DISTINCT-text grain. Returns ``(grp, base,
+    rep_pairs)``: the (text → rep, members) collapse, the shingled
+    representatives, and the verified value-level edges
+    (ra, rb, jaccard)."""
     rows = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
     # Exact-duplicate pre-collapse (round-4 pattern, see
@@ -163,6 +167,27 @@ def minhash_lsh_pairs(
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "jaccard")
+    )
+    return grp, base, rep_pairs
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    exact Jaccard over the shingle sets.
+
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    grp, base, rep_pairs = _minhash_value_stage(
+        docs, id_col, text_col, num_hashes, bands, shingle_words,
+        jaccard_threshold,
     )
     cross = (
         rep_pairs.join(
@@ -623,6 +648,56 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def minhash_cluster_canonical(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup clusters over the MinHash-LSH graph with the CC run at
+    VALUE grain (round-7 sf100 fix). Composing
+    ``connected_components(minhash_lsh_pairs(docs))`` is correct but
+    builds the DOC-grain edge set first — under web-scale duplication
+    that is quadratic in the copy count (2.5B clique edges at sf100,
+    OOM at default heap), all of it redundant: identical-text docs are
+    interchangeable in the graph (same shingles → same signatures →
+    same collisions), which is exactly how the staged oracle
+    (tools/staged_oracles.cluster_staged) already computes the answer.
+
+    Here the label propagation runs over the VALUE-level verified
+    edges (~|distinct| nodes at ANY replica scale, since the rep id is
+    the min member the converged label IS the component's min doc id),
+    then one expansion join attaches every member of each
+    participating value. A value participates iff its shingle set is
+    non-empty AND (it has a cross-value edge OR ≥ 2 copies — the
+    copies form a clique). Output (doc, cluster) is row-identical to
+    the composed form; only the edge grain changed.
+    """
+    grp, base, rep_pairs = _minhash_value_stage(
+        docs, id_col, text_col, num_hashes, bands, shingle_words,
+        jaccard_threshold,
+    )
+    comp = connected_components(rep_pairs, src="ra", dst="rb")
+    edged = comp.select(F.col("doc").alias("rep"), "cluster")
+    # multi-member values with no cross-value edge: their copies form a
+    # clique, canonical = rep (= min member). Shingle non-emptiness is
+    # enforced by the semi-join on base (empty token sets never pair).
+    cliques = (
+        grp.filter(F.size("members") > 1)
+        .join(base.select(F.col("doc").alias("rep")), "rep", "left_semi")
+        .join(edged.select("rep"), "rep", "left_anti")
+        .select("rep", F.col("rep").alias("cluster"))
+    )
+    return (
+        edged.unionByName(cliques)
+        .join(grp.select("rep", "members"), "rep")
+        .select(F.explode("members").alias("doc"), "cluster")
+    )
 
 
 def benchmark_overlap(

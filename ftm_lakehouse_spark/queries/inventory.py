@@ -1111,19 +1111,20 @@ def _cluster_oracle() -> str:
 @_register("dedup_cluster_canonical", _cluster_oracle())
 def dedup_cluster_canonical(spark, sf_dir):
     """Near-dup CLUSTERS (not just pairs): connected components over the
-    minhash-LSH pair graph by hash-min label propagation, canonical doc
-    = component-minimum id — the step that turns pairwise dedup into a
+    minhash-LSH graph by hash-min label propagation, canonical doc =
+    component-minimum id — the step that turns pairwise dedup into a
     keep/drop decision per document. Iterative (O(diameter) rounds of
-    join + min-agg); the oracle closes the same graph with a recursive
-    CTE, so the comparison is a full hash match."""
-    from ftm_lakehouse_spark.operators.dedupe import (
-        connected_components,
-        minhash_lsh_pairs,
-    )
+    join + min-agg) at VALUE grain (round 7: the doc-grain edge set is
+    quadratic in the copy count — 2.5B clique edges at sf100 — while
+    identical-text docs are interchangeable in the graph; see
+    minhash_cluster_canonical). The oracle closes the same graph with
+    a recursive CTE, so the comparison is a full hash match."""
+    from ftm_lakehouse_spark.operators.dedupe import minhash_cluster_canonical
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
-    return connected_components(pairs)
+    return minhash_cluster_canonical(
+        d, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
 
 
 @_register(
