@@ -51,6 +51,7 @@ from staged_oracles import (
     ngram_jaccard_staged,
     semantic_staged,
     simhash_staged,
+    winnow_staged,
 )
 
 #: every pair-output gate whose staged oracle takes ``sample_mod``
@@ -60,6 +61,7 @@ GATES = {
     "dedup_ngram_jaccard": ngram_jaccard_staged,
     "dedup_embedding_cosine": embedding_cosine_staged,
     "dedup_semantic": semantic_staged,
+    "dedup_winnow_substrings": winnow_staged,
 }
 
 

@@ -714,7 +714,77 @@ def semantic_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
     return out
 
 
+
+def winnow_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
+    """dedup_winnow_substrings: fingerprints are pure functions of the
+    text value, so gram hashing + winnowing run once per DISTINCT text
+    (~|distinct| rows at any replica scale), the doc-frequency guard
+    counts docs as Σ multiplicity over the values carrying the
+    fingerprint, and shared-fingerprint counts live at value-pair
+    grain; doc pairs expand at the end (same-value pairs share the
+    value's whole guarded fingerprint set). Same 52-bit integer
+    fingerprints as the engine and the static oracle."""
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE wn_docs AS
+        SELECT doc_id, md5(text) AS tv FROM documents
+        WHERE length(text) >= 24"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE wn_fp AS
+        WITH vals AS (
+            SELECT md5(text) AS tv, substr(min(text), 1, 1200) AS t
+            FROM documents WHERE length(text) >= 24 GROUP BY md5(text)
+        ), grams AS (
+            SELECT tv, i.generate_series AS pos,
+                   CAST(('0x' || substring(md5(substr(t, i.generate_series, 24)),
+                                           1, 13)) AS BIGINT) AS h
+            FROM vals, generate_series(1, 1177) AS i
+            WHERE i.generate_series <= length(t) - 23
+        )
+        SELECT DISTINCT tv,
+               min(h) OVER (PARTITION BY tv ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM grams"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE wn_fpg AS
+        SELECT f.tv, f.fp FROM wn_fp f
+        JOIN (
+            SELECT fp, sum(m.m) AS df FROM wn_fp f2
+            JOIN (SELECT tv, count(*) AS m FROM wn_docs GROUP BY tv) m
+              ON m.tv = f2.tv
+            GROUP BY fp HAVING sum(m.m) > 1 AND sum(m.m) <= 64
+        ) g USING (fp)"""
+    )
+    con.execute(
+        """CREATE OR REPLACE TEMP TABLE wn_vs AS
+        SELECT l.tv AS va, r.tv AS vb, CAST(count(*) AS BIGINT) AS n_shared
+        FROM wn_fpg l JOIN wn_fpg r ON l.fp = r.fp AND l.tv < r.tv
+        GROUP BY va, vb HAVING count(*) >= 3"""
+    )
+    body = """
+        SELECT l.doc_id AS a, r.doc_id AS b, s.n_shared
+        FROM wn_docs l
+        JOIN wn_docs r ON l.tv = r.tv AND l.doc_id < r.doc_id
+        JOIN (
+            SELECT tv, CAST(count(*) AS BIGINT) AS n_shared FROM wn_fpg
+            GROUP BY tv HAVING count(*) >= 3
+        ) s ON s.tv = l.tv
+        UNION ALL
+        SELECT least(da.doc_id, db.doc_id) AS a,
+               greatest(da.doc_id, db.doc_id) AS b, j.n_shared
+        FROM wn_vs j
+        JOIN wn_docs da ON da.tv = j.va
+        JOIN wn_docs db ON db.tv = j.vb
+        """
+    out = con.execute(_maybe_sample(body, sample_mod)).fetchdf()
+    for t in ("wn_docs", "wn_fp", "wn_fpg", "wn_vs"):
+        con.execute(f"DROP TABLE {t}")
+    return out
+
+
 STAGED = {
+    "dedup_winnow_substrings": winnow_staged,
     "graph_pagerank": pagerank_staged,
     "pipeline_pretrain_corpus": pretrain_staged,
     "dedup_minhash_lsh": minhash_staged,
