@@ -71,6 +71,18 @@ def get_spark(
         # strict Delta/Iceberg readers
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # RocksDB state store (bundled since Spark 3.2) as the engine
+        # default: streaming dedup/session state lives off-heap on
+        # disk instead of in the HDFS-backed ON-HEAP map, whose two
+        # retained versions OOM'd the 16g heap at sf100 (33M dedup
+        # keys, pipeline_streaming_ingest — round-7 decade defect #3).
+        # At cluster scale this is the standard choice for any
+        # state larger than a few GB per executor.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     if master is not None:
@@ -111,6 +123,10 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
     }
     for k, v in rt.items():
         try:
