@@ -134,7 +134,29 @@ def pagerank_fixed_point(
         from pyspark import StorageLevel
 
         edges = edges.persist(StorageLevel.DISK_ONLY)
-        edges.count()  # materialize the derivation once
+        n_edges = edges.count()  # materialize the derivation once
+        # Data-adaptive layout (round-7 sf100 fix): when the edge list
+        # is large, re-persist it partitioned on the JOIN key (src) —
+        # a distinct leaves it on (src, dst), so every iteration's
+        # edges⋈ranks join would re-shuffle the WHOLE edge list per
+        # round (3 × ~25 GB at sf100, the disk killer).
+        # InMemoryTableScan preserves outputPartitioning + ordering, so
+        # after the one re-layout pass the iterations move only the
+        # rank vector. Below the threshold the ranks side broadcasts
+        # and the edge layout is irrelevant — skip the extra pass
+        # (measured 3× on the sf0.1 gate if applied unconditionally).
+        if n_edges >= 50_000_000:
+            n_shuf = int(
+                edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            old = edges
+            edges = (
+                old.repartition(n_shuf, src_col)
+                .sortWithinPartitions(src_col)
+                .persist(StorageLevel.DISK_ONLY)
+            )
+            edges.count()
+            old.unpersist()
     deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
     nodes = deg.select(F.col(src_col).alias("node"), "_deg")
     if iterations > 1:
