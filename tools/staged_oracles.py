@@ -715,7 +715,9 @@ def semantic_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
 
 
 
-def winnow_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
+def winnow_staged(
+    con, sample_mod: int | None = None, max_doc_freq: int = 64
+) -> pd.DataFrame:
     """dedup_winnow_substrings: fingerprints are pure functions of the
     text value, so gram hashing + winnowing run once per DISTINCT text
     (~|distinct| rows at any replica scale), the doc-frequency guard
@@ -747,13 +749,13 @@ def winnow_staged(con, sample_mod: int | None = None) -> pd.DataFrame:
         FROM grams"""
     )
     con.execute(
-        """CREATE OR REPLACE TEMP TABLE wn_fpg AS
+        f"""CREATE OR REPLACE TEMP TABLE wn_fpg AS
         SELECT f.tv, f.fp FROM wn_fp f
         JOIN (
             SELECT fp, sum(m.m) AS df FROM wn_fp f2
             JOIN (SELECT tv, count(*) AS m FROM wn_docs GROUP BY tv) m
               ON m.tv = f2.tv
-            GROUP BY fp HAVING sum(m.m) > 1 AND sum(m.m) <= 64
+            GROUP BY fp HAVING sum(m.m) > 1 AND sum(m.m) <= {int(max_doc_freq)}
         ) g USING (fp)"""
     )
     con.execute(
