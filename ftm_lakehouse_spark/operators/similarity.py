@@ -46,6 +46,30 @@ __all__ = [
 ]
 
 
+def _round6_spark(arr: "np.ndarray") -> "np.ndarray":
+    """Round to 6 digits EXACTLY the way Spark's ``F.round(x, 6)`` does
+    for doubles: java ``BigDecimal.valueOf(d)`` (shortest decimal
+    representation, same as Python ``repr``) → ``setScale(6,
+    HALF_UP)``. The batch-local top-k cut must order candidates in the
+    SAME rounded domain as the final global window — ``np.round``
+    scales by 1e6 and rounds the FLOAT half-to-even, so a 1-ulp
+    half-boundary disagreement (x.4999…/x.5000…01 after scaling) could
+    drop a row locally that the window would rank inside top-k.
+    Decimal cost is bounded: this runs only on the ≤(k + tie-band)
+    candidate slices, never the full batch."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal("0.000001")
+    out = np.empty(len(arr), dtype=np.float64)
+    for i, v in enumerate(arr):
+        fv = float(v)
+        if fv != fv or fv in (float("inf"), float("-inf")):
+            out[i] = fv  # Spark's round passes NaN/inf through
+        else:
+            out[i] = float(Decimal(repr(fv)).quantize(quantum, ROUND_HALF_UP))
+    return out
+
+
 def topk_vs_query(
     vectors: DataFrame,
     query_vec: list[float],
@@ -143,8 +167,10 @@ def knn_join(
                     # domain, and it bounds output to k rows per query
                     # per batch — without it, quantized/duplicated
                     # corpora push whole copy-cliques of near-ties into
-                    # the 1e-5 band and balloon the shuffle
-                    keep = np.lexsort((nids[cand], -np.round(seq, 6)))[:kk]
+                    # the 1e-5 band and balloon the shuffle. The cut
+                    # rounds the way SPARK rounds (_round6_spark), not
+                    # np.round — the orders must agree at the boundary.
+                    keep = np.lexsort((nids[cand], -_round6_spark(seq)))[:kk]
                     cand, seq = cand[keep], seq[keep]
                 out_q.append(np.full(len(cand), ids[j]))
                 out_n.append(nids[cand])
@@ -264,8 +290,9 @@ def knn_join_blocked(
             seq = num / den
             if len(cand) > kk:
                 # batch-local top-k under the final order — bounds each
-                # cell's output to k rows per query (see knn_join)
-                keep = np.lexsort((nids[cand], -np.round(seq, 6)))[:kk]
+                # cell's output to k rows per query; rounds the way
+                # Spark's window will (see knn_join / _round6_spark)
+                keep = np.lexsort((nids[cand], -_round6_spark(seq)))[:kk]
                 cand, seq = cand[keep], seq[keep]
             out_q.append(np.full(len(cand), qids[j]))
             out_n.append(nids[cand])

@@ -112,7 +112,6 @@ def _log_state(fs, log_dir) -> tuple[int, int, set[str]] | None:
             if a and a.get("path"):
                 live[a["path"]] = None
         start = cp + 1
-    source_version = 0
     for v in sorted(v for v in commits if start <= v <= head):
         for line in fs.read_text(commits[v]).splitlines():
             if not line.strip():
@@ -122,12 +121,24 @@ def _log_state(fs, log_dir) -> tuple[int, int, set[str]] | None:
                 live[action["add"]["path"]] = None
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
-            elif "commitInfo" in action:
-                source_version = int(
-                    action["commitInfo"]
-                    .get("operationParameters", {})
-                    .get("sourceVersion", source_version)
-                )
+    # The sourceVersion cursor ALWAYS comes from the head commit's own
+    # commitInfo — not from the replay loop. When the newest checkpoint
+    # equals head (every checkpoint_interval-th export) the loop range
+    # is empty and a loop-carried cursor would silently reset to 0,
+    # making the next export refold the whole commit log (or write a
+    # spurious empty version on an unchanged-store re-export). The head
+    # JSON commit is written by every export, so it is authoritative.
+    source_version = 0
+    for line in fs.read_text(commits[head]).splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "commitInfo" in action:
+            source_version = int(
+                action["commitInfo"]
+                .get("operationParameters", {})
+                .get("sourceVersion", source_version)
+            )
     return head, source_version, set(live)
 
 
@@ -158,7 +169,10 @@ def _add_action(fs, data: str, rel: str, now_ms: int) -> dict:
     }
 
 
-def _write_checkpoint(store, fs, log_dir, version: int, live: set[str], now_ms: int):
+def _write_checkpoint(
+    store, fs, log_dir, version: int, live: set[str], now_ms: int,
+    source_version: int = 0,
+):
     """Classic single-file parquet checkpoint (PROTOCOL.md
     "Checkpoints"): one row per action — protocol, metaData, and one
     ``add`` per live file — plus the ``_last_checkpoint`` pointer.
@@ -176,12 +190,25 @@ def _write_checkpoint(store, fs, log_dir, version: int, live: set[str], now_ms: 
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    # the metaData row must mirror the JSON metaData action EXACTLY —
+    # external readers replaying from the checkpoint (after JSON log
+    # cleanup) take table configuration and format options from here,
+    # so omitting the (empty) maps loses them or fails schema checks
     meta_t = pa.struct(
         [
             ("id", pa.string()),
-            ("format", pa.struct([("provider", pa.string())])),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
@@ -200,9 +227,10 @@ def _write_checkpoint(store, fs, log_dir, version: int, live: set[str], now_ms: 
     rows_meta = [None] + [
         {
             "id": meta["id"],
-            "format": {"provider": "parquet"},
+            "format": {"provider": "parquet", "options": []},
             "schemaString": meta["schemaString"],
             "partitionColumns": meta["partitionColumns"],
+            "configuration": [],
             "createdTime": meta["createdTime"],
         }
     ] + [None] * len(live)
@@ -228,9 +256,15 @@ def _write_checkpoint(store, fs, log_dir, version: int, live: set[str], now_ms: 
     fs.write_bytes_atomic(
         fs.join(log_dir, f"{version:020d}.checkpoint.parquet"), buf.getvalue()
     )
+    # sourceVersion rides along in _last_checkpoint (readers ignore
+    # unknown keys) as a second copy of the export cursor — the primary
+    # copy is the head JSON's commitInfo, read by _log_state
     fs.write_text_atomic(
         fs.join(log_dir, "_last_checkpoint"),
-        json.dumps({"version": version, "size": tbl.num_rows}) + "\n",
+        json.dumps(
+            {"version": version, "size": tbl.num_rows,
+             "sourceVersion": source_version}
+        ) + "\n",
     )
 
 
@@ -322,7 +356,10 @@ def export_delta_log(
     log_path = fs.join(log_dir, f"{version:020d}.json")
     fs.write_text_atomic(log_path, "\n".join(json.dumps(a) for a in actions) + "\n")
     if version > 0 and checkpoint_interval > 0 and version % checkpoint_interval == 0:
-        _write_checkpoint(store, fs, log_dir, version, live, now_ms)
+        _write_checkpoint(
+            store, fs, log_dir, version, live, now_ms,
+            source_version=source_now,
+        )
     return log_path
 
 

@@ -675,3 +675,33 @@ def test_zero_vector_pairs_excluded_everywhere(spark):
     assert (1, 2) in set(zip(got["a"], got["b"]))
     got2 = con.execute(_semantic_dedup_oracle(0.4)).fetchdf()
     assert not (set(got2["a"]) | set(got2["b"])) & {3, 4}
+
+
+def test_round6_spark_matches_engine_round_at_half_boundaries(spark):
+    """ADVICE r7 (low): the batch-local k-NN cut must round in the SAME
+    domain as the final window's F.round(cosine, 6). np.round scales by
+    1e6 and rounds the float half-to-even, which disagrees with Spark
+    (BigDecimal.valueOf → HALF_UP on the shortest decimal repr) at
+    half boundaries — pin _round6_spark bit-exact against the engine on
+    exactly those values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ftm_lakehouse_spark.operators.similarity import _round6_spark
+
+    vals = [
+        0.5000005,    # np.round → 0.5 (scaled float is x.4999…); Spark → 0.500001
+        0.1234565,    # same shape
+        -0.5000005,   # HALF_UP is away-from-zero for negatives
+        0.9999995, 1.0000005, 0.0000005, -0.0000005,
+        0.12345649999999999, 0.123456789, 1.0, 0.0, -1.0,
+        0.7071067811865476, 0.33333333333333331,
+    ]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    engine = [r["r"] for r in
+              df.select(F.round("x", 6).alias("r")).collect()]
+    ours = _round6_spark(np.array(vals, dtype=np.float64))
+    assert list(ours) == engine
+    # and np.round genuinely disagrees on the boundary values (the test
+    # would be vacuous otherwise)
+    assert float(np.round(0.5000005, 6)) != engine[0]

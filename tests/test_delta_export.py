@@ -562,3 +562,99 @@ def test_incremental_export_checkpoints_and_version_time_travel(
     p8 = export_delta_log(store, checkpoint_interval=3)
     assert p8.endswith(f"{8:020d}.json")
     assert fingerprint(read_delta_snapshot(spark, data)) == fingerprint(store.raw())
+
+
+def test_cursor_survives_checkpoint_at_head(spark, lake_root):
+    """ADVICE r7 (medium): when the newest checkpoint EQUALS the head
+    version (every checkpoint_interval-th export), _log_state's JSON
+    replay range is empty — the sourceVersion cursor must still come
+    back (from the head commit's commitInfo), or a no-change re-export
+    writes a spurious empty Delta version and the next real export
+    refolds the whole commit log."""
+    import os
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.sources.delta_export import (
+        DELTA_LOG_DIR,
+        _log_state,
+        export_delta_log,
+        read_delta_snapshot,
+    )
+    from tests.test_lakehouse import JANE, entities_df
+
+    lake = Lakehouse(spark, lake_root)
+    ds = lake.dataset("deltacursor")
+    store = ds.store
+    for i in range(4):  # exports 0..3; checkpoint lands ON head at v3
+        ds.write_entities(entities_df(spark, JANE), origin=f"o{i}")
+        p = export_delta_log(store, checkpoint_interval=3)
+    assert p.endswith(f"{3:020d}.json")
+    data = store._data_path()
+    log_dir = os.path.join(data, DELTA_LOG_DIR)
+    assert f"{3:020d}.checkpoint.parquet" in set(os.listdir(log_dir))
+
+    # the replayed state carries the true cursor even though the
+    # checkpoint covers every JSON commit
+    head, src, live = _log_state(store._fs, store._fs.join(data, DELTA_LOG_DIR))
+    assert head == 3
+    assert src == store.commits.current_version()
+    # _last_checkpoint rides a second copy of the cursor
+    last = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())
+    assert last["sourceVersion"] == src
+
+    # no-change re-export returns the existing head, writes nothing new
+    assert export_delta_log(store, checkpoint_interval=3).endswith(
+        f"{3:020d}.json"
+    )
+    assert f"{4:020d}.json" not in set(os.listdir(log_dir))
+
+    # the next REAL export is O(changes): version 4 carries only the
+    # new origin's adds, no removes, no refold of history
+    ds.write_entities(entities_df(spark, JANE), origin="onew")
+    p4 = export_delta_log(store, checkpoint_interval=3)
+    assert p4.endswith(f"{4:020d}.json")
+    v4 = [json.loads(l) for l in open(p4) if l.strip()]
+    adds4 = [a["add"]["path"] for a in v4 if "add" in a]
+    assert adds4 and all("origin=onew" in pth for pth in adds4)
+    assert not any("remove" in a for a in v4)
+    assert {r["origin"] for r in read_delta_snapshot(spark, data)
+            .select("origin").distinct().collect()} == {
+        "o0", "o1", "o2", "o3", "onew"
+    }
+
+
+def test_checkpoint_metadata_mirrors_json_action(spark, lake_root):
+    """ADVICE r7 (low): the checkpoint's metaData row must mirror the
+    JSON metaData action exactly — configuration map and format.options
+    included — so external readers replaying from the checkpoint after
+    JSON cleanup keep the table configuration."""
+    import io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+    from ftm_lakehouse_spark.sources.delta_export import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+    from tests.test_lakehouse import JANE, entities_df
+
+    ds = Lakehouse(spark, lake_root).dataset("deltacpmeta")
+    store = ds.store
+    for i in range(4):
+        ds.write_entities(entities_df(spark, JANE), origin=f"o{i}")
+        export_delta_log(store, checkpoint_interval=3)
+    log_dir = os.path.join(store._data_path(), DELTA_LOG_DIR)
+    tbl = pq.read_table(
+        io.BytesIO(open(os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"),
+                        "rb").read())
+    )
+    meta_rows = [m for m in tbl.column("metaData").to_pylist() if m]
+    assert len(meta_rows) == 1
+    m = meta_rows[0]
+    # maps present (empty) and format complete — same keys as the JSON
+    assert m["configuration"] == []
+    assert m["format"]["provider"] == "parquet"
+    assert m["format"]["options"] == []
+    assert m["partitionColumns"] == ["shard", "bucket", "origin"]
