@@ -57,14 +57,16 @@ def _register(name: str, oracle: str | None):
 #: last rows-only gate, retired via the portable KMV +
 #: deterministic-sample construction).
 GRADE_ORDER = [
-    # ---- round-7 rotation (VERDICT r6 item 1): evidence-rotation.
-    # 20 gates that had never occupied a driver-graded slot (only
-    # check_parity + pytest evidence) now earn CORRECTNESS rows; 20
-    # multi-round-stable veterans cede their slots (each stayed green
-    # across >= 2 driver rounds and remains parity-verified every
-    # round by tools/check_parity.py). Every SURVEY §2 family and
-    # every added family keeps >= 1 anchor in the window; the window
-    # contract is unchanged: first 50 of query_map(), all full-oracle.
+    # ---- round-8 rotation (VERDICT r7 item 2): evidence-rotation,
+    # second pass. 20 MORE gates that had never occupied a
+    # driver-graded slot in rounds 1-7 now earn CORRECTNESS rows; the
+    # 20 round-7 rotations cede (each earned its green driver row in
+    # CORRECTNESS_r07 and remains parity-verified every round by
+    # tools/check_parity.py). Cumulative driver-graded coverage:
+    # 93/132 after round 7 -> 113/132 after this window; one more
+    # rotation saturates all 132. Every SURVEY §2 family and every
+    # added family keeps >= 1 anchor; the window contract is
+    # unchanged: first 50 of query_map(), all full-oracle.
     #
     # kept anchors (30) -------------------------------------------
     "pipeline_pretrain_corpus",
@@ -97,38 +99,43 @@ GRADE_ORDER = [
     "text_bpe_encode",
     "text_quality_score",
     "sample_pack_sequences",
-    # rotated IN: never driver-graded before round 7 (20) ---------
-    # window-frame family (w_running_total / w_sessionize ceded):
-    "w_range_frame",
-    "w_percent_rank",
-    "w_first_last_value",
-    "w_lag_lead",
-    # pivot family (distinct Expand/aggregate mechanics):
-    "x_pivot_wide",
-    "x_unpivot_long",
-    "a_grouping_sets",
-    # standalone ANN stages (sim_ivfpq_topk ceded — it composes both;
-    # now each half is graded on its own):
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
-    # sketch family (x_kmv_distinct ceded — x_approx_stats embeds the
-    # same KMV construction plus deterministic-sample percentiles, so
-    # one slot now grades strictly more):
-    "x_approx_stats",
-    "x_countmin_sketch",
-    "x_bloom_filter",
-    "x_histogram",
-    # TPC-H rotation (q1 ceded after 4 green rounds; q5 stays):
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    # outer-join semantics — the family the window docstring always
-    # claimed; now it actually holds a slot:
-    "j_full_outer_nations",
-    # training-data families rotation:
-    "dedup_semantic",
-    "sample_stratified",
-    "text_benchmark_overlap",
-    "mm_audio_roundtrip",
+    # rotated IN: never driver-graded before round 8 (20) ---------
+    # streaming/event-window family (the round-7 frame family —
+    # w_range_frame/w_percent_rank/w_first_last_value/w_lag_lead —
+    # ceded after its green round; these five grade the OTHER window
+    # mechanics: tumbling/hopping/session event-time groups, frame
+    # moving averages, ntile bucketing):
+    "w_tumbling_window",
+    "w_hopping_window",
+    "w_session_window",
+    "w_moving_avg",
+    "w_ntile_quartiles",
+    # TPC-H rotation (q6/q18 ceded after their green round; q5 stays
+    # the anchor): the never-graded trio.
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q22_global_sales_opportunity",
+    # text family (text_benchmark_overlap ceded; bpe_encode + quality
+    # stay anchors): postings join, TF-IDF, decontamination,
+    # unigram-LM perplexity, n-gram dup coverage.
+    "text_bm25_topk",
+    "text_tfidf_top_terms",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "text_dup_ngram_coverage",
+    # sampling family (sample_stratified ceded; pack_sequences stays
+    # the anchor): importance weights, epoch shuffle, hash split.
+    "sample_dsir_weights",
+    "sample_epoch_shuffle",
+    "sample_hash_based",
+    "split_train_val_test",
+    # exploratory/x family (pivot + sketch slots ceded; x_asof_join
+    # stays the anchor):
+    "x_json_extract",
+    "x_funnel_stages",
+    # multimodal anchor handover (mm_audio_roundtrip ceded after its
+    # green round; video framing keeps the family in the window):
+    "mm_video_frame_sample",
 ]
 
 

@@ -1,8 +1,9 @@
 """The driver's correctness window grades only the FIRST 50 entries of
 query_map() — pin that the window is curated: capstones present, every
 graded slot full-oracle, rows-only checks excluded (round-2 VERDICT
-top-next item), and the round-7 evidence-rotation actually rotated
-never-driver-graded gates in (round-6 VERDICT item 1)."""
+top-next item), and the round-8 evidence-rotation actually rotated
+never-driver-graded gates in (round-7 VERDICT item 2; second rotation
+pass — cumulative driver-graded coverage 93/132 -> 113/132)."""
 
 from ftm_lakehouse_spark.queries.inventory import (
     GRADE_ORDER,
@@ -11,10 +12,11 @@ from ftm_lakehouse_spark.queries.inventory import (
     query_map,
 )
 
-#: the round-7 anchors: active capstones + one per family. Veterans
-#: that ceded their slots in the rotation (q1, the chunk-pack and
-#: curation pipelines, sim_ivfpq_topk, x_kmv_distinct, ...) stay
-#: parity-verified outside the window every round.
+#: the stable anchors: active capstones + one per family. Veterans
+#: that ceded their slots in the rotations (q1, the chunk-pack and
+#: curation pipelines, sim_ivfpq_topk, x_kmv_distinct, the round-7
+#: frame/pivot/sketch slots, ...) stay parity-verified outside the
+#: window every round.
 CAPSTONES = {
     "pipeline_pretrain_corpus",
     "pipeline_ftm_e2e",
@@ -29,31 +31,31 @@ CAPSTONES = {
     "c_pack_codec",
 }
 
-#: round-7 rotation: gates that had NEVER occupied a driver-graded
-#: slot in rounds 1-6 (x_approx_stats had, but only as a rows-only
-#: check; its full-oracle form is likewise new evidence). The VERDICT
-#: bar was >= 15 — the window carries 20.
+#: round-8 rotation: gates that had NEVER occupied a driver-graded
+#: slot in rounds 1-7 (computed from all CORRECTNESS_r0*.json). The
+#: VERDICT bar was >= 20 — the window carries exactly 20; 19 remain
+#: for the round-9 pass, which saturates all 132.
 ROTATED_IN = {
-    "w_range_frame",
-    "w_percent_rank",
-    "w_first_last_value",
-    "w_lag_lead",
-    "x_pivot_wide",
-    "x_unpivot_long",
-    "a_grouping_sets",
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
-    "x_approx_stats",
-    "x_countmin_sketch",
-    "x_bloom_filter",
-    "x_histogram",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "j_full_outer_nations",
-    "dedup_semantic",
-    "sample_stratified",
-    "text_benchmark_overlap",
-    "mm_audio_roundtrip",
+    "w_tumbling_window",
+    "w_hopping_window",
+    "w_session_window",
+    "w_moving_avg",
+    "w_ntile_quartiles",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q22_global_sales_opportunity",
+    "text_bm25_topk",
+    "text_tfidf_top_terms",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "text_dup_ngram_coverage",
+    "sample_dsir_weights",
+    "sample_epoch_shuffle",
+    "sample_hash_based",
+    "split_train_val_test",
+    "x_json_extract",
+    "x_funnel_stages",
+    "mm_video_frame_sample",
 }
 
 
@@ -81,3 +83,21 @@ def test_nothing_lost_in_reorder():
     # appears exactly once, oracles unchanged
     assert sorted(query_map()) == sorted(QUERIES)
     assert set(oracle_map()) == {n for n, (_, s) in QUERIES.items() if s is not None}
+
+
+def test_rotated_in_were_never_driver_graded():
+    """The rotation's whole point: each ROTATED_IN gate must have NO
+    row in any prior round's CORRECTNESS_r0*.json (they were
+    parity/pytest-verified only until now)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        graded |= set(json.load(open(f)).keys())
+    if not graded:  # fresh checkout without driver artifacts
+        return
+    overlap = ROTATED_IN & graded
+    assert not overlap, f"already driver-graded: {sorted(overlap)}"
