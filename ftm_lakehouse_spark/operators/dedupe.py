@@ -789,7 +789,7 @@ def winnow_fingerprint_pairs(
     k: int = 24,
     window: int = 8,
     min_shared: int = 3,
-    max_doc_freq: int = 64,
+    max_doc_freq: int | str = 64,
     max_chars: int = 1200,
     use_md5: bool = True,
 ) -> DataFrame:
@@ -814,6 +814,19 @@ def winnow_fingerprint_pairs(
          ``max_doc_freq`` docs are boilerplate (license headers) and
          are dropped — this caps the self-join bucket size, the same
          role max_df plays in TF-IDF;
+
+         **Duplication caveat**: the guard is calibrated for a natural
+         corpus. On a REPLICA-HEAVY corpus (mirrors, crawls with exact
+         copies) every fingerprint's doc frequency scales with the copy
+         count, so a fixed threshold silently saturates and the result
+         goes EMPTY by design (measured at the sf100 sweep: 1000×
+         replication pushed every fp past 64). Pass
+         ``max_doc_freq="auto"`` to scale the threshold by the corpus's
+         estimated duplication: ``64 × ceil(eligible_docs /
+         distinct_texts)`` — one extra count aggregate (a single scan,
+         one driver row), integer-exact and portable so an oracle can
+         state the same arithmetic. At duplication ≈ 1 auto is
+         identical to the default;
       4. candidate pairs by fingerprint EQUI-join, scored by the
          number of distinct shared fingerprints.
 
@@ -832,6 +845,17 @@ def winnow_fingerprint_pairs(
         F.col(id_col).alias("doc"),
         F.substring(F.col(text_col), 1, max_chars).alias("t"),
     )
+    if max_doc_freq == "auto":
+        # duplication-aware guard (see docstring): ceil integer
+        # division keeps the arithmetic exact in any engine. Counted
+        # over the TRUNCATED text (the value fingerprints derive from).
+        n, d = eligible.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("t").alias("d"),
+        ).collect()[0]
+        max_doc_freq = 64 * ((int(n) + int(d) - 1) // max(int(d), 1))
+    elif isinstance(max_doc_freq, str):
+        raise ValueError(f"max_doc_freq must be an int or 'auto', got {max_doc_freq!r}")
     # Row-local winnowing (round-7 sf100 fix). The original shape
     # exploded grams to rows and computed the sliding min with a
     # per-doc WINDOW — which shuffles the GRAM-grain table (docs ×

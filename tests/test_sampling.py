@@ -114,3 +114,55 @@ def test_winnow_guarantees_long_overlap_detection(spark):
     }
     assert (1, 2) in pairs  # the planted 63-char overlap is found
     assert all(p == (1, 2) for p in pairs)  # and nothing else pairs
+
+
+def test_winnow_auto_guard_survives_replica_saturation(spark):
+    """VERDICT r7 item 6: on a replica-heavy corpus the fixed
+    max_doc_freq guard saturates (every fingerprint's doc frequency
+    scales with the copy count) and the result goes empty BY DESIGN;
+    max_doc_freq='auto' scales the threshold by the measured
+    duplication (64 x ceil(docs/distinct_texts)) and keeps the planted
+    overlap findable."""
+    import pytest
+
+    from ftm_lakehouse_spark.operators.dedupe import winnow_fingerprint_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    base = [
+        (1, "AAA " * 30 + shared + " unique tail one two three"),
+        (2, "totally different preamble here. " + shared + " BBB " * 30),
+        (3, "no overlap with anything else at all, " + "xyz " * 60),
+    ]
+    # 70 exact copies of each doc: the shared fingerprints' doc
+    # frequency is >= 140 > 64, so the fixed default drops them all
+    rows = [
+        (doc_id * 1000 + rep, text)
+        for doc_id, text in base
+        for rep in range(70)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fixed = winnow_fingerprint_pairs(docs, min_shared=1).count()
+    assert fixed == 0  # saturation: correct but vacuous
+
+    auto = winnow_fingerprint_pairs(docs, min_shared=1, max_doc_freq="auto")
+    pairs = {(r["a"], r["b"]) for r in auto.collect()}
+    # every cross-copy (1-family, 2-family) pair carries the overlap
+    assert (1000, 2000) in pairs
+    assert not any(a // 1000 == 3 or b // 1000 == 3 for a, b in pairs
+                   if a // 1000 != b // 1000)
+
+    # duplication ~= 1 -> auto is IDENTICAL to the fixed default
+    uniq = spark.createDataFrame(base, ["doc_id", "text"])
+    got_auto = sorted(
+        (r["a"], r["b"], r["n_shared"])
+        for r in winnow_fingerprint_pairs(uniq, min_shared=1,
+                                          max_doc_freq="auto").collect()
+    )
+    got_fixed = sorted(
+        (r["a"], r["b"], r["n_shared"])
+        for r in winnow_fingerprint_pairs(uniq, min_shared=1).collect()
+    )
+    assert got_auto == got_fixed
+
+    with pytest.raises(ValueError, match="auto"):
+        winnow_fingerprint_pairs(uniq, max_doc_freq="bogus")
