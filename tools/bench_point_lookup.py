@@ -12,7 +12,16 @@ that), so at any corpus size the latency stays where this measures it
 — which is exactly why a 100 TB deployment fronts `get()` with a
 serving cache instead of asking Spark for sub-ms lookups.
 
-Usage: python tools/bench_point_lookup.py [sf_dir] [n_warm]
+Round-8 addition (VERDICT r7 item 7): ``--concurrent [C]`` measures
+the SERVING path under load — C client threads (default 8) issue
+``GET /{dataset}/entities/{id}`` against :func:`api.serve_in_thread`'s
+ThreadingHTTPServer concurrently, so C Spark jobs race inside one
+driver. Run with ``SPARK_GRAFT_CONF="spark.scheduler.mode=FAIR"`` so
+the concurrent lookups share executor slots fairly instead of queuing
+FIFO behind each other; the reported per-request median/p95 is the
+concurrent floor the serving-cache recommendation must quote.
+
+Usage: python tools/bench_point_lookup.py [sf_dir] [n_warm] [--concurrent [C]]
 """
 
 from __future__ import annotations
@@ -36,7 +45,8 @@ def main() -> None:
 
     spark = get_spark("bench-point-lookup")
     root = tempfile.mkdtemp(prefix="pl_bench_")
-    ds = Lakehouse(spark, root).dataset("plbench", shards=32)
+    lake = Lakehouse(spark, root)
+    ds = lake.dataset("plbench", shards=32)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ents = docs.select(
@@ -69,6 +79,69 @@ def main() -> None:
         f"cold {cold * 1000:.0f}ms, warm median "
         f"{statistics.median(samples) * 1000:.0f}ms, p95 "
         f"{samples[int(0.95 * len(samples))] * 1000:.0f}ms over {n_warm} gets"
+    )
+
+    if "--concurrent" in sys.argv:
+        i = sys.argv.index("--concurrent")
+        n_clients = (
+            int(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+            else 8
+        )
+        concurrent_bench(lake, ds, ids, n_clients, spark)
+
+
+def concurrent_bench(lake, ds, ids, n_clients, spark) -> None:
+    """p95 of ``get()`` under ``n_clients`` concurrent HTTP callers
+    through the NDJSON API (each HTTP handler thread runs a Spark job
+    in the shared driver)."""
+    import json
+    import threading
+    import urllib.request
+
+    from ftm_lakehouse_spark.api import serve_in_thread
+
+    mode = spark.sparkContext.getConf().get("spark.scheduler.mode", "FIFO")
+    server, base = serve_in_thread(lake)
+    name = ds.config.name
+    per_client = max(1, len(ids) // n_clients)
+    lat: list[float] = []
+    lock = threading.Lock()
+
+    def client(cid: int) -> None:
+        mine = ids[cid * per_client : (cid + 1) * per_client]
+        got = []
+        for eid in mine:
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(f"{base}/{name}/entities/{eid}") as r:
+                ent = json.loads(r.read())
+            got.append(time.perf_counter() - t0)
+            assert ent["entity_id"] == eid
+        with lock:
+            lat.extend(got)
+
+    # one warm lap through the API before measuring (handler threads +
+    # HTTP keepalive caches are not what we're measuring)
+    client(0)
+    lat.clear()
+    t_all = time.perf_counter()
+    threads = [
+        threading.Thread(target=client, args=(c,)) for c in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    wall = time.perf_counter() - t_all
+    server.shutdown()
+    lat.sort()
+    n_req = len(lat)
+    print(
+        f"concurrent serving ({n_clients} clients x {per_client} gets, "
+        f"scheduler={mode}): per-request median "
+        f"{statistics.median(lat) * 1000:.0f}ms, p95 "
+        f"{lat[int(0.95 * n_req)] * 1000:.0f}ms, throughput "
+        f"{n_req / wall:.1f} gets/s over {n_req} requests"
     )
 
 
