@@ -344,14 +344,45 @@ def simhash_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "hamming")
     )
-    cross = (
+    # ---- data-adaptive expansion layout (round-8 sf100 defect). The
+    # member expansions below multiply each value-grain row by
+    # |ma|·|mb| (cross) or |members|² (within). Under heavy replication
+    # the pre-explode frames are TINY (value grain) and inherit a
+    # handful of partitions, so the explode runs as a few
+    # multi-billion-row tasks — measured at sf100: 428B pairs emerged
+    # from 34 map-side tasks of ~12.6B rows each, a zero-progress
+    # hour-scale stage. Same lesson as pagerank's edge re-layout: lay
+    # the loop/expansion input out FOR the expansion. One cheap
+    # aggregate over the checkpointed value-grain `grp` decides
+    # whether any of this is needed (max member count == 1 means 1:1
+    # expansion — the natural-corpus fast path pays one tiny job and
+    # nothing else); the repartitions spread the explode so each task
+    # emits ~250M rows. All layout-only: row set unchanged.
+    _target = 250_000_000
+    g_stats = grp.agg(
+        F.max(F.size("members")).alias("mx"),
+        F.sum(F.size("members").cast("bigint") * F.size("members")).alias("m2"),
+    ).collect()[0]
+    heavy_copies = (g_stats["mx"] or 1) > 1
+    cross_pre = (
         rep_pairs.join(
             grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
         )
         .join(
             grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
         )
-        .select("hamming", F.explode("ma").alias("i"), "mb")
+    )
+    if heavy_copies:
+        cross_pre = cross_pre.localCheckpoint(eager=False, storageLevel=_DISK)
+        est = cross_pre.agg(
+            F.sum(F.size("ma").cast("bigint") * F.size("mb")).alias("s")
+        ).collect()[0]["s"] or 0
+        if est > 8 * _target:
+            cross_pre = cross_pre.repartition(
+                int(min(4096, max(par, est // _target)))
+            )
+    cross = (
+        cross_pre.select("hamming", F.explode("ma").alias("i"), "mb")
         .select("hamming", "i", F.explode("mb").alias("j"))
         .select(
             F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b"), "hamming"
@@ -360,12 +391,18 @@ def simhash_duplicates(
     # within a duplicate group: identical text → identical simhash →
     # hamming 0, computed with the same expression rather than assumed
     self_h = F.bit_count(F.col("sh").bitwiseXOR(F.col("sh")))
-    within = (
+    within_pre = (
         sh.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
         .filter(F.size("members") > 1)
         .select("members", self_h.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("hamming", F.explode("members").alias("i"), "members")
+    )
+    if heavy_copies and (g_stats["m2"] or 0) > 8 * _target:
+        within_pre = within_pre.repartition(
+            int(min(4096, max(par, (g_stats["m2"] or 0) // _target)))
+        )
+    within = (
+        within_pre.select("hamming", F.explode("members").alias("i"), "members")
         .select("hamming", "i", F.explode("members").alias("j"))
         .filter(F.col("i") < F.col("j"))
         .select(F.col("i").alias("a"), F.col("j").alias("b"), "hamming")
