@@ -57,49 +57,35 @@ def _register(name: str, oracle: str | None):
 #: last rows-only gate, retired via the portable KMV +
 #: deterministic-sample construction).
 GRADE_ORDER = [
-    # ---- round-8 rotation (VERDICT r7 item 2): evidence-rotation,
-    # second pass. 20 MORE gates that had never occupied a
-    # driver-graded slot in rounds 1-7 now earn CORRECTNESS rows; the
-    # 20 round-7 rotations cede (each earned its green driver row in
-    # CORRECTNESS_r07 and remains parity-verified every round by
-    # tools/check_parity.py). Cumulative driver-graded coverage:
-    # 93/132 after round 7 -> 113/132 after this window; one more
-    # rotation saturates all 132. Every SURVEY §2 family and every
-    # added family keeps >= 1 anchor; the window contract is
-    # unchanged: first 50 of query_map(), all full-oracle.
+    # ---- round-8 rotation (VERDICT r7 item 2), SATURATION pass:
+    # ALL 39 gates that had never occupied a driver-graded slot in
+    # rounds 1-7 take the window at once (computed from the committed
+    # CORRECTNESS_r0*.json artifacts; pinned by
+    # tests/test_inventory_order.py), so cumulative driver-graded
+    # coverage goes 93/132 -> 132/132 THIS round instead of two
+    # 20-gate passes. The 11 remaining slots hold exactly the active
+    # capstones named in the window contract above (four pipelines,
+    # TPC-H Q5, winnowing, sequence packing, parent chains + pagerank,
+    # pack codec, blocked k-NN). For this one saturation round the
+    # per-family-anchor rule is carried by the rotated-in gates
+    # themselves where possible and by tools/check_parity.py (132/132
+    # full-oracle at sf0.01, re-verified this round) everywhere else;
+    # every previously-graded veteran already holds a green
+    # CORRECTNESS row from rounds 1-7.
     #
-    # kept anchors (30) -------------------------------------------
+    # kept capstone anchors (11) -----------------------------------
     "pipeline_pretrain_corpus",
     "q5_local_supplier_volume",
-    "f_point_lookup",
-    "f_timestamp_range",
-    "f_property_semi_join",
     "pipeline_zorder_scan",
-    "j_semi_join_changed",
-    "j_multiway_star",
-    "j_correlated_threshold",
     "pipeline_ftm_e2e",
-    "a_entity_assembly",
-    "a_stats_facets",
-    "ftm_canonicalize",
-    "graph_parent_chain",
-    "c_shard_assignment",
-    "c_statement_id",
-    "c_pack_codec",
-    "o_entity_slice",
-    "i_matview_refresh",
     "pipeline_streaming_ingest",
-    "x_asof_join",
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
     "dedup_winnow_substrings",
-    "sim_knn_blocked",
-    "sim_ann_lsh",
-    "graph_pagerank",
-    "text_bpe_encode",
-    "text_quality_score",
     "sample_pack_sequences",
-    # rotated IN: never driver-graded before round 8 (20) ---------
+    "graph_parent_chain",
+    "graph_pagerank",
+    "c_pack_codec",
+    "sim_knn_blocked",
+    # rotated IN: never driver-graded before round 8 (39) ----------
     # streaming/event-window family (the round-7 frame family —
     # w_range_frame/w_percent_rank/w_first_last_value/w_lag_lead —
     # ceded after its green round; these five grade the OTHER window
@@ -115,24 +101,48 @@ GRADE_ORDER = [
     "q3_shipping_priority",
     "q10_returned_items",
     "q22_global_sales_opportunity",
-    # text family (text_benchmark_overlap ceded; bpe_encode + quality
-    # stay anchors): postings join, TF-IDF, decontamination,
-    # unigram-LM perplexity, n-gram dup coverage.
+    # text family: postings join, TF-IDF, decontamination, unigram-LM
+    # perplexity, n-gram dup coverage, plus the remaining never-graded
+    # text gates (bigram top-k, BPE merge table, length buckets,
+    # novelty, PII scrub, repetition ratio/stats).
     "text_bm25_topk",
     "text_tfidf_top_terms",
     "text_decontaminate",
     "text_unigram_logprob",
     "text_dup_ngram_coverage",
-    # sampling family (sample_stratified ceded; pack_sequences stays
-    # the anchor): importance weights, epoch shuffle, hash split.
+    "text_bigram_topk",
+    "text_bpe_merges",
+    "text_length_buckets",
+    "text_novelty_score",
+    "text_pii_scrub",
+    "text_repetition_ratio",
+    "text_repetition_stats",
+    # sampling family: importance weights, epoch shuffle, hash split,
+    # train/val/test split, source interleave.
     "sample_dsir_weights",
     "sample_epoch_shuffle",
     "sample_hash_based",
     "split_train_val_test",
-    # exploratory/x family (pivot + sketch slots ceded; x_asof_join
-    # stays the anchor):
+    "sample_interleave_sources",
+    # aggregate family never-graded pair: grouped medians, salted skew
+    # aggregation.
+    "a_median_groups",
+    "a_skew_salted",
+    # dedup/doc-chunk never-graded pair:
+    "dedup_chunks",
+    "doc_chunk_overlap",
+    # similarity family never-graded trio: centroid stats, one k-means
+    # update step, int8 quantization.
+    "sim_centroid_stats",
+    "sim_kmeans_update",
+    "sim_quantize_int8",
+    # exploratory/x family:
     "x_json_extract",
     "x_funnel_stages",
+    "x_cohort_retention",
+    "x_correlation",
+    "x_feature_snapshot",
+    "x_string_agg",
     # multimodal anchor handover (mm_audio_roundtrip ceded after its
     # green round; video framing keeps the family in the window):
     "mm_video_frame_sample",
@@ -365,9 +375,10 @@ def j_multiway_star(spark, sf_dir):
     with the data, so their join strategy is left to the size-based
     planner + AQE: at bench SF they broadcast (under the threshold), at
     100 TB they shuffle — a forced hint would instead OOM every
-    executor. The session raises the broadcast thresholds to an
-    executor-memory-bounded 64 MB (session.py) so the broadcast regime
-    extends exactly as far as memory allows and no further."""
+    executor. The thresholds themselves stay at Spark's conservative
+    defaults (session.py): Catalyst's size estimates above aggregates
+    are unreliable upward, and AQE re-decides from ACTUAL shuffle
+    sizes at runtime, which is the safe path to the broadcast regime."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -4946,18 +4957,33 @@ def pipeline_chunk_pack(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 (shipping priority): segment-filtered customer dim
-    broadcast into orders, orders into lineitem, date predicates on
-    BOTH fact scans (pushed to parquet), then a grouped top-10 with a
-    total order (revenue desc, orderdate, orderkey tiebreak).
-    o_orderpriority stands in for o_shippriority (testdata schema).
-    At scale: the only shuffle is the final groupBy on l_orderkey —
-    the same key lineitem already joined on, so AQE coalesces it."""
+    """TPC-H Q3 (shipping priority): date predicates on both fact
+    scans (pushed to parquet), a grouped top-10 with a total order
+    (revenue desc, orderdate, orderkey tiebreak). o_orderpriority
+    stands in for o_shippriority (testdata schema).
+
+    Shape (round-8 rewrite, the sf100 sweep's worst engine/oracle
+    ratio at 14x): the revenue aggregate is pushed BELOW the orders
+    join — valid because orders is unique on o_orderkey, so the other
+    group keys (o_orderdate, o_orderpriority) are functionally
+    dependent on the join key and the join duplicates no lineitem
+    rows. Catalyst does not push aggregates through joins itself, and
+    the manual push changes the plan's scale behavior: the lineitem
+    side collapses from |filtered rows| to |distinct late-shipped
+    orderkeys| BEFORE the big join — when that fits the broadcast
+    regime AQE ships it and the orders scan streams map-side; past it
+    the join degrades to a shuffle whose lineitem side is already
+    aggregated and 2-column narrow, and the post-join re-aggregation
+    disappears either way. The customer probe is a left-semi (its
+    columns are never projected), also size-decided. No forced hints
+    (j_multiway_star's policy)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        .join(c, F.col("o_custkey") == c.c_custkey, "left_semi")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
@@ -4965,13 +4991,11 @@ def q3_shipping_priority(spark, sf_dir):
     rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
         "decimal(12,4)"
     )
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        # segment-filtered customer still scales with SF — size-decided
-        # (j_multiway_star's broadcast policy)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        o.join(li_agg, o.o_orderkey == li_agg.l_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
