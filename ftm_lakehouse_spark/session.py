@@ -52,13 +52,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Broadcast budget: explicit hints are reserved for
         # cardinality-BOUNDED tables (see j_multiway_star's policy);
-        # data-sized dims rely on the size thresholds, deliberately
-        # LEFT AT Spark's conservative defaults — Catalyst's size
-        # estimates above aggregates are unreliable upward (measured:
-        # a 64m threshold broadcast a 1 GB post-aggregate fingerprint
-        # table at sf10 and blew spark.driver.maxResultSize), so a
-        # raised threshold trades a bounded local win for an unbounded
-        # cluster failure mode.
+        # data-sized dims rely on the size thresholds. The STATIC
+        # threshold stays at Spark's conservative default — Catalyst's
+        # pre-execution size estimates above aggregates are unreliable
+        # upward (measured: a 64m static threshold broadcast a 1 GB
+        # post-aggregate fingerprint table at sf10 and blew
+        # spark.driver.maxResultSize). The ADAPTIVE threshold is a
+        # different decision: AQE re-plans from the ACTUAL size of a
+        # materialized shuffle stage, so a raised value only ever
+        # broadcasts relations measured under it. 64 MB is
+        # executor-memory-bounded (one hashed relation per task slot
+        # at 16g heap) and extends the broadcast regime to post-
+        # aggregate sides the static planner cannot trust — e.g. Q3's
+        # orderkey-collapsed lineitem at sf100.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -118,6 +125,7 @@ def tune_for_local(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.shuffle.partitions": str(_cpus()),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
