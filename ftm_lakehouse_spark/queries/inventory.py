@@ -2989,11 +2989,47 @@ def text_novelty_score(spark, sf_dir):
     bigram occurrences that are corpus-rare (<5 total occurrences).
     Near-duplicate/boilerplate docs score near 0, novel text near 1.
 
-    Distributed shape: bigram explode → map-side-combined corpus count
-    → hash equi-join back on the bigram key (big-big, no broadcast) →
-    per-doc re-aggregation. Every shuffle keys on uniform hash keys;
-    the arithmetic is integer counts + one exact ratio, so both
-    engines agree bit-for-bit."""
+    Distributed shape (round-8 rewrite; the naive explode→count→join
+    form was a planner trap and the profiled bottleneck of the text
+    family). Three moves, each load-bearing at 100 TB:
+
+    1. ROW-LOCAL pair collapse: per document the bigram array is
+       sorted and run-length encoded into (bigram, k) structs by pure
+       array expressions (the winnowing rewrite's technique), so the
+       occurrence stream never shuffles at raw grain — a groupBy
+       (doc_id, bigram) would move every occurrence; this moves
+       nothing and its map-side output is already exact.
+    2. Corpus counts fold the pair stream to VALUE grain (sum k by
+       bigram, map-side combined — hot boilerplate bigrams collapse
+       per partition instead of pinning a reducer), then filter to
+       the cnt>=5 'common' set, which is what the score actually
+       needs.
+    3. The score joins pairs LEFT OUTER against that common set —
+       and a left-outer broadcast hash join can only BUILD RIGHT, so
+       the join's build side is pinned by SEMANTICS, not statistics.
+       That matters: in the old inner-join form, the probe side's
+       size estimate (a Project+Generate above the repartition
+       exchange — schema-width guesses, blind to the ~50x explode
+       expansion) collapsed below the count table's, and Spark
+       broadcast the 3.1 GiB EXPLODED stream, single-threading the
+       relation build on the driver: measured 35-44 s at sf10,
+       near-flat 54 s at sf100 (parallelism grew only with input
+       bytes, not work). Here the streamed side cannot be built no
+       matter what the estimates say; when the common set outgrows
+       the broadcast regime the join degrades to a skew-aware
+       co-partitioned join at PAIR grain (the collapsed stream, not
+       raw occurrences).
+
+    Net plan: zero raw-grain shuffles — the only exchanges are the
+    value-grain corpus fold and the 1-row-per-doc final aggregate
+    (the pair stream is re-derived map-side for the two consumers,
+    trading one repeated tokenize pass, embarrassingly parallel CPU,
+    for never moving occurrences over the network). Measured: 35-40 s
+    -> 9.7 s at sf10; at sf100 69 s vs the old plan's 54 s — but the
+    old 54 s depended on the replica corpus's 931 distinct bigrams
+    making the count table broadcastable, luck a real corpus (1e9+
+    distinct bigrams) does not offer; this plan's fallback is a
+    collapsed-grain skew-aware join instead of a raw-grain one."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
@@ -3001,26 +3037,55 @@ def text_novelty_score(spark, sf_dir):
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
         ).alias("t"),
     )
-    bi = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+    # run-length encode the sorted bigram array: starts = 1-based
+    # positions where the value changes; zip each start with the next
+    # start to get the run length k. All row-local.
+    rle = F.expr(
+        """
+        CASE WHEN size(sp) >= 1 THEN
+          zip_with(
+            sp, concat(slice(sp, 2, size(sp) - 1), array(size(sb) + 1)),
+            (s, e) -> struct(element_at(sb, s) AS bigram,
+                             CAST(e - s AS BIGINT) AS k))
+        ELSE CAST(array() AS array<struct<bigram:string,k:bigint>>) END
+        """
     )
-    corpus = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
-    common = F.sum(F.when(F.col("cnt") >= 5, 1).otherwise(0))
+    pairs = (
+        toks.withColumn(
+            "sb",
+            F.expr(
+                "array_sort(CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                " ELSE array() END)"
+            ),
+        )
+        .withColumn(
+            "sp",
+            F.expr(
+                "CASE WHEN size(sb) >= 1 THEN"
+                " filter(sequence(1, size(sb)),"
+                " i -> i = 1 OR element_at(sb, i) != element_at(sb, i - 1))"
+                " ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.explode(rle).alias("p"))
+        .select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.k").alias("k"))
+    )
+    common = (
+        pairs.groupBy("bigram")
+        .agg(F.sum("k").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .select("bigram", F.lit(1).alias("is_common"))
+    )
     return (
-        bi.join(corpus, "bigram")
+        pairs.join(common, "bigram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            common.cast("long").alias("n_common"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.coalesce(F.col("is_common"), F.lit(0)))
+            .cast("long")
+            .alias("n_common"),
         )
         .select(
             "doc_id",
@@ -5210,29 +5275,74 @@ def text_dup_ngram_coverage(spark, sf_dir):
     (within-doc) and dedup_winnow_substrings (pairwise spans) — this
     is the corpus-level boilerplate signal used as a filter feature.
 
-    Scale shape: grams collapse to (doc_id, md5) pairs immediately
-    (never shuffling gram text), the df table is a groupBy on the
-    16-byte hash, and the join back is hash-to-hash. dup_frac is a
-    ratio of exact integers — bit-identical IEEE division in both
-    engines."""
+    Scale shape (round-8 rewrite, the text family's slowest sf100
+    wall at 204.8 s): grams collapse to (doc_id, md5, c) ROW-LOCALLY —
+    the per-doc gram array is sorted and run-length encoded by array
+    expressions (text_novelty_score's technique), so the raw
+    occurrence stream never shuffles; a groupBy(doc_id, h) moved
+    every instance over the network. The df table folds the collapsed
+    pairs to value grain (map-side combined), filters to the df>=2
+    'dup' set — all the score needs — and the join back is LEFT OUTER
+    against that set, whose broadcast build side is pinned by join
+    SEMANTICS (outer probe cannot build), immunizing the plan against
+    the estimate-blind wrong-side broadcast text_novelty_score
+    documents. The pair stream is re-derived map-side for its two
+    consumers (gram hashing twice, embarrassingly parallel) — measured
+    CHEAPER at both sf10 and sf100 than materializing it through an
+    explicit exchange, because per-branch column pruning rewrites the
+    exchange child differently and defeats ReuseExchange, doubling the
+    shuffle on top of the hashing. 204.8 s -> 174 s at sf100.
+    dup_frac is a ratio of exact integers — bit-identical IEEE
+    division in both engines."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("ts"),
     )
-    grams_arr = F.when(
-        F.size("ts") >= 5,
-        F.expr("transform(sequence(1, size(ts) - 4), i -> md5(array_join(slice(ts, i, 5), ' ')))"),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    grams = toks.select("doc_id", F.explode(grams_arr).alias("h"))
-    grp = grams.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
-    byhash = grp.groupBy("h").agg(F.count("*").alias("n_docs"))
+    rle = F.expr(
+        """
+        CASE WHEN size(sp) >= 1 THEN
+          zip_with(
+            sp, concat(slice(sp, 2, size(sp) - 1), array(size(sg) + 1)),
+            (s, e) -> struct(element_at(sg, s) AS h,
+                             CAST(e - s AS BIGINT) AS c))
+        ELSE CAST(array() AS array<struct<h:string,c:bigint>>) END
+        """
+    )
+    grp = (
+        toks.withColumn(
+            "sg",
+            F.expr(
+                "array_sort(CASE WHEN size(ts) >= 5 THEN"
+                " transform(sequence(1, size(ts) - 4),"
+                " i -> md5(array_join(slice(ts, i, 5), ' ')))"
+                " ELSE CAST(array() AS array<string>) END)"
+            ),
+        )
+        .withColumn(
+            "sp",
+            F.expr(
+                "CASE WHEN size(sg) >= 1 THEN"
+                " filter(sequence(1, size(sg)),"
+                " i -> i = 1 OR element_at(sg, i) != element_at(sg, i - 1))"
+                " ELSE CAST(array() AS array<int>) END"
+            ),
+        )
+        .select("doc_id", F.explode(rle).alias("p"))
+        .select("doc_id", F.col("p.h").alias("h"), F.col("p.c").alias("c"))
+    )
+    dup = (
+        grp.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
     per = (
-        grp.join(byhash, "h")
+        grp.join(dup, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0))
+            F.sum(F.col("c") * F.coalesce(F.col("is_dup"), F.lit(0)))
             .cast("bigint")
             .alias("dup_grams"),
         )
