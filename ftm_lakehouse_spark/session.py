@@ -58,14 +58,29 @@ def get_spark(
         # upward (measured: a 64m static threshold broadcast a 1 GB
         # post-aggregate fingerprint table at sf10 and blew
         # spark.driver.maxResultSize). The ADAPTIVE threshold is a
-        # different decision: AQE re-plans from the ACTUAL size of a
-        # materialized shuffle stage, so a raised value only ever
-        # broadcasts relations measured under it. 64 MB is
+        # better-informed decision: AQE re-plans from the ACTUAL size
+        # of materialized shuffle stages, extending the broadcast
+        # regime to post-aggregate sides the static planner cannot
+        # trust — e.g. Q3's orderkey-collapsed lineitem at sf100. It
+        # is NOT a complete guarantee: a join side whose subtree puts
+        # a Project/Generate ABOVE the measured exchange is still
+        # costed by schema-width guesses (SCALE.md §12 defect 5), so
+        # operators whose streamed side must never build pin it by
+        # JOIN TYPE (outer probe), not by threshold. 64 MB is
         # executor-memory-bounded (one hashed relation per task slot
-        # at 16g heap) and extends the broadcast regime to post-
-        # aggregate sides the static planner cannot trust — e.g. Q3's
-        # orderkey-collapsed lineitem at sf100.
+        # at 16g heap).
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # Runtime Bloom-filter join pruning (on by default) keeps its
+        # conservative creation caps (10 MB / 4M keys). Raising them
+        # (512MB / 32M keys, so Q10's 12M date-filtered orderkeys
+        # could bloom-prune the 150M-row returned-lineitem shuffle)
+        # measured NEUTRAL-TO-NEGATIVE in a controlled solo A/B at
+        # sf100 (19.7s off vs 21.1s on): on one box the shuffle the
+        # bloom saves is page-cache-local, so the extra key-aggregate
+        # pass over orders costs more than it saves. On a real cluster
+        # with network shuffle the trade likely flips — revisit with a
+        # multi-node measurement, per-job via SPARK_GRAFT_CONF, rather
+        # than as an unmeasurable default here.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
