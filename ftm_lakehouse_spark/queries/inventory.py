@@ -3728,11 +3728,16 @@ def text_bpe_encode(spark, sf_dir):
     — sublinear in corpus, operators/bpe.bpe_segment_words: merges
     fold JVM-side in rank order, no UDF) and join piece counts back to
     the per-(doc, word) frequency table, so per-document totals are
-    one map-side-combinable aggregation. The merge-table collect is
-    bounded (num_merges rows) — the tokenizer artifact, not data.
-    Reference analog: the reference ships no tokenizer, but token
-    accounting over a trained vocab is the standard corpus-statistics
-    step between its export surface and an LLM training run."""
+    one map-side-combinable aggregation. The (doc, word, cnt) table is
+    itself built ROW-LOCALLY — run-length encoding of the sorted token
+    array (text_novelty_score's technique; round-8 rewrite) — so word
+    occurrences never shuffle at raw grain; the old
+    groupBy(doc_id, word) pushed every occurrence through an exchange.
+    The merge-table collect is bounded (num_merges rows) — the
+    tokenizer artifact, not data. Reference analog: the reference
+    ships no tokenizer, but token accounting over a trained vocab is
+    the standard corpus-statistics step between its export surface
+    and an LLM training run."""
     from ftm_lakehouse_spark.functions.text import tokens
     from ftm_lakehouse_spark.operators.bpe import bpe_segment_words, bpe_train
 
@@ -3741,11 +3746,30 @@ def text_bpe_encode(spark, sf_dir):
         bpe_train(d.filter("doc_id < 300"), num_merges=12).orderBy("rank").collect()
     )
     merges = [(r["left"], r["right"]) for r in merges_rows]
+    rle = F.expr(
+        """
+        CASE WHEN size(sp) >= 1 THEN
+          zip_with(
+            sp, concat(slice(sp, 2, size(sp) - 1), array(size(sw) + 1)),
+            (s, e) -> struct(element_at(sw, s) AS word,
+                             CAST(e - s AS BIGINT) AS cnt))
+        ELSE CAST(array() AS array<struct<word:string,cnt:bigint>>) END
+        """
+    )
     per_word = (
         d.filter("doc_id >= 300")
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", F.array_sort(tokens(F.col("text"))).alias("sw"))
+        .withColumn(
+            "sp",
+            F.expr(
+                "CASE WHEN size(sw) >= 1 THEN"
+                " filter(sequence(1, size(sw)),"
+                " i -> i = 1 OR element_at(sw, i) != element_at(sw, i - 1))"
+                " ELSE CAST(array() AS array<int>) END"
+            ),
+        )
+        .select("doc_id", F.explode(rle).alias("p"))
+        .select("doc_id", F.col("p.word").alias("word"), F.col("p.cnt").alias("cnt"))
     )
     seg = bpe_segment_words(per_word.select("word").distinct(), merges).select(
         "word", F.size("pieces").alias("n_pieces")
