@@ -383,3 +383,50 @@ def test_q6_all_predicates_reach_the_scan(spark):
         assert frag in plan, f"predicate not pushed: {frag}"
     # column pruning: only the four referenced columns are read
     assert "l_orderkey" not in plan and "l_returnflag" not in plan
+
+
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def test_no_broadcast_builds_an_exploded_stream(spark):
+    """Round-8 defect 5 (SCALE.md §12): size estimates above a
+    Project/Generate are schema-width guesses, and Spark once chose to
+    broadcast a 3.1 GiB EXPLODED bigram stream over the 931-row count
+    table it was joined with. The rewritten text gates must never plan
+    a BroadcastExchange whose subtree contains a Generate (explode) —
+    the streamed side is pinned by join type instead."""
+    gates = [
+        "text_novelty_score",
+        "text_dup_ngram_coverage",
+        "text_tfidf_top_terms",
+        "sample_dsir_weights",
+        "text_bpe_encode",
+    ]
+    offenders = {}
+    for name in gates:
+        df = QUERIES[name][0](spark, SF)
+        root = df._jdf.queryExecution().sparkPlan()
+        for node in _walk(root):
+            if "BroadcastExchange" in node.nodeName():
+                subtree = [n.nodeName() for n in _walk(node)]
+                bad = [s for s in subtree if "Generate" in s]
+                if bad:
+                    offenders[name] = bad
+    assert not offenders, f"broadcast of an exploded stream: {offenders}"
+
+
+def test_repetition_gates_are_one_map_pass(spark):
+    """text_repetition_stats / text_repetition_ratio compute
+    within-document statistics: their plans must contain no Generate,
+    no Join, and no aggregate exchange — the only exchange allowed is
+    the _spread round-robin repartition of the single-file scan."""
+    for name in ("text_repetition_stats", "text_repetition_ratio"):
+        plan = plan_of(spark, name)
+        assert "Generate" not in plan, name
+        assert "Join" not in plan, name
+        assert "hashpartitioning" not in plan, name
+        assert "HashAggregate" not in plan, name
