@@ -4779,15 +4779,27 @@ def x_countmin_sketch(spark, sf_dir):
     Estimates never undercount; the gate emits true vs estimated
     counts for every term so the overcount distribution is visible.
     Integer arithmetic end to end — a FULL-oracle gate for an
-    'approximate' data structure."""
+    'approximate' data structure.
+
+    Scale shape (round-8): the term stream folds to the value-grain
+    count table FIRST (map-side combined — the same table the gate
+    reports as true_cnt anyway, localCheckpointed once since it feeds
+    the sketch, the estimate keys, and the final join), and the sketch
+    ingests it WEIGHTED — exactly equal because cells add. That turns
+    d×|stream| seeded-md5 computations (10.6B at sf100, the old 117 s
+    wall) into d×|vocabulary|."""
     from ftm_lakehouse_spark.functions.text import tokens
     from ftm_lakehouse_spark.streaming.sketches import cms_estimate, cms_sketch
 
     D_, W_ = 4, 64
     d = _spread(load_table(spark, sf_dir, "documents"))
     words = d.select(F.explode(tokens(F.col("text"))).alias("term"))
-    sketch = cms_sketch(words, "term", d=D_, w=W_)
-    truec = words.groupBy("term").agg(F.count("*").cast("bigint").alias("true_cnt"))
+    truec = (
+        words.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_sketch(truec, "term", d=D_, w=W_, weight_col="true_cnt")
     est = cms_estimate(sketch, truec.select("term"), "term", d=D_, w=W_)
     return truec.join(est, "term").select("term", "true_cnt", "est_cnt")
 
@@ -5907,22 +5919,25 @@ def x_kmv_distinct(spark, sf_dir):
     from pyspark.sql import Window as W_win
 
     li = load_table(spark, sf_dir, "lineitem")
-    hashed = (
-        li.select(
-            F.col("l_returnflag").alias("grp"),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string"))),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+    # distinct BEFORE hashing (round-8): the raw key column folds to
+    # value grain map-side first, so md5 runs once per distinct
+    # (group, key) pair — 60M at sf100 — instead of once per row
+    # (600M); (grp, h) stays distinct by construction since the hash
+    # is a function of the key.
+    pairs = li.select(F.col("l_returnflag").alias("grp"), "l_partkey").distinct()
+    hashed = pairs.select(
+        "grp",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
         )
-        .distinct()
+        .cast("long")
+        .alias("h"),
     )
     w1 = W_win.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
     survivors = hashed.withColumn("_rn", F.row_number().over(w1)).filter(

@@ -52,17 +52,42 @@ def cms_cells(
 
 
 def cms_sketch(
-    df: DataFrame, key_col: str, d: int = 4, w: int = 1024, prefix: str = "cms"
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    prefix: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The sketch: ``(row, bucket, c)``. On a batch frame this is one
     partial-aggregated shuffle to ≤ d×w rows; on a streaming frame it
     is a stateful aggregation whose state is BOUNDED at d×w rows no
     matter how many distinct keys the stream carries (use
-    ``outputMode("complete")`` — the result set itself is tiny)."""
+    ``outputMode("complete")`` — the result set itself is tiny).
+
+    ``weight_col``: ingest pre-counted keys — ``cms_sketch(kc, "k",
+    weight_col="cnt")`` over a ``(key, cnt)`` table equals the sketch
+    of the raw stream EXACTLY (cells add, so weighting is the same
+    algebra as mergeability). When the key domain is bounded
+    (vocabularies, categories), folding the stream to value grain
+    first turns d×|stream| hash computations into d×|domain| — the
+    x_countmin_sketch gate's plan at corpus scale."""
+    if weight_col is None:
+        return (
+            cms_cells(df, key_col, d, w, prefix)
+            .groupBy("row", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+    key = F.col(key_col).cast("string")
     return (
-        cms_cells(df, key_col, d, w, prefix)
+        df.select(
+            F.col(weight_col).alias("_cms_w"),
+            F.posexplode(
+                F.array(*[_bucket(key, i, w, prefix) for i in range(d)])
+            ).alias("row", "bucket"),
+        )
         .groupBy("row", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_cms_w").alias("c"))
     )
 
 
