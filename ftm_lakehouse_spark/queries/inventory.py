@@ -57,6 +57,13 @@ def _register(name: str, oracle: str | None):
 #: last rows-only gate, retired via the portable KMV +
 #: deterministic-sample construction).
 GRADE_ORDER = [
+    # ---- round-9: window held STABLE (no rotation). Driver-graded
+    # coverage saturated at 132/132 in round 8, so there is no
+    # never-graded gate to rotate in; the three round-8 hash-fails
+    # (text_length_buckets / text_novelty_score / sim_centroid_stats —
+    # oracle-SQL HUGEINT→float64 dtype artifact, engine values
+    # verified exact; VERDICT r8 "What's wrong") stay in-window so
+    # their CAST(... AS BIGINT) fixes re-grade to green this round.
     # ---- round-8 rotation (VERDICT r7 item 2), SATURATION pass:
     # ALL 39 gates that had never occupied a driver-graded slot in
     # rounds 1-7 take the window at once (computed from the committed
@@ -375,10 +382,11 @@ def j_multiway_star(spark, sf_dir):
     with the data, so their join strategy is left to the size-based
     planner + AQE: at bench SF they broadcast (under the threshold), at
     100 TB they shuffle — a forced hint would instead OOM every
-    executor. The thresholds themselves stay at Spark's conservative
-    defaults (session.py): Catalyst's size estimates above aggregates
-    are unreliable upward, and AQE re-decides from ACTUAL shuffle
-    sizes at runtime, which is the safe path to the broadcast regime."""
+    executor. The STATIC threshold stays at Spark's default; the
+    adaptive threshold is raised to 64m (see session.py): Catalyst's
+    static size estimates above aggregates are unreliable upward, but
+    AQE re-decides from ACTUAL materialized shuffle sizes at runtime,
+    which is the safe path to the broadcast regime."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -2988,10 +2996,10 @@ def text_bigram_topk(spark, sf_dir):
     "sim_centroid_stats",
     """
     SELECT label, count(*) AS n,
-           sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS s0,
-           sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)) AS s1,
-           sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT)) AS s2,
-           sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT)) AS s3
+           CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s0,
+           CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s2,
+           CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s3
     FROM embeddings
     GROUP BY label
     """,
@@ -3038,7 +3046,7 @@ def sim_centroid_stats(spark, sf_dir):
     )
     SELECT b.doc_id,
            count(*) AS n_bigrams,
-           sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END) AS n_common,
+           CAST(sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
            round((count(*) - sum(CASE WHEN c.cnt >= 5 THEN 1 ELSE 0 END))
                  / CAST(count(*) AS DOUBLE), 6) AS novelty
     FROM bi b JOIN corpus c USING (bigram)
@@ -3515,7 +3523,7 @@ def w_first_last_value(spark, sf_dir):
     SELECT lang,
            CAST(least(floor(n_chars / 200), 9) AS BIGINT) AS len_bucket,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, len_bucket
     """,
@@ -5922,8 +5930,12 @@ def x_kmv_distinct(spark, sf_dir):
     # distinct BEFORE hashing (round-8): the raw key column folds to
     # value grain map-side first, so md5 runs once per distinct
     # (group, key) pair — 60M at sf100 — instead of once per row
-    # (600M); (grp, h) stays distinct by construction since the hash
-    # is a function of the key.
+    # (600M).  The hash is a function of the key but NOT injective
+    # (52 bits): two distinct partkeys can collide, yielding duplicate
+    # (grp, h) rows that the oracle (which dedupes AFTER hashing)
+    # would merge — so a second .distinct() on (grp, h) keeps the two
+    # sides structurally identical (round-9 ADVICE fix; cheap, the
+    # input is already value-grain).
     pairs = li.select(F.col("l_returnflag").alias("grp"), "l_partkey").distinct()
     hashed = pairs.select(
         "grp",
@@ -5938,7 +5950,7 @@ def x_kmv_distinct(spark, sf_dir):
         )
         .cast("long")
         .alias("h"),
-    )
+    ).distinct()
     w1 = W_win.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
     survivors = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
         F.col("_rn") <= 64

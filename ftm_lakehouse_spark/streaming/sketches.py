@@ -71,7 +71,15 @@ def cms_sketch(
     algebra as mergeability). When the key domain is bounded
     (vocabularies, categories), folding the stream to value grain
     first turns d×|stream| hash computations into d×|domain| — the
-    x_countmin_sketch gate's plan at corpus scale."""
+    x_countmin_sketch gate's plan at corpus scale.
+
+    PRECONDITION: weights must be non-null and non-negative — a NULL
+    weight would be skipped by ``sum`` (silently diverging from the
+    raw-stream path, where every row counts 1) and a negative weight
+    would break the one-sided-overcount guarantee this module
+    documents.  Enforced per-row with ``raise_error`` (a codegen'd
+    branch, no extra pass): a count table with NULL/negative counts is
+    malformed input, not a weighting choice."""
     if weight_col is None:
         return (
             cms_cells(df, key_col, d, w, prefix)
@@ -79,9 +87,20 @@ def cms_sketch(
             .agg(F.count("*").alias("c"))
         )
     key = F.col(key_col).cast("string")
+    wcol = F.col(weight_col)
+    checked_w = F.when(
+        wcol.isNull() | (wcol < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"cms_sketch: weight_col '{weight_col}' must be "
+                      "non-null and non-negative, got "),
+                F.coalesce(wcol.cast("string"), F.lit("NULL")),
+            )
+        ).cast(df.schema[weight_col].dataType),
+    ).otherwise(wcol)
     return (
         df.select(
-            F.col(weight_col).alias("_cms_w"),
+            checked_w.alias("_cms_w"),
             F.posexplode(
                 F.array(*[_bucket(key, i, w, prefix) for i in range(d)])
             ).alias("row", "bucket"),

@@ -392,13 +392,47 @@ def _walk(node):
         yield from _walk(children.apply(i))
 
 
+def _raw_generates_below(node):
+    """Generate nodes reachable from ``node`` WITHOUT crossing an
+    aggregate.  Broadcasting an aggregate built FROM an exploded stream
+    is fine (the aggregate reduced the grain to the small key domain —
+    exactly what the 64m adaptive threshold exists to enable);
+    broadcasting the raw exploded stream itself is the round-8 defect.
+    Descends into AQE QueryStage wrappers (their children() are empty;
+    the materialized tree hangs off .plan())."""
+    name = node.nodeName()
+    if "Aggregate" in name:
+        return []
+    if "Generate" in name:
+        return [name]
+    out = []
+    children = node.children()
+    for i in range(children.size()):
+        out += _raw_generates_below(children.apply(i))
+    if "QueryStage" in name:
+        try:
+            out += _raw_generates_below(node.plan())
+        except Exception:
+            pass
+    return out
+
+
 def test_no_broadcast_builds_an_exploded_stream(spark):
     """Round-8 defect 5 (SCALE.md §12): size estimates above a
     Project/Generate are schema-width guesses, and Spark once chose to
     broadcast a 3.1 GiB EXPLODED bigram stream over the 931-row count
     table it was joined with. The rewritten text gates must never plan
     a BroadcastExchange whose subtree contains a Generate (explode) —
-    the streamed side is pinned by join type instead."""
+    the streamed side is pinned by join type instead.
+
+    LIMITATION (round-9 ADVICE): ``sparkPlan()`` is the PRE-AQE
+    physical plan. With the adaptive broadcast threshold raised to 64m
+    (session.py), AQE can introduce a broadcast at runtime from actual
+    shuffle sizes — which this static walk cannot observe. The gates
+    are protected at runtime by the LEFT OUTER join-type pin (Spark
+    cannot broadcast the left/outer side of a left-outer join), and
+    ``test_no_exploded_broadcast_survives_aqe`` below executes one
+    gate and walks the FINAL adaptive plan to cover the AQE path."""
     gates = [
         "text_novelty_score",
         "text_dup_ngram_coverage",
@@ -412,11 +446,41 @@ def test_no_broadcast_builds_an_exploded_stream(spark):
         root = df._jdf.queryExecution().sparkPlan()
         for node in _walk(root):
             if "BroadcastExchange" in node.nodeName():
-                subtree = [n.nodeName() for n in _walk(node)]
-                bad = [s for s in subtree if "Generate" in s]
+                bad = _raw_generates_below(node)
                 if bad:
                     offenders[name] = bad
     assert not offenders, f"broadcast of an exploded stream: {offenders}"
+
+
+def test_no_exploded_broadcast_survives_aqe(spark):
+    """Execute text_novelty_score (the gate where defect 5 was found)
+    and walk the POST-AQE executed plan: after AdaptiveSparkPlanExec
+    has re-planned from actual materialized shuffle sizes, there must
+    still be no BroadcastExchange that broadcasts a RAW exploded
+    stream (a Generate not folded through an aggregate — see
+    _raw_generates_below).  Broadcasting the aggregated count table
+    built from the exploded stream IS expected here: that is the 64m
+    adaptive threshold doing its job from actual sizes.  Complements
+    the static pre-AQE walk above (round-9 ADVICE)."""
+    df = QUERIES["text_novelty_score"][0](spark, SF)
+    df.count()  # materialize so AQE finalizes the plan
+    root = df._jdf.queryExecution().executedPlan()
+    # AdaptiveSparkPlanExec's children() are the stale pre-execution
+    # plan; the finalized tree hangs off .executedPlan()
+    if "AdaptiveSparkPlan" in root.nodeName():
+        root = root.executedPlan()
+    offenders = []
+    saw_broadcast = False
+    for node in _walk(root):
+        if "BroadcastExchange" in node.nodeName():
+            saw_broadcast = True
+            offenders += _raw_generates_below(node)
+    assert saw_broadcast, (
+        "expected AQE to broadcast the aggregated count table at this "
+        "SF — if no broadcast is planned at all, this test no longer "
+        "exercises the AQE path it documents"
+    )
+    assert not offenders, f"AQE introduced an exploded broadcast: {offenders}"
 
 
 def test_repetition_gates_are_one_map_pass(spark):

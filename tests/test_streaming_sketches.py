@@ -91,3 +91,32 @@ def test_unseen_keys_estimate_small(spark):
     est = {r["k"]: r["est_cnt"] for r in cms_estimate(sk, _keys(spark, ["zzz"]), "k", D, W).collect()}
     # may collide with 'a' cells, but min-over-rows keeps it <= true N
     assert 0 <= est["zzz"] <= 10
+
+
+def test_weighted_sketch_matches_raw_and_guards_bad_weights(spark):
+    """(key, cnt) ingestion equals the raw stream exactly; NULL or
+    negative weights are malformed input and raise at execution time
+    (round-9 ADVICE: F.sum would silently skip a NULL weight,
+    diverging from the raw path where every row counts 1)."""
+    import pytest
+
+    values = [f"k{i % 5}" for i in range(100)]
+    raw = _keys(spark, values)
+    counted = raw.groupBy("k").agg(F.count("*").alias("cnt"))
+
+    raw_cells = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_sketch(raw, "k", D, W).collect()
+    }
+    weighted_cells = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_sketch(counted, "k", D, W, weight_col="cnt").collect()
+    }
+    assert raw_cells == weighted_cells
+
+    bad_null = spark.createDataFrame([("a", 3), ("b", None)], ["k", "cnt"])
+    with pytest.raises(Exception, match="non-null and non-negative"):
+        cms_sketch(bad_null, "k", D, W, weight_col="cnt").collect()
+    bad_neg = spark.createDataFrame([("a", 3), ("b", -1)], ["k", "cnt"])
+    with pytest.raises(Exception, match="non-null and non-negative"):
+        cms_sketch(bad_neg, "k", D, W, weight_col="cnt").collect()

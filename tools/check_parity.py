@@ -27,6 +27,33 @@ from ftm_lakehouse_spark.session import get_spark
 from ftm_lakehouse_spark.sources.tables import TESTDATA_TABLES
 
 
+def dtype_classes(df: pd.DataFrame) -> dict:
+    """Coarse per-column dtype class, compared across engines BEFORE the
+    value comparison.  The driver's value hash is representation-strict:
+    DuckDB widening an integer ``sum()`` to HUGEINT (→ pandas float64,
+    ``10.0``) while Spark returns int64 (``10``) fails the driver even
+    though ``assert_frame_equal(check_dtype=False)`` coerces them equal —
+    exactly how the three round-8 gates passed six local parity runs and
+    died at the driver (VERDICT r8 "What's wrong").  Classifying int vs
+    float vs bool vs datetime vs object per column makes that drift fail
+    locally too.  Within-class width differences (int32 vs int64) are
+    allowed — the driver hashes those identically."""
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_bool_dtype(s):
+            out[c] = "bool"
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = "int"
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = "float"
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = "datetime"
+        else:
+            out[c] = "object"
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -105,6 +132,12 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         a, b = normalize(sdf), normalize(ddf)
+        ca, cb = dtype_classes(a), dtype_classes(b)
+        if ca != cb:
+            diff = {c: (ca.get(c), cb.get(c)) for c in ca if ca.get(c) != cb.get(c)}
+            failures.append(name)
+            print(f"FAIL  {name}: dtype class drift (spark vs oracle): {diff}")
+            continue
         if list(a.columns) != list(b.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
