@@ -10,7 +10,11 @@ measurement every prior round recorded, so round-over-round totals stay
 comparable — and ``warm`` carries the median of $SPARK_GRAFT_BENCH_WARM
 (default 3) subsequent runs, the contention-robust number rounds should
 compare (cold runs pay codegen + Python-worker startup and swing
-±30-50% with host contention; see SCALE.md §6d).
+±30-50% with host contention; see SCALE.md §6d). Both dicts land in
+the full-precision ``BENCH_LOCAL_r{N}.json`` artifact; the byte-capped
+STDOUT line the driver records carries the WARM medians (labeled
+``queries_are``) since round 9, so geomeans are computable from driver
+artifacts alone.
 
 ``pipeline_ftm_e2e`` and ``pipeline_streaming_ingest`` are the two
 write-path queries: every run (cold AND each warm rep) builds a real
@@ -151,18 +155,25 @@ def main() -> None:
     if warm:
         out["warm"] = warm
         out["warm_total"] = round(sum(warm.values()), 4)
-    # BENCH_LOCAL.json is the canonical, full-precision artifact
-    # (cold + warm per-query dicts).
+    # One canonical committed full-precision artifact per round
+    # (round-9, VERDICT r8 item 7: retires the BENCH_LOCAL.json /
+    # BENCH_LOCAL_r0N.json split — the suffixed name IS the live file).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "09")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
+                           f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
         fh.write(json.dumps(out) + "\n")
     spark.stop()
     # The driver records only the LAST 2000 bytes of stdout (measured
     # from BENCH_r06/r07: "tail" is byte-capped and the head of the one
     # JSON line was cut, leaving parsed:null). The stdout line must
     # therefore FIT the cap: compact separators, reduced-precision
-    # floats, cold-queries dict only (warm medians live in
-    # BENCH_LOCAL.json). Degrade precision until it fits.
+    # floats, ONE per-query dict. Round-9 (VERDICT r8 item 5): that
+    # dict now carries the WARM medians — the contention-robust number
+    # round-over-round geomeans are computed from — so the driver
+    # artifact alone supports the comparison; "queries_are" labels the
+    # semantics, and the cold total stays in "value" for continuity
+    # with rounds 1-8. Degrade precision until it fits the cap.
+    stdout_queries = warm if warm else timings
     for ndigits in (3, 2, 1):
         stdout_out = {
             "metric": out["metric"],
@@ -170,7 +181,8 @@ def main() -> None:
             "unit": "sec",
             "sf": out["sf"],
             "warm_total": round(out.get("warm_total", 0.0), ndigits),
-            "queries": {k: round(v, ndigits) for k, v in timings.items()},
+            "queries_are": "warm_median" if warm else "cold",
+            "queries": {k: round(v, ndigits) for k, v in stdout_queries.items()},
         }
         line = json.dumps(stdout_out, separators=(",", ":"))
         if len(line) <= 1950:
