@@ -41,7 +41,24 @@ class NdjsonApi:
     can drain it without buffering the result set."""
 
     def __init__(self, lakehouse):
+        import threading
+
         self.lakehouse = lakehouse
+        # point-get serving cache: Dataset construction (config sidecar
+        # read + store/version/job stores init) costs tens of ms — real
+        # latency on the hot GET /entities/<id> route now that the
+        # lookup itself is single-digit ms (serving.PointReader). The
+        # cached Dataset holds no table state: every read re-checks the
+        # commit log head, so freshness is unaffected.
+        self._ds_cache: dict[str, object] = {}
+        self._ds_lock = threading.Lock()
+
+    def _dataset(self, name: str):
+        with self._ds_lock:
+            ds = self._ds_cache.get(name)
+            if ds is None:
+                ds = self._ds_cache[name] = self.lakehouse.dataset(name)
+            return ds
 
     @staticmethod
     def _ndjson(df) -> Iterator[str]:
@@ -75,7 +92,7 @@ class NdjsonApi:
         return self._ndjson(df)
 
     def get_entity(self, dataset: str, entity_id: str) -> dict | None:
-        ent = self.lakehouse.dataset(dataset).get(entity_id)
+        ent = self._dataset(dataset).get(entity_id)
         return json.loads(json.dumps(ent, default=str)) if ent else None
 
     def stats(self, dataset: str) -> dict:

@@ -62,6 +62,11 @@ class Dataset:
         from ftm_lakehouse_spark.jobs import JobStore
 
         self.jobs = JobStore(self._fs.join(self.path, "_meta", "jobs"), spark)
+        # Spark-free point-lookup serving path (see serving.py); lazy
+        # per-version snapshot cache, safe to hold for the Dataset's life
+        from ftm_lakehouse_spark.serving import PointReader
+
+        self._point_reader = PointReader(self.store)
 
     # --------------------------------------------------------- writes
     def write_statements(self, df: DataFrame) -> None:
@@ -130,9 +135,27 @@ class Dataset:
         """Current commit version (the time-travel / diff cursor)."""
         return self.store.commits.current_version()
 
-    def get(self, entity_id: str) -> dict | None:
-        """Point lookup: shard prune + entity_id pushdown, then a
-        one-entity assembly (reference storage/parquet.py:276-292)."""
+    def get(self, entity_id: str, engine: str = "auto") -> dict | None:
+        """Point lookup (reference storage/parquet.py:276-292 behind
+        api/routes/entities.py:34-49).
+
+        ``engine="auto"`` (default) serves from the store's own parquet
+        + commit log via a driver-side pyarrow read — no Spark job —
+        because a per-get Spark job floors at ~678 ms warm
+        (SCALE.md §7) while the reference's interactive DuckDB path is
+        single-digit ms; see :mod:`ftm_lakehouse_spark.serving`. Any
+        failure of the direct path (store on a filesystem pyarrow can't
+        open, schema drift) falls back to the Spark path, which stays
+        the semantic source of truth (``engine="spark"`` forces it;
+        tests hash-compare both)."""
+        if engine not in ("auto", "spark", "direct"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine != "spark":
+            try:
+                return self._point_reader.get(entity_id)
+            except Exception:
+                if engine == "direct":
+                    raise
         from ftm_lakehouse_spark.model.statement import entity_shard
 
         rows = self.store.live().filter(

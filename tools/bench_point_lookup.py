@@ -21,7 +21,15 @@ the concurrent lookups share executor slots fairly instead of queuing
 FIFO behind each other; the reported per-request median/p95 is the
 concurrent floor the serving-cache recommendation must quote.
 
-Usage: python tools/bench_point_lookup.py [sf_dir] [n_warm] [--concurrent [C]]
+Round-9 addition (VERDICT r8 item 3): ``Dataset.get`` now defaults to
+the Spark-FREE direct path (serving.PointReader — driver-side pyarrow
+over the MVCC snapshot with footer row-group pruning), so this tool
+measures that path by default; ``--engine spark`` forces the old
+Spark-job path for comparison, and every run hash-compares a sample of
+entity dicts across both engines before timing anything.
+
+Usage: python tools/bench_point_lookup.py [sf_dir] [n_warm]
+           [--engine auto|spark|direct] [--concurrent [C]]
 """
 
 from __future__ import annotations
@@ -40,8 +48,12 @@ from ftm_lakehouse_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_warm = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    n_warm = int(args[1]) if len(args) > 1 else 50
+    engine = "auto"
+    if "--engine" in sys.argv:
+        engine = sys.argv[sys.argv.index("--engine") + 1]
 
     spark = get_spark("bench-point-lookup")
     root = tempfile.mkdtemp(prefix="pl_bench_")
@@ -63,19 +75,30 @@ def main() -> None:
 
     ids = [f"doc-{i * (n // (n_warm + 1) or 1)}" for i in range(1, n_warm + 1)]
 
+    # correctness first: direct and Spark paths must serve identical
+    # entity dict bytes (the serving-path parity contract)
+    import json
+
+    for eid in ids[:: max(1, len(ids) // 10)]:
+        a = json.dumps(ds.get(eid, engine="direct"), default=str, sort_keys=True)
+        b = json.dumps(ds.get(eid, engine="spark"), default=str, sort_keys=True)
+        assert a == b, f"engine mismatch for {eid}"
+    print(f"engine parity: direct == spark on {len(ids[::max(1, len(ids)//10)])} sampled ids")
+
     t0 = time.perf_counter()
-    assert ds.get("doc-1") is not None
+    assert ds.get("doc-1", engine=engine) is not None
     cold = time.perf_counter() - t0
 
     samples = []
     for eid in ids:
         t0 = time.perf_counter()
-        ent = ds.get(eid)
+        ent = ds.get(eid, engine=engine)
         samples.append(time.perf_counter() - t0)
         assert ent is not None, eid
     samples.sort()
     print(
-        f"point lookup on merged+zordered store ({n} entities, 32 shards): "
+        f"point lookup on merged+zordered store ({n} entities, 32 shards, "
+        f"engine={engine}): "
         f"cold {cold * 1000:.0f}ms, warm median "
         f"{statistics.median(samples) * 1000:.0f}ms, p95 "
         f"{samples[int(0.95 * len(samples))] * 1000:.0f}ms over {n_warm} gets"
