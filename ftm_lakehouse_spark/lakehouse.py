@@ -135,7 +135,12 @@ class Dataset:
         """Current commit version (the time-travel / diff cursor)."""
         return self.store.commits.current_version()
 
-    def get(self, entity_id: str, engine: str = "auto") -> dict | None:
+    def get(
+        self,
+        entity_id: str,
+        engine: str = "auto",
+        as_of: int | None = None,
+    ) -> dict | None:
         """Point lookup (reference storage/parquet.py:276-292 behind
         api/routes/entities.py:34-49).
 
@@ -147,18 +152,25 @@ class Dataset:
         failure of the direct path (store on a filesystem pyarrow can't
         open, schema drift) falls back to the Spark path, which stays
         the semantic source of truth (``engine="spark"`` forces it;
-        tests hash-compare both)."""
+        tests hash-compare both).
+
+        ``as_of`` reads the entity at a past commit version (MVCC time
+        travel, both engines) — a serving caller pins one version
+        across many gets for a consistent snapshot during concurrent
+        rewrites."""
         if engine not in ("auto", "spark", "direct"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine != "spark":
             try:
-                return self._point_reader.get(entity_id)
+                return self._point_reader.get(entity_id, as_of=as_of)
             except Exception:
                 if engine == "direct":
                     raise
         from ftm_lakehouse_spark.model.statement import entity_shard
 
-        rows = self.store.live().filter(
+        rows = with_canonical_id(
+            self.store.raw(as_of=as_of).filter(live_filter())
+        ).filter(
             (F.col("shard") == entity_shard(F.lit(entity_id), self.config.shards))
             & (F.col("entity_id") == entity_id)
         )

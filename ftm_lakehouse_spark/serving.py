@@ -140,7 +140,11 @@ class PointReader:
         self._cached_files: list[str] = []
 
     # ------------------------------------------------------- snapshot
-    def _snapshot(self) -> list[str]:
+    def _snapshot(self, as_of: int | None = None) -> list[str]:
+        if as_of is not None:
+            # time-travel gets are rare — resolve directly, no cache
+            # (same MVCC replay the Spark path uses via raw(as_of))
+            return self.store.commits.snapshot(as_of)
         head = self.store.commits.current_version()
         with self._lock:
             if head != self._cached_version:
@@ -150,14 +154,16 @@ class PointReader:
                 self._cached_version = head
             return self._cached_files
 
-    def _candidate_paths(self, entity_id: str) -> list[tuple[str, str]]:
+    def _candidate_paths(
+        self, entity_id: str, as_of: int | None = None
+    ) -> list[tuple[str, str]]:
         """(absolute path, origin) for every snapshot file in the
         entity's shard partition."""
         shard = entity_shard_py(entity_id, self.store.config.shards)
         prefix = f"shard={shard}/"
         data = self.store._data_path()
         out = []
-        for rel in self._snapshot():
+        for rel in self._snapshot(as_of):
             if not rel.startswith(prefix):
                 continue
             origin = "default"
@@ -168,12 +174,12 @@ class PointReader:
         return out
 
     # ----------------------------------------------------------- read
-    def _entity_rows(self, entity_id: str) -> list[dict]:
+    def _entity_rows(self, entity_id: str, as_of: int | None = None) -> list[dict]:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         rows: list[dict] = []
-        for path, origin in self._candidate_paths(entity_id):
+        for path, origin in self._candidate_paths(entity_id, as_of):
             # filters= prunes row groups from footer min/max stats —
             # the write sort leads with entity_id, so a point id maps
             # to one row group per file post-merge
@@ -251,5 +257,12 @@ class PointReader:
             "n_statements": len(content),
         }
 
-    def get(self, entity_id: str) -> dict | None:
-        return self._assemble_one(entity_id, self._entity_rows(entity_id))
+    def get(self, entity_id: str, as_of: int | None = None) -> dict | None:
+        """Point lookup; ``as_of`` reads the entity at a past commit
+        version (the commit log's time travel — readable for as long as
+        vacuum retention keeps the files, like the Spark path's
+        ``raw(as_of=)``). A pinned version gives a caller issuing MANY
+        gets one consistent snapshot across a concurrent rewrite."""
+        return self._assemble_one(
+            entity_id, self._entity_rows(entity_id, as_of)
+        )

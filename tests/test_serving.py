@@ -109,7 +109,7 @@ def test_auto_prefers_direct_and_falls_back(ds, monkeypatch):
     # break the direct path → auto must fall back to Spark, same answer
     monkeypatch.setattr(
         ds._point_reader, "get",
-        lambda eid: (_ for _ in ()).throw(RuntimeError("boom")),
+        lambda eid, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
     )
     assert _canon(ds.get("alice")) == _canon(ent)
     with pytest.raises(RuntimeError):
@@ -129,3 +129,33 @@ def test_direct_is_fast_solo(ds):
     # the Spark path floors at ~678 ms warm (SCALE.md §7); the direct
     # path must be orders of magnitude under it even on a cold-ish box
     assert per < 0.1, f"direct point-get took {per * 1000:.1f} ms"
+
+
+def test_as_of_time_travel_both_engines(ds):
+    v1 = ds.store.commits.current_version()
+    alice_v1_direct = ds.get("alice", engine="direct")
+    ds.write_entities(
+        ds.spark.createDataFrame(
+            [{"id": "alice", "schema": "Person",
+              "properties": {"nationality": ["fr"]}}]
+        ),
+        origin="late",
+    )
+    # head view gained the new origin + prop; the pinned version did not
+    head = ds.get("alice", engine="direct")
+    assert "late" in head["origins"] and "nationality" in head["properties"]
+    at_v1_direct = ds.get("alice", engine="direct", as_of=v1)
+    at_v1_spark = ds.get("alice", engine="spark", as_of=v1)
+    assert _canon(at_v1_direct) == _canon(alice_v1_direct)
+    assert _canon(at_v1_direct) == _canon(at_v1_spark)
+    # an entity born after v1 is absent at v1 on both engines
+    ds.write_entities(
+        ds.spark.createDataFrame(
+            [{"id": "newborn", "schema": "Person",
+              "properties": {"name": ["N"]}}]
+        ),
+        origin="late",
+    )
+    assert ds.get("newborn", engine="direct", as_of=v1) is None
+    assert ds.get("newborn", engine="spark", as_of=v1) is None
+    assert ds.get("newborn", engine="direct") is not None
