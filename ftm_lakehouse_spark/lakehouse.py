@@ -177,6 +177,33 @@ class Dataset:
         out = assemble_entities(rows).collect()
         return out[0].asDict(recursive=True) if out else None
 
+    def get_many(
+        self,
+        entity_ids: list[str],
+        engine: str = "auto",
+        as_of: int | None = None,
+    ) -> dict[str, dict | None]:
+        """Batch point lookup (hydration shape): one direct-path read
+        per candidate file with an ``entity_id IN`` pushdown, all ids
+        against ONE snapshot; same engine/fallback contract as
+        :meth:`get`."""
+        if engine not in ("auto", "spark", "direct"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine != "spark":
+            try:
+                return self._point_reader.get_many(entity_ids, as_of=as_of)
+            except Exception:
+                if engine == "direct":
+                    raise
+        rows = with_canonical_id(
+            self.store.raw(as_of=as_of).filter(live_filter())
+        ).filter(F.col("entity_id").isin(list(entity_ids)))
+        got = {
+            r["entity_id"]: r.asDict(recursive=True)
+            for r in assemble_entities(rows).collect()
+        }
+        return {eid: got.get(eid) for eid in entity_ids}
+
     def count(self, q: Query | None = None) -> int:
         live = self.store.live()
         ids = q.matching_ids(live) if q else live.select("entity_id").distinct()

@@ -266,3 +266,48 @@ class PointReader:
         return self._assemble_one(
             entity_id, self._entity_rows(entity_id, as_of)
         )
+
+    def get_many(
+        self, entity_ids: list[str], as_of: int | None = None
+    ) -> dict[str, dict | None]:
+        """Batch point lookup: ONE pyarrow read per candidate file with
+        an ``entity_id IN (...)`` row-group filter, instead of one read
+        per id — the hydration shape (re-embedding a worklist, serving
+        a page of search hits). Ids are grouped by shard first, so each
+        shard file is opened once with only its own ids pushed down;
+        all ids inside one call resolve against the SAME snapshot."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        by_shard: dict[str, list[str]] = {}
+        for eid in entity_ids:
+            by_shard.setdefault(
+                entity_shard_py(eid, self.store.config.shards), []
+            ).append(eid)
+
+        snapshot = self._snapshot(as_of)
+        data = self.store._data_path()
+        rows_by_id: dict[str, list[dict]] = {eid: [] for eid in entity_ids}
+        for shard, ids in by_shard.items():
+            prefix = f"shard={shard}/"
+            for rel in snapshot:
+                if not rel.startswith(prefix):
+                    continue
+                origin = "default"
+                for seg in rel.split("/"):
+                    if seg.startswith("origin="):
+                        origin = seg.split("=", 1)[1]
+                table = pq.read_table(
+                    self.store._fs.join(data, rel),
+                    columns=_COLUMNS,
+                    filters=[("entity_id", "in", ids)],
+                )
+                if table.num_rows == 0:
+                    continue
+                table = table.filter(pc.is_null(table.column("deleted_at")))
+                for rec in table.to_pylist():
+                    rec["origin"] = origin
+                    rows_by_id[rec["entity_id"]].append(rec)
+        return {
+            eid: self._assemble_one(eid, rows) for eid, rows in rows_by_id.items()
+        }

@@ -159,3 +159,24 @@ def test_as_of_time_travel_both_engines(ds):
     assert ds.get("newborn", engine="direct", as_of=v1) is None
     assert ds.get("newborn", engine="spark", as_of=v1) is None
     assert ds.get("newborn", engine="direct") is not None
+
+
+def test_get_many_matches_singles_and_spark(ds):
+    ids = ["alice", "anon", "mixed", "gone", "missing"]
+    batch = ds.get_many(ids, engine="direct")
+    assert list(batch) == ids  # caller order preserved
+    for eid in ids:
+        assert _canon(batch[eid]) == _canon(ds.get(eid, engine="direct")), eid
+    spark_batch = ds.get_many(ids, engine="spark")
+    for eid in ids:
+        assert _canon(batch[eid]) == _canon(spark_batch[eid]), eid
+    # pinned-version batch: entities written later are absent
+    v = ds.store.commits.current_version()
+    ds.write_entities(
+        ds.spark.createDataFrame(
+            [{"id": "fresh", "schema": "Person", "properties": {"name": ["F"]}}]
+        ),
+        origin="bulk",
+    )
+    old = ds.get_many(["alice", "fresh"], engine="direct", as_of=v)
+    assert old["fresh"] is None and old["alice"] is not None
