@@ -91,8 +91,14 @@ class NdjsonApi:
         df = self.lakehouse.dataset(dataset).statements(q).limit(self._clamp(limit))
         return self._ndjson(df)
 
-    def get_entity(self, dataset: str, entity_id: str) -> dict | None:
-        ent = self._dataset(dataset).get(entity_id)
+    def get_entity(
+        self, dataset: str, entity_id: str, version: int | None = None
+    ) -> dict | None:
+        """``version`` pins the read to a past commit (MVCC time
+        travel) — a client iterating many gets passes the value from
+        the ``/version`` route for one consistent snapshot across
+        concurrent rewrites."""
+        ent = self._dataset(dataset).get(entity_id, as_of=version)
         return json.loads(json.dumps(ent, default=str)) if ent else None
 
     def stats(self, dataset: str) -> dict:
@@ -296,7 +302,11 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         )
                     )
                 if len(parts) == 3 and parts[1] == "entities":
-                    ent = api.get_entity(parts[0], parts[2])
+                    ver = params.get("version")
+                    ent = api.get_entity(
+                        parts[0], parts[2],
+                        version=int(ver) if ver is not None else None,
+                    )
                     if ent is None:
                         return self._json({"error": "entity not found"}, 404)
                     return self._json(ent)
@@ -398,8 +408,8 @@ def create_app(lakehouse):
         return stream(api.statements(dataset, origin=origin, limit=limit))
 
     @app.get("/{dataset}/entities/{entity_id}")
-    def get_entity(dataset: str, entity_id: str):
-        return api.get_entity(dataset, entity_id)
+    def get_entity(dataset: str, entity_id: str, version: int | None = None):
+        return api.get_entity(dataset, entity_id, version=version)
 
     @app.get("/{dataset}/stats")
     def stats(dataset: str):

@@ -250,3 +250,22 @@ def test_http_restore_without_version_is_400(http_api):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "version" in e.read().decode("utf-8")
+
+
+def test_http_point_lookup_version_pin(http_api, api):
+    """?version=N pins the GET to a past commit (MVCC time travel):
+    a value added after the pin is visible at head but absent at N."""
+    v = api.lakehouse.dataset("demo").store.commits.current_version()
+    api.write_entities(
+        "demo",
+        [json.dumps({"id": "jane", "schema": "Person",
+                     "properties": {"phone": ["+49"]}})],
+        origin="late",
+    )
+    status, head = _get(f"{http_api}/demo/entities/jane")
+    assert status == 200 and "phone" in json.loads(head)["properties"]
+    status, pinned = _get(f"{http_api}/demo/entities/jane?version={v}")
+    assert status == 200
+    pinned = json.loads(pinned)
+    assert "phone" not in pinned["properties"]
+    assert pinned["origins"] == ["bulk"]
