@@ -137,22 +137,44 @@ class PointReader:
         self.store = store
         self._lock = threading.Lock()
         self._cached_version: int | None = None
-        self._cached_files: list[str] = []
+        self._cached_index: dict[str, list[tuple[str, str]]] = {}
 
     # ------------------------------------------------------- snapshot
-    def _snapshot(self, as_of: int | None = None) -> list[str]:
+    @staticmethod
+    def _index_snapshot(files: list[str]) -> dict[str, list[tuple[str, str]]]:
+        """shard → [(relative path, origin)] — built ONCE per snapshot
+        version so a get costs O(files in the entity's shard), not
+        O(files in the table): at 100 TB a snapshot can hold 10^5-10^6
+        files, and a per-call linear scan of that list would cost more
+        than the read itself."""
+        index: dict[str, list[tuple[str, str]]] = {}
+        for rel in files:
+            shard = None
+            origin = "default"
+            for seg in rel.split("/"):
+                if seg.startswith("shard="):
+                    shard = seg.split("=", 1)[1]
+                elif seg.startswith("origin="):
+                    origin = seg.split("=", 1)[1]
+            if shard is not None:
+                index.setdefault(shard, []).append((rel, origin))
+        return index
+
+    def _shard_index(
+        self, as_of: int | None = None
+    ) -> dict[str, list[tuple[str, str]]]:
         if as_of is not None:
             # time-travel gets are rare — resolve directly, no cache
             # (same MVCC replay the Spark path uses via raw(as_of))
-            return self.store.commits.snapshot(as_of)
+            return self._index_snapshot(self.store.commits.snapshot(as_of))
         head = self.store.commits.current_version()
         with self._lock:
             if head != self._cached_version:
-                self._cached_files = (
+                self._cached_index = self._index_snapshot(
                     self.store.commits.snapshot(head) if head else []
                 )
                 self._cached_version = head
-            return self._cached_files
+            return self._cached_index
 
     def _candidate_paths(
         self, entity_id: str, as_of: int | None = None
@@ -160,18 +182,11 @@ class PointReader:
         """(absolute path, origin) for every snapshot file in the
         entity's shard partition."""
         shard = entity_shard_py(entity_id, self.store.config.shards)
-        prefix = f"shard={shard}/"
         data = self.store._data_path()
-        out = []
-        for rel in self._snapshot(as_of):
-            if not rel.startswith(prefix):
-                continue
-            origin = "default"
-            for seg in rel.split("/"):
-                if seg.startswith("origin="):
-                    origin = seg.split("=", 1)[1]
-            out.append((self.store._fs.join(data, rel), origin))
-        return out
+        return [
+            (self.store._fs.join(data, rel), origin)
+            for rel, origin in self._shard_index(as_of).get(shard, [])
+        ]
 
     # ----------------------------------------------------------- read
     def _entity_rows(self, entity_id: str, as_of: int | None = None) -> list[dict]:
@@ -285,18 +300,11 @@ class PointReader:
                 entity_shard_py(eid, self.store.config.shards), []
             ).append(eid)
 
-        snapshot = self._snapshot(as_of)
+        index = self._shard_index(as_of)
         data = self.store._data_path()
         rows_by_id: dict[str, list[dict]] = {eid: [] for eid in entity_ids}
         for shard, ids in by_shard.items():
-            prefix = f"shard={shard}/"
-            for rel in snapshot:
-                if not rel.startswith(prefix):
-                    continue
-                origin = "default"
-                for seg in rel.split("/"):
-                    if seg.startswith("origin="):
-                        origin = seg.split("=", 1)[1]
+            for rel, origin in index.get(shard, []):
                 table = pq.read_table(
                     self.store._fs.join(data, rel),
                     columns=_COLUMNS,
