@@ -57,6 +57,10 @@ def main() -> None:
 
     spark = get_spark("bench-point-lookup")
     root = tempfile.mkdtemp(prefix="pl_bench_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     lake = Lakehouse(spark, root)
     ds = lake.dataset("plbench", shards=32)
 
