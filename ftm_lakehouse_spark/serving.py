@@ -182,6 +182,17 @@ class PointReader:
     def _shard_index(
         self, as_of: int | None = None
     ) -> dict[str, list[tuple[str, str]]]:
+        if getattr(self.store, "_adopting", False):
+            # pre-log FOREIGN store (read-only adoption): the Spark
+            # path reads the data directory listing (StatementStore.
+            # raw). Serving from a directory listing would race
+            # concurrent writers with no MVCC guarantee — raise so
+            # Dataset.get's auto mode falls back to Spark instead of
+            # silently answering None from an empty snapshot.
+            raise NotImplementedError(
+                "direct point reads require a commit log; this store is "
+                "in pre-log adoption mode — use the Spark path"
+            )
         if as_of is not None:
             # time-travel gets are rare — resolve directly, no cache
             # (same MVCC replay the Spark path uses via raw(as_of))

@@ -180,3 +180,23 @@ def test_get_many_matches_singles_and_spark(ds):
     )
     old = ds.get_many(["alice", "fresh"], engine="direct", as_of=v)
     assert old["fresh"] is None and old["alice"] is not None
+
+
+def test_adoption_store_falls_back_to_spark(ds, tmp_path, spark):
+    """A pre-log FOREIGN store (data files, no commit log) has no MVCC
+    snapshot to serve from: the direct path must refuse loudly (not
+    silently answer None from an empty snapshot) so auto mode falls
+    back to the Spark path, which reads the directory listing."""
+    import shutil
+
+    foreign_root = tmp_path / "foreign"
+    shutil.copytree(
+        ds.store._data_path(), foreign_root / "serve2" / "statements"
+    )
+    ds2 = Lakehouse(spark, str(foreign_root)).dataset("serve2", shards=4)
+    assert ds2.store._adopting
+    with pytest.raises(NotImplementedError):
+        ds2.get("alice", engine="direct")
+    ent = ds2.get("alice")  # auto → Spark fallback
+    assert ent is not None and ent["entity_id"] == "alice"
+    assert _canon(ent) == _canon(ds.get("alice", engine="spark"))
