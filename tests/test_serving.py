@@ -200,3 +200,38 @@ def test_adoption_store_falls_back_to_spark(ds, tmp_path, spark):
     ent = ds2.get("alice")  # auto → Spark fallback
     assert ent is not None and ent["entity_id"] == "alice"
     assert _canon(ent) == _canon(ds.get("alice", engine="spark"))
+
+
+def test_merge_schemata_py_mirrors_spark_fold(spark):
+    """The serving path's Python schema fold must stay in lockstep with
+    the Catalyst expression fold in operators/aggregate.merge_schemata
+    — randomized claim sets over the full ontology (plus unknown
+    names), both engines folding the same arrays."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ftm_lakehouse_spark.model.ontology import SCHEMA_ANCESTORS
+    from ftm_lakehouse_spark.operators.aggregate import merge_schemata
+    from ftm_lakehouse_spark.serving import merge_schemata_py
+
+    rng = random.Random(20260816)
+    known = sorted(SCHEMA_ANCESTORS)
+    cases = []
+    for _ in range(300):
+        n = rng.randint(1, 5)
+        claims = rng.sample(known, n)
+        if rng.random() < 0.15:
+            claims[rng.randrange(len(claims))] = "NotARealSchema"
+        cases.append(sorted(set(claims)))
+    # dedupe case lists (sets of claims fold identically regardless of
+    # multiplicity — both folds start from array_sort of the claim set)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "claims"])
+    got = {
+        r["i"]: r["merged"]
+        for r in df.select(
+            "i", merge_schemata(F.col("claims")).alias("merged")
+        ).collect()
+    }
+    for i, claims in enumerate(cases):
+        assert got[i] == merge_schemata_py(claims), (claims, got[i])
