@@ -235,3 +235,54 @@ def test_merge_schemata_py_mirrors_spark_fold(spark):
     }
     for i, claims in enumerate(cases):
         assert got[i] == merge_schemata_py(claims), (claims, got[i])
+
+
+def test_assemble_one_mirrors_assemble_entities_randomized(spark):
+    """Randomized statement sets (unicode values, duplicate rows,
+    checksum rows, multi-origin/schema/prop, missing caption props)
+    assembled by BOTH implementations — the serving mirror and the
+    Catalyst fold — must produce identical entity dicts. This is the
+    drift pin for every assembly rule at once."""
+    import random
+    from datetime import datetime, timedelta
+
+    from ftm_lakehouse_spark.operators.aggregate import assemble_entities
+    from ftm_lakehouse_spark.serving import PointReader
+
+    rng = random.Random(99)
+    schemas = ["Person", "Company", "LegalEntity", "Document", "Airplane"]
+    props = ["name", "title", "fileName", "country", "email", "zzz", "aaa"]
+    values = ["Alice", "älpha", "Ω-corp", "42", "a b c", "ACME", "日本"]
+    origins = ["bulk", "crawl", "api"]
+    base = datetime(2024, 1, 1)
+
+    rows = []
+    for e in range(40):
+        eid = f"e{e}"
+        for _ in range(rng.randint(1, 12)):
+            is_checksum = rng.random() < 0.2
+            rows.append(
+                {
+                    "entity_id": eid,
+                    "prop": "id" if is_checksum else rng.choice(props),
+                    "prop_type": "checksum" if is_checksum else "string",
+                    "value": rng.choice(values) if not is_checksum
+                    else f"chk{rng.randint(0, 3)}",
+                    "schema": rng.choice(schemas),
+                    "origin": rng.choice(origins),
+                    "first_seen": base + timedelta(hours=rng.randint(0, 100)),
+                    "last_seen": base + timedelta(hours=rng.randint(100, 200)),
+                }
+            )
+    df = spark.createDataFrame(rows)
+    spark_ents = {
+        r["entity_id"]: r.asDict(recursive=True)
+        for r in assemble_entities(df).collect()
+    }
+
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], []).append(dict(r))
+    for eid, ent_rows in by_entity.items():
+        mirror = PointReader._assemble_one(eid, ent_rows)
+        assert _canon(mirror) == _canon(spark_ents.get(eid)), eid
