@@ -286,3 +286,57 @@ def test_assemble_one_mirrors_assemble_entities_randomized(spark):
     for eid, ent_rows in by_entity.items():
         mirror = PointReader._assemble_one(eid, ent_rows)
         assert _canon(mirror) == _canon(spark_ents.get(eid)), eid
+
+
+def test_direct_reads_are_mvcc_consistent_under_writes(ds):
+    """Readers racing a writer must see each entity either at a
+    committed version or not at all — never a torn state. The direct
+    path reads the commit log's atomic file snapshot, so a get during
+    an append returns the entity with a complete origins/props set
+    from SOME committed version."""
+    import threading
+
+    errors = []
+    seen_states = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                ent = ds.get("alice", engine="direct")
+                if ent is not None:
+                    seen_states.add(tuple(sorted(ent["origins"])))
+            except Exception as e:  # pragma: no cover - failure path
+                errors.append(repr(e))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(3):
+            ds.write_entities(
+                ds.spark.createDataFrame(
+                    [{"id": "alice", "schema": "Person",
+                      "properties": {"email": [f"a{i}@x.org"]}}]
+                ),
+                origin=f"wave{i}",
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(60)
+    assert not errors, errors
+    # every observed origins-set must be a PREFIX of the commit order:
+    # {bulk,crawl} then +wave0, +wave1, +wave2 — any other combination
+    # (e.g. wave1 without wave0) would mean a torn/partial snapshot
+    valid = {
+        ("bulk", "crawl"),
+        ("bulk", "crawl", "wave0"),
+        ("bulk", "crawl", "wave0", "wave1"),
+        ("bulk", "crawl", "wave0", "wave1", "wave2"),
+    }
+    assert seen_states <= valid, seen_states - valid
+    assert ("bulk", "crawl", "wave0", "wave1", "wave2") in seen_states or ds.get(
+        "alice", engine="direct"
+    )["origins"] == ["bulk", "crawl", "wave0", "wave1", "wave2"]
