@@ -26,9 +26,9 @@ Why this is safe and exact:
   ``operators/aggregate.assemble_entities`` restricted to one entity
   (two-level fold, checksum-row exclusion, caption min_by rank, sorted
   schema fold against the generated ontology). ``Dataset.get``'s
-  fallback keeps the Spark path alive, and
-  ``tests/test_point_lookup.py`` hash-compares both paths' entity
-  dicts.
+  fallback keeps the Spark path alive, and ``tests/test_serving.py``
+  hash-compares both paths' entity dicts — including randomized
+  assembly and schema-fold mirror pins.
 
 Scale shape: on a 1000-executor deployment this code runs in the
 serving tier (API processes), not on the cluster — a point-get is a
