@@ -117,9 +117,30 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-core CPU spin (sha256 over 192 MiB of zeros, ~0.15 s
+    on an idle core) timed in wall seconds. Round-10 (VERDICT r9 item
+    2): the r9 driver artifact recorded a 1.37× UNIFORM phantom
+    regression across 67 queries that took a judge session to exonerate
+    as host contention. This scalar makes that self-diagnosing: the
+    workload is constant, so calib_s scales with host contention — a
+    reader normalizes any round-over-round query ratio by the calib
+    ratio before calling it a regression."""
+    import hashlib
+
+    chunk = bytes(1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(192):
+        h.update(chunk)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_start = _calibrate()
     spark = get_spark("bench")
 
     qmap = query_map()
@@ -144,6 +165,7 @@ def main() -> None:
             reps = sorted(run_once(fn) for _ in range(n_warm))
             warm[name] = reps[len(reps) // 2]
 
+    calib_end = _calibrate()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_suite_seconds",
@@ -151,6 +173,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # contention calibration: same fixed spin at suite start/end;
+        # compare across rounds to normalize host load out of ratios
+        "calib_s": [calib_start, calib_end],
     }
     if warm:
         out["warm"] = warm
@@ -158,7 +183,7 @@ def main() -> None:
     # One canonical committed full-precision artifact per round
     # (round-9, VERDICT r8 item 7: retires the BENCH_LOCAL.json /
     # BENCH_LOCAL_r0N.json split — the suffixed name IS the live file).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "09")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
         fh.write(json.dumps(out) + "\n")
@@ -181,6 +206,7 @@ def main() -> None:
             "unit": "sec",
             "sf": out["sf"],
             "warm_total": round(out.get("warm_total", 0.0), ndigits),
+            "calib_s": [round(c, ndigits) for c in out["calib_s"]],
             "queries_are": "warm_median" if warm else "cold",
             "queries": {k: round(v, ndigits) for k, v in stdout_queries.items()},
         }

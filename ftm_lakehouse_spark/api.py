@@ -23,6 +23,10 @@ from typing import Iterable, Iterator
 #: reference clamps page sizes before touching the store
 MAX_LIMIT = 10_000
 
+
+class _BadParam(ValueError):
+    """Malformed client-supplied query parameter → HTTP 400."""
+
 try:
     from fastapi import FastAPI
     from fastapi.responses import StreamingResponse
@@ -53,12 +57,28 @@ class NdjsonApi:
         self._ds_cache: dict[str, object] = {}
         self._ds_lock = threading.Lock()
 
+    #: bound on cached Dataset handles — a deployment serves a known
+    #: catalog, not unbounded client-supplied names
+    DS_CACHE_MAX = 256
+
     def _dataset(self, name: str):
+        """Read-route dataset resolution. Only EXISTING datasets are
+        cached (lakehouse.dataset() creates a config sidecar as a side
+        effect — a probe for an unknown name on the hot GET route must
+        not mint storage or pin a Dataset + PointReader forever), and
+        the cache is bounded: client-supplied path segments cannot grow
+        driver memory without limit."""
         with self._ds_lock:
             ds = self._ds_cache.get(name)
-            if ds is None:
-                ds = self._ds_cache[name] = self.lakehouse.dataset(name)
-            return ds
+            if ds is not None:
+                return ds
+        if not self.lakehouse.dataset_exists(name):
+            raise KeyError(f"no such dataset: {name!r}")
+        ds = self.lakehouse.dataset(name)
+        with self._ds_lock:
+            if len(self._ds_cache) >= self.DS_CACHE_MAX:
+                self._ds_cache.clear()
+            return self._ds_cache.setdefault(name, ds)
 
     @staticmethod
     def _ndjson(df) -> Iterator[str]:
@@ -282,7 +302,24 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
             }
             return parts, params
 
+        @staticmethod
+        def _int_param(params, key, default):
+            """Query-string int with 400 semantics: ?limit=abc or
+            ?version=abc is the CLIENT's error, not a server fault —
+            do_POST already maps malformed bodies to 400; mirror that
+            for GET params instead of letting int() blow up into the
+            generic 500 handler."""
+            raw = params.get(key)
+            if raw is None:
+                return default
+            try:
+                return int(raw)
+            except (ValueError, TypeError):
+                raise _BadParam(f"{key} must be an integer, got {raw!r}")
+
         def do_GET(self):
+            from ftm_lakehouse_spark.sources.commits import LogTruncated
+
             try:
                 parts, params = self._route()
                 if len(parts) == 2 and parts[1] == "entities":
@@ -290,7 +327,7 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         api.entities(
                             parts[0],
                             schema=params.get("schema"),
-                            limit=int(params.get("limit", 100)),
+                            limit=self._int_param(params, "limit", 100),
                         )
                     )
                 if len(parts) == 2 and parts[1] == "statements":
@@ -298,15 +335,21 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         api.statements(
                             parts[0],
                             origin=params.get("origin"),
-                            limit=int(params.get("limit", 1000)),
+                            limit=self._int_param(params, "limit", 1000),
                         )
                     )
                 if len(parts) == 3 and parts[1] == "entities":
-                    ver = params.get("version")
-                    ent = api.get_entity(
-                        parts[0], parts[2],
-                        version=int(ver) if ver is not None else None,
-                    )
+                    try:
+                        ent = api.get_entity(
+                            parts[0], parts[2],
+                            version=self._int_param(params, "version", None),
+                        )
+                    except LogTruncated as e:
+                        # a pinned version older than vacuum retention is
+                        # GONE, permanently — not a server fault
+                        return self._json({"error": str(e)}, 410)
+                    except KeyError as e:  # unknown dataset
+                        return self._json({"error": str(e)}, 404)
                     if ent is None:
                         return self._json({"error": "entity not found"}, 404)
                     return self._json(ent)
@@ -327,6 +370,8 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         return self._json({"error": "no runs"}, 404)
                     return self._json(rec)
                 return self._json({"error": "no such route"}, 404)
+            except _BadParam as e:  # malformed query param → 400
+                self._json({"error": str(e)}, 400)
             except BrokenPipeError:  # client hung up mid-stream
                 pass
             except Exception as e:  # surface, don't kill the thread

@@ -158,11 +158,17 @@ class Dataset:
         travel, both engines) — a serving caller pins one version
         across many gets for a consistent snapshot during concurrent
         rewrites."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
         if engine not in ("auto", "spark", "direct"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine != "spark":
             try:
                 return self._point_reader.get(entity_id, as_of=as_of)
+            except LogTruncated:
+                # authoritative: the pinned version is out of retention
+                # on BOTH engines — falling back would just re-fail
+                raise
             except Exception:
                 if engine == "direct":
                     raise
@@ -174,8 +180,26 @@ class Dataset:
             (F.col("shard") == entity_shard(F.lit(entity_id), self.config.shards))
             & (F.col("entity_id") == entity_id)
         )
-        out = assemble_entities(rows).collect()
+        try:
+            out = assemble_entities(rows).collect()
+        except Exception as e:
+            self._spark_time_travel_guard(as_of, e)
+            raise
         return out[0].asDict(recursive=True) if out else None
+
+    @staticmethod
+    def _spark_time_travel_guard(as_of: int | None, exc: Exception) -> None:
+        """Map a pinned-version Spark read failing on vacuumed files
+        (AnalysisException PATH_NOT_FOUND) to the typed LogTruncated
+        error, same contract as the direct path."""
+        if as_of is not None and "PATH_NOT_FOUND" in str(exc):
+            from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+            raise LogTruncated(
+                f"snapshot at version {as_of} references vacuumed data "
+                f"files; time travel is bounded by the vacuum retention "
+                f"window"
+            ) from exc
 
     def get_many(
         self,
@@ -187,21 +211,27 @@ class Dataset:
         per candidate file with an ``entity_id IN`` pushdown, all ids
         against ONE snapshot; same engine/fallback contract as
         :meth:`get`."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
         if engine not in ("auto", "spark", "direct"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine != "spark":
             try:
                 return self._point_reader.get_many(entity_ids, as_of=as_of)
+            except LogTruncated:
+                raise
             except Exception:
                 if engine == "direct":
                     raise
         rows = with_canonical_id(
             self.store.raw(as_of=as_of).filter(live_filter())
         ).filter(F.col("entity_id").isin(list(entity_ids)))
-        got = {
-            r["entity_id"]: r.asDict(recursive=True)
-            for r in assemble_entities(rows).collect()
-        }
+        try:
+            collected = assemble_entities(rows).collect()
+        except Exception as e:
+            self._spark_time_travel_guard(as_of, e)
+            raise
+        got = {r["entity_id"]: r.asDict(recursive=True) for r in collected}
         return {eid: got.get(eid) for eid in entity_ids}
 
     def count(self, q: Query | None = None) -> int:

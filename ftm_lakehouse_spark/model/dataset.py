@@ -100,9 +100,26 @@ def validate_dataset_name(name: str) -> str:
 
 
 def validate_origin(origin: str) -> str:
-    """Origins are partition directory names (reference: util.py:81-107)."""
+    """Origins are partition directory names. Mirror the reference's
+    ``safe_name`` semantics (util.py:38-107): reject empty, path
+    separators, ``.``/``..`` traversal, control chars, and over-long
+    values — but ALLOW other printable characters, because the
+    reference documents origins like ``mapping:abc123``. Characters
+    Hive-escapes (':', '=', '%', '#', non-ASCII) are percent-encoded by
+    Spark in the partition dir name and decoded symmetrically on read —
+    both by Spark scans and by the serving path's ``unquote``
+    (serving.py ``_index_snapshot``)."""
     import re
 
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,127}", origin):
-        raise ValueError(f"invalid origin: {origin!r}")
+    if not isinstance(origin, str) or not origin:
+        raise ValueError(f"invalid origin (empty or non-string): {origin!r}")
+    if len(origin) > 255:
+        raise ValueError(f"origin too long ({len(origin)} > 255): {origin[:40]!r}…")
+    if origin in (".", "..") or ".." in origin:
+        raise ValueError(f"origin contains path traversal: {origin!r}")
+    if re.search(r"[\x00-\x1f\x7f/\\]", origin):
+        raise ValueError(
+            f"origin contains forbidden characters "
+            f"(path separator or control char): {origin!r}"
+        )
     return origin

@@ -57,6 +57,78 @@ def _register(name: str, oracle: str | None):
 #: last rows-only gate, retired via the portable KMV +
 #: deterministic-sample construction).
 GRADE_ORDER = [
+    # ---- round-10 rotation (VERDICT r9 item 1): the r9 window had
+    # been static since round 8, so the OTHER 82 gates were last
+    # driver-graded in r7 or earlier and held only local-parity
+    # evidence. This window re-samples the inventory with the 45
+    # LEAST-recently-driver-graded gates (computed from the committed
+    # CORRECTNESS_r0*.json artifacts, ordered by last-graded round:
+    # all 23 gates last green in r1-r4, all 20 last green in r6, plus
+    # the first two r7 gates alphabetically) while keeping the five
+    # bench-headline capstone anchors. 45/50 window occupants were NOT
+    # in the r9 window (bar: >=40). Every rotated-out r9 gate stays
+    # verified each round by tools/check_parity.py (132/132
+    # full-oracle at sf0.01) and pytest.
+    #
+    # kept bench-headline anchors (5) -------------------------------
+    "pipeline_pretrain_corpus",
+    "q5_local_supplier_volume",
+    "pipeline_zorder_scan",
+    "pipeline_ftm_e2e",
+    "pipeline_streaming_ingest",
+    # rotated IN: last driver-graded r1-r4 (23) ---------------------
+    "text_edit_distance",
+    "a_count_distinct",
+    "a_cube_stats",
+    "a_exact_percentiles",
+    "a_pivot_status",
+    "a_rollup_stats",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f_in_and_null_filters",
+    "j_broadcast_dims",
+    "o_topk_global",
+    "o_topk_per_group",
+    "sim_ivf_assign",
+    "text_fingerprint",
+    "text_token_stats",
+    "u_except_ids",
+    "u_intersect_except",
+    "a_first_seen_fold",
+    "f_like_prefix",
+    "q13_customer_distribution",
+    "sim_cosine_topk",
+    "u_union_branches",
+    # rotated IN: last driver-graded r6 (20) ------------------------
+    "a_merge_dedupe_latest",
+    "a_supersession_ties",
+    "c_checksum_fold",
+    "dedup_exact",
+    "f_scan_filter_project",
+    "i_canonical_since",
+    "j_anti_join_deleted",
+    "j_interval_attribution",
+    "mm_image_roundtrip",
+    "pipeline_chunk_pack",
+    "pipeline_embedding_curation",
+    "q1_pricing_summary",
+    "sample_temperature_mix",
+    "sim_ivfpq_topk",
+    "sim_knn_join",
+    "text_lang_id",
+    "w_running_total",
+    "w_sessionize",
+    "x_kmv_distinct",
+    "x_range_join",
+    # rotated IN: the two stalest r7 gates (alphabetical) -----------
+    "a_entity_assembly",
+    "a_grouping_sets",
+]
+
+#: the round-9 window, retired intact this round (every member holds a
+#: green r9 driver row); kept for the rotation-audit test.
+_R9_GRADE_ORDER = [
     # ---- round-9: window held STABLE (no rotation). Driver-graded
     # coverage saturated at 132/132 in round 8, so there is no
     # never-graded gate to rotate in; the three round-8 hash-fails

@@ -165,16 +165,25 @@ class PointReader:
         version so a get costs O(files in the entity's shard), not
         O(files in the table): at 100 TB a snapshot can hold 10^5-10^6
         files, and a per-call linear scan of that list would cost more
-        than the read itself."""
+        than the read itself.
+
+        Partition values are Hive-escaped on write (Spark's
+        ``partitionBy`` percent-encodes ':', '=', '/', '%', '#',
+        quotes, non-ASCII in directory names and decodes them on
+        read) — decode with ``unquote``, which is exact because '%'
+        itself is escaped on write, so the direct path returns the
+        same origin strings the Spark path does."""
+        from urllib.parse import unquote
+
         index: dict[str, list[tuple[str, str]]] = {}
         for rel in files:
             shard = None
             origin = "default"
             for seg in rel.split("/"):
                 if seg.startswith("shard="):
-                    shard = seg.split("=", 1)[1]
+                    shard = unquote(seg.split("=", 1)[1])
                 elif seg.startswith("origin="):
-                    origin = seg.split("=", 1)[1]
+                    origin = unquote(seg.split("=", 1)[1])
             if shard is not None:
                 index.setdefault(shard, []).append((rel, origin))
         return index
@@ -343,15 +352,37 @@ class PointReader:
             "n_statements": len(content),
         }
 
+    @staticmethod
+    def _truncated(as_of: int, exc: Exception):
+        """A pinned-version read that hits a missing file means vacuum
+        reclaimed that snapshot's data: the version is permanently out
+        of retention — surface the typed error (→ HTTP 410), not a raw
+        FileNotFoundError (→ 500). Head reads keep FileNotFoundError:
+        there it is a transient (file vacuumed between the cached
+        snapshot listing and the read) and the auto-mode fallback
+        re-resolves."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+        raise LogTruncated(
+            f"snapshot at version {as_of} references vacuumed data "
+            f"files; time travel is bounded by the vacuum retention "
+            f"window ({exc})"
+        ) from exc
+
     def get(self, entity_id: str, as_of: int | None = None) -> dict | None:
         """Point lookup; ``as_of`` reads the entity at a past commit
         version (the commit log's time travel — readable for as long as
         vacuum retention keeps the files, like the Spark path's
         ``raw(as_of=)``). A pinned version gives a caller issuing MANY
         gets one consistent snapshot across a concurrent rewrite."""
-        return self._assemble_one(
-            entity_id, self._entity_rows(entity_id, as_of)
-        )
+        try:
+            return self._assemble_one(
+                entity_id, self._entity_rows(entity_id, as_of)
+            )
+        except FileNotFoundError as e:
+            if as_of is not None:
+                self._truncated(as_of, e)
+            raise
 
     def get_many(
         self, entity_ids: list[str], as_of: int | None = None
@@ -371,15 +402,20 @@ class PointReader:
         index = self._shard_index(as_of)
         data = self.store._data_path()
         rows_by_id: dict[str, list[dict]] = {eid: [] for eid in entity_ids}
-        for shard, ids in by_shard.items():
-            ids = sorted(set(ids))
-            for rel, origin in index.get(shard, []):
-                table = self._read_ids(self.store._fs.join(data, rel), ids)
-                if table is None:
-                    continue
-                for rec in table.to_pylist():
-                    rec["origin"] = origin
-                    rows_by_id[rec["entity_id"]].append(rec)
+        try:
+            for shard, ids in by_shard.items():
+                ids = sorted(set(ids))
+                for rel, origin in index.get(shard, []):
+                    table = self._read_ids(self.store._fs.join(data, rel), ids)
+                    if table is None:
+                        continue
+                    for rec in table.to_pylist():
+                        rec["origin"] = origin
+                        rows_by_id[rec["entity_id"]].append(rec)
+        except FileNotFoundError as e:
+            if as_of is not None:
+                self._truncated(as_of, e)
+            raise
         return {
             eid: self._assemble_one(eid, rows) for eid, rows in rows_by_id.items()
         }

@@ -269,3 +269,46 @@ def test_http_point_lookup_version_pin(http_api, api):
     pinned = json.loads(pinned)
     assert "phone" not in pinned["properties"]
     assert pinned["origins"] == ["bulk"]
+
+
+def test_http_malformed_params_are_400(http_api):
+    """Malformed client query params (?version=abc, ?limit=xyz) are the
+    CLIENT's fault: 400, not a 500 from the generic handler (round-9
+    ADVICE). Unknown datasets on the point-get route are 404 and must
+    NOT mint a config sidecar as a side effect."""
+    import urllib.error
+    import urllib.request
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            f"{http_api}/demo/entities/jane?version=abc", timeout=60
+        )
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/demo/entities?limit=xyz", timeout=60)
+    assert e.value.code == 400
+    # unknown dataset on the hot GET route → 404, no sidecar creation
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/nosuchds/entities/x", timeout=60)
+    assert e.value.code == 404
+
+
+def test_http_out_of_retention_version_is_410(http_api, api):
+    """A pinned ?version older than vacuum retention is permanently
+    gone: 410, not 500 (round-9 ADVICE)."""
+    import urllib.error
+    import urllib.request
+
+    ds = api.lakehouse.dataset("demo")
+    ds.write_entities(
+        ds.spark.createDataFrame(
+            [{"id": "jane", "schema": "Person",
+              "properties": {"email": ["j2@x.org"]}}]
+        ),
+        origin="late2",
+    )
+    ds.merge(force=True)
+    ds.store.vacuum(retention_hours=0.0)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/demo/entities/jane?version=1", timeout=60)
+    assert e.value.code in (404, 410) and e.value.code == 410

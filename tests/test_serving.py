@@ -340,3 +340,31 @@ def test_direct_reads_are_mvcc_consistent_under_writes(ds):
     assert ("bulk", "crawl", "wave0", "wave1", "wave2") in seen_states or ds.get(
         "alice", engine="direct"
     )["origins"] == ["bulk", "crawl", "wave0", "wave1", "wave2"]
+
+
+def test_direct_unescapes_hive_partition_origins(spark, tmp_path):
+    """Spark's partitionBy percent-encodes ':', '/', '%', '#' etc. in
+    partition directory names and decodes them on read; the direct
+    path parses dir segments itself and must apply the same decode —
+    otherwise GET /entities silently returns 'web%3Acrawl%2F2024'
+    where the Spark path returns 'web:crawl/2024' (round-9 ADVICE)."""
+    ds = Lakehouse(spark, str(tmp_path)).dataset("esc", shards=2)
+    # reference-legal origins ('/' and '..' are rejected by
+    # validate_origin, like the reference's safe_name) that Spark
+    # percent-encodes in the partition directory name
+    tricky = ["web:crawl-2024", "a=b%c", "ünïcode origin#1"]
+    for origin in tricky:
+        ds.write_entities(
+            spark.createDataFrame(
+                [{"id": "e1", "schema": "Person",
+                  "properties": {"name": ["E"]}}]
+            ),
+            origin=origin,
+        )
+    direct = ds.get("e1", engine="direct")
+    via_spark = ds.get("e1", engine="spark")
+    assert direct["origins"] == sorted(tricky)
+    assert _canon(direct) == _canon(via_spark)
+    # batch path shares the index — must decode identically
+    many = ds.get_many(["e1"], engine="direct")
+    assert _canon(many["e1"]) == _canon(via_spark)

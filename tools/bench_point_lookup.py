@@ -48,12 +48,19 @@ from ftm_lakehouse_spark.session import get_spark
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    n_warm = int(args[1]) if len(args) > 1 else 50
-    engine = "auto"
-    if "--engine" in sys.argv:
-        engine = sys.argv[sys.argv.index("--engine") + 1]
+    # argparse so flag VALUES never leak into positionals ('--engine
+    # direct' must not make sf_dir='direct')
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("n_warm", nargs="?", type=int, default=50)
+    ap.add_argument("--engine", choices=("auto", "spark", "direct"),
+                    default="auto")
+    ap.add_argument("--concurrent", nargs="?", type=int, const=8,
+                    default=None, metavar="C")
+    opts = ap.parse_args()
+    sf_dir, n_warm, engine = opts.sf_dir, opts.n_warm, opts.engine
 
     spark = get_spark("bench-point-lookup")
     root = tempfile.mkdtemp(prefix="pl_bench_")
@@ -108,14 +115,8 @@ def main() -> None:
         f"{samples[int(0.95 * len(samples))] * 1000:.0f}ms over {n_warm} gets"
     )
 
-    if "--concurrent" in sys.argv:
-        i = sys.argv.index("--concurrent")
-        n_clients = (
-            int(sys.argv[i + 1])
-            if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
-            else 8
-        )
-        concurrent_bench(lake, ds, ids, n_clients, spark)
+    if opts.concurrent is not None:
+        concurrent_bench(lake, ds, ids, opts.concurrent, spark)
 
 
 def concurrent_bench(lake, ds, ids, n_clients, spark) -> None:
