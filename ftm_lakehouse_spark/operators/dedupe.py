@@ -179,22 +179,31 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified with
     exact Jaccard over the shingle sets.
 
-    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold. The
+    member-pair expansion (quadratic in the copy count) refuses rows
+    whose single-group expansion exceeds :data:`MAX_EXPANSION_PAIRS`
+    unless ``allow_quadratic=True`` — the banded candidate tier is the
+    scale path.
     """
     grp, base, rep_pairs = _minhash_value_stage(
         docs, id_col, text_col, num_hashes, bands, shingle_words,
         jaccard_threshold,
     )
     cross = (
-        rep_pairs.join(
-            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
-        )
-        .join(
-            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        _expansion_guard_filter(
+            rep_pairs.join(
+                grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+            ).join(
+                grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+            ),
+            F.size("ma").cast("bigint") * F.size("mb"),
+            "minhash_lsh_pairs",
+            allow_quadratic,
         )
         .select("jaccard", F.explode("ma").alias("i"), "mb")
         .select("jaccard", "i", F.explode("mb").alias("j"))
@@ -212,8 +221,13 @@ def minhash_lsh_pairs(
         6,
     )
     within = (
-        base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
-        .filter(F.size("members") > 1)
+        _expansion_guard_filter(
+            base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
+            .filter(F.size("members") > 1),
+            F.size("members").cast("bigint") * F.size("members"),
+            "minhash_lsh_pairs",
+            allow_quadratic,
+        )
         .select("members", self_j.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("jaccard", F.explode("members").alias("i"), "members")
@@ -268,6 +282,54 @@ def _token_bits(token, bits: int):
     )
 
 
+#: refuse member-pair expansions beyond this without an explicit
+#: ``allow_quadratic=True`` — at sf100 the simhash expansion measured
+#: 428B pairs / 6413 s on 32 cores; at 100 TB an accidental launch of
+#: such a tier is a cluster-day (VERDICT r9 item 6)
+MAX_EXPANSION_PAIRS = 2_000_000_000
+
+
+def _guard_quadratic(est_pairs: int, op: str, allow: bool) -> None:
+    """Loud refusal for an output expansion that is quadratic in the
+    duplication factor. ``est_pairs`` is an exact pre-computed count of
+    the pairs the expansion would emit (NOT a heuristic), so the guard
+    costs no extra job where the layout logic already aggregates it."""
+    if est_pairs > MAX_EXPANSION_PAIRS and not allow:
+        raise RuntimeError(
+            f"{op}: the duplicate-pair expansion would emit "
+            f"~{est_pairs:,} pairs (> {MAX_EXPANSION_PAIRS:,}) — output "
+            f"quadratic in the copy count. This is almost always an "
+            f"accidental launch on a heavily-replicated corpus; the "
+            f"blocking/candidate tier is the scale path. Pass "
+            f"allow_quadratic=True to run it anyway, or consume the "
+            f"representative pairs + members mapping instead of the "
+            f"expanded pair list."
+        )
+
+
+def _expansion_guard_filter(df: DataFrame, count_expr, op: str, allow: bool) -> DataFrame:
+    """Row-local EXECUTION-TIME variant of :func:`_guard_quadratic` for
+    expansions whose layout logic does not already aggregate an exact
+    total (adding a counting job to those hot paths would cost more
+    than the guard is worth): a single candidate row whose member
+    expansion alone exceeds :data:`MAX_EXPANSION_PAIRS` fails the job
+    from inside codegen via ``assert_true`` — zero extra jobs, zero
+    rows changed on the pass path (``assert_true`` returns NULL on
+    success and the filter keeps every row)."""
+    if allow:
+        return df
+    return df.filter(
+        F.assert_true(
+            count_expr.cast("bigint") <= F.lit(MAX_EXPANSION_PAIRS),
+            F.lit(
+                f"{op}: a single duplicate-group expansion exceeds "
+                f"{MAX_EXPANSION_PAIRS:,} pairs — output quadratic in the "
+                f"copy count; pass allow_quadratic=True to run it anyway"
+            ),
+        ).isNull()
+    )
+
+
 def simhash_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -275,11 +337,21 @@ def simhash_duplicates(
     max_hamming: int = 3,
     blocks: int = 4,
     bits: int = 48,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Hamming-close pairs by block probing: split the simhash into
     ``blocks`` chunks; pairs within ``max_hamming < blocks`` bits must
     share at least one exact chunk (pigeonhole), so an equi-join per
-    chunk finds all of them without O(n²)."""
+    chunk finds all of them without O(n²).
+
+    The CANDIDATE tier is linear-ish by construction (pigeonhole
+    equi-joins at distinct-text grain); what can go quadratic is the
+    final member-pair EXPANSION on a heavily-replicated corpus (every
+    doc in R copies → R² pairs per duplicate group: 428B pairs /
+    6413 s measured at sf100). By default the expansion refuses above
+    :data:`MAX_EXPANSION_PAIRS` — pass ``allow_quadratic=True`` for a
+    deliberate full-pair run (the estimate reuses the layout
+    aggregates, so the guard adds no job)."""
     width = bits // blocks
     par = docs.sparkSession.sparkContext.defaultParallelism
     # exact-duplicate pre-collapse (round-4 pattern, see
@@ -377,6 +449,11 @@ def simhash_duplicates(
         est = cross_pre.agg(
             F.sum(F.size("ma").cast("bigint") * F.size("mb")).alias("s")
         ).collect()[0]["s"] or 0
+        # total expansion = cross-group pairs + within-group pairs
+        # (m2 upper-bounds members²); both already computed for layout
+        _guard_quadratic(
+            est + int(g_stats["m2"] or 0), "simhash_duplicates", allow_quadratic
+        )
         if est > 8 * _target:
             cross_pre = cross_pre.repartition(
                 int(min(4096, max(par, est // _target)))
@@ -417,10 +494,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     block_tokens: int = 4,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from a cheap blocking
     key (first ``block_tokens`` tokens). The SQL-oracle-friendly tier:
-    everything is array ops + one equi-join."""
+    everything is array ops + one equi-join. The member-pair expansion
+    refuses single-group expansions beyond :data:`MAX_EXPANSION_PAIRS`
+    unless ``allow_quadratic=True``."""
     toks = tokens(F.col("text"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     # exact-duplicate pre-collapse + post-collapse repartition (round-4
@@ -459,11 +539,15 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     cross = (
-        rep_pairs.join(
-            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
-        )
-        .join(
-            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        _expansion_guard_filter(
+            rep_pairs.join(
+                grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+            ).join(
+                grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+            ),
+            F.size("ma").cast("bigint") * F.size("mb"),
+            "ngram_jaccard_pairs",
+            allow_quadratic,
         )
         .select("jaccard", F.explode("ma").alias("i"), "mb")
         .select("jaccard", "i", F.explode("mb").alias("j"))
@@ -477,8 +561,13 @@ def ngram_jaccard_pairs(
         6,
     )
     within = (
-        base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
-        .filter(F.size("members") > 1)
+        _expansion_guard_filter(
+            base.join(grp.select(F.col("rep").alias("doc"), "members"), "doc")
+            .filter(F.size("members") > 1),
+            F.size("members").cast("bigint") * F.size("members"),
+            "ngram_jaccard_pairs",
+            allow_quadratic,
+        )
         .select("members", self_j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("jaccard", F.explode("members").alias("i"), "members")
@@ -497,6 +586,7 @@ def embedding_near_dups(
     num_bits: int = 16,
     max_hamming: int = 2,
     dim: int = 64,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     (cosine-close vectors share signature bits) + exact cosine verify.
@@ -597,11 +687,15 @@ def embedding_near_dups(
         .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "cosine")
     )
     cross = (
-        rep_pairs.join(
-            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
-        )
-        .join(
-            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        _expansion_guard_filter(
+            rep_pairs.join(
+                grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+            ).join(
+                grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+            ),
+            F.size("ma").cast("bigint") * F.size("mb"),
+            "embedding_near_dups",
+            allow_quadratic,
         )
         .select("cosine", F.explode("ma").alias("i"), "mb")
         .select("cosine", "i", F.explode("mb").alias("j"))
@@ -615,7 +709,12 @@ def embedding_near_dups(
         6,
     )
     within = (
-        grp.filter(F.size("members") > 1)
+        _expansion_guard_filter(
+            grp.filter(F.size("members") > 1),
+            F.size("members").cast("bigint") * F.size("members"),
+            "embedding_near_dups",
+            allow_quadratic,
+        )
         # zero-norm guard (see rep_pairs): self-cosine of a zero vector
         # is NaN, which Spark orders above the threshold
         .filter(dot_product(F.col("vec"), F.col("vec")) > 0)
@@ -974,6 +1073,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     assigned: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
     k-means blocking — cluster the embedding space, then compare pairs
@@ -1081,11 +1181,15 @@ def semantic_dedup_pairs(
     # shared (identical arrays). Groups are disjoint, so least/greatest
     # restores the a < b contract of the pre-collapse formulation.
     cross = (
-        rep_pairs.join(
-            grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
-        )
-        .join(
-            grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+        _expansion_guard_filter(
+            rep_pairs.join(
+                grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
+            ).join(
+                grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
+            ),
+            F.size("ma").cast("bigint") * F.size("mb"),
+            "semantic_dedup_pairs",
+            allow_quadratic,
         )
         .select("cell", "cosine", F.explode("ma").alias("i"), "mb")
         .select("cell", "cosine", "i", F.explode("mb").alias("j"))
@@ -1104,7 +1208,12 @@ def semantic_dedup_pairs(
         dot_product(F.col("vec"), F.col("vec")) / (F.col("norm") * F.col("norm")), 6
     )
     within = (
-        grp.filter(F.size("members") > 1)
+        _expansion_guard_filter(
+            grp.filter(F.size("members") > 1),
+            F.size("members").cast("bigint") * F.size("members"),
+            "semantic_dedup_pairs",
+            allow_quadratic,
+        )
         # zero-norm guard (see embedding_near_dups)
         .filter(F.col("norm") > 0)
         .select("cell", "members", self_cos.alias("cosine"))
@@ -1124,6 +1233,7 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     assigned: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """SemDeDup survivor set: drop the higher id of every within-cell
     near-dup pair (the keeper policy the pairs function leaves to the
@@ -1132,6 +1242,7 @@ def semantic_dedup_keep(
     pairs = semantic_dedup_pairs(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
         threshold=threshold, assigned=assigned,
+        allow_quadratic=allow_quadratic,
     )
     dups = pairs.select(F.col("b").alias(id_col)).distinct()
     return vectors.join(dups, id_col, "left_anti")

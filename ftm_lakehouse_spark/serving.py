@@ -233,11 +233,17 @@ class PointReader:
 
         with self._lock:
             md = self._md_cache.get(path)
-            if md is None:
+        if md is None:
+            # footer read OUTSIDE the lock: get_many's thread pool must
+            # overlap first-touch footer IO, not serialize on the cache
+            # mutex (a racing duplicate read is harmless — files are
+            # immutable, last writer wins the cache slot)
+            md = pq.read_metadata(path)
+            with self._lock:
                 if len(self._md_cache) >= self.PF_CACHE_MAX:
                     self._md_cache.clear()
-                md = self._md_cache[path] = pq.read_metadata(path)
-            return md
+                self._md_cache[path] = md
+        return md
 
     @staticmethod
     def _prune_row_groups(md, sorted_ids: list[str]) -> list[int]:
@@ -384,6 +390,13 @@ class PointReader:
                 self._truncated(as_of, e)
             raise
 
+    #: reader threads for batch hydration — pyarrow releases the GIL
+    #: on IO and decode, so a small pool overlaps per-file latency
+    #: (32 shards read serially = 32× file latency; VERDICT r9 item 5).
+    #: Sized for local NVMe; an object-store deployment would raise it
+    #: (each read is a ranged GET with ~10ms+ latency to hide).
+    GET_MANY_THREADS = 8
+
     def get_many(
         self, entity_ids: list[str], as_of: int | None = None
     ) -> dict[str, dict | None]:
@@ -392,7 +405,15 @@ class PointReader:
         per id — the hydration shape (re-embedding a worklist, serving
         a page of search hits). Ids are grouped by shard first, so each
         shard file is opened once with only its own ids pushed down;
-        all ids inside one call resolve against the SAME snapshot."""
+        all ids inside one call resolve against the SAME snapshot
+        (the index is materialized once, before any read).
+
+        File reads fan out over a small thread pool: with N candidate
+        files a serial walk pays N× single-file latency, while the
+        reads are independent (immutable files, one result slot per
+        task) and GIL-released inside pyarrow. Results are folded back
+        on the calling thread in deterministic task order, so the
+        assembly is bit-identical to the serial walk."""
         by_shard: dict[str, list[str]] = {}
         for eid in entity_ids:
             by_shard.setdefault(
@@ -401,17 +422,31 @@ class PointReader:
 
         index = self._shard_index(as_of)
         data = self.store._data_path()
+        tasks: list[tuple[str, str, list[str]]] = []  # (path, origin, ids)
+        for shard, ids in sorted(by_shard.items()):
+            ids = sorted(set(ids))
+            for rel, origin in index.get(shard, []):
+                tasks.append((self.store._fs.join(data, rel), origin, ids))
+
         rows_by_id: dict[str, list[dict]] = {eid: [] for eid in entity_ids}
         try:
-            for shard, ids in by_shard.items():
-                ids = sorted(set(ids))
-                for rel, origin in index.get(shard, []):
-                    table = self._read_ids(self.store._fs.join(data, rel), ids)
-                    if table is None:
-                        continue
-                    for rec in table.to_pylist():
-                        rec["origin"] = origin
-                        rows_by_id[rec["entity_id"]].append(rec)
+            if len(tasks) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(self.GET_MANY_THREADS, len(tasks))
+                ) as pool:
+                    tables = list(
+                        pool.map(lambda t: self._read_ids(t[0], t[2]), tasks)
+                    )
+            else:
+                tables = [self._read_ids(p, ids) for p, _, ids in tasks]
+            for (_, origin, _), table in zip(tasks, tables):
+                if table is None:
+                    continue
+                for rec in table.to_pylist():
+                    rec["origin"] = origin
+                    rows_by_id[rec["entity_id"]].append(rec)
         except FileNotFoundError as e:
             if as_of is not None:
                 self._truncated(as_of, e)

@@ -705,3 +705,45 @@ def test_round6_spark_matches_engine_round_at_half_boundaries(spark):
     # and np.round genuinely disagrees on the boundary values (the test
     # would be vacuous otherwise)
     assert float(np.round(0.5000005, 6)) != engine[0]
+
+
+def test_quadratic_expansion_guard(spark, monkeypatch):
+    """VERDICT r9 item 6: member-pair expansions that are quadratic in
+    the copy count refuse to run past MAX_EXPANSION_PAIRS without
+    allow_quadratic=True — at 100 TB an accidental full-pair launch is
+    a cluster-day. simhash has the exact driver-side total guard; the
+    other tiers fail from inside codegen on the first oversized group."""
+    import ftm_lakehouse_spark.operators.dedupe as dd
+
+    monkeypatch.setattr(dd, "MAX_EXPANSION_PAIRS", 100)
+    copies = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same heavily replicated document text body").alias("text"),
+    )
+    # driver-side exact guard (no expansion job ever launches)
+    with pytest.raises(RuntimeError, match="quadratic"):
+        dd.simhash_duplicates(copies)
+    # row-local execution-time guard (assert_true inside the plan);
+    # Spark wraps the python-raised error, so match the message text
+    with pytest.raises(Exception, match="allow_quadratic"):
+        dd.minhash_lsh_pairs(copies).count()
+    with pytest.raises(Exception, match="allow_quadratic"):
+        dd.ngram_jaccard_pairs(copies).count()
+    vecs = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in (1.0, 0.5, 0.25, 0.125)]).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(Exception, match="allow_quadratic"):
+        dd.embedding_near_dups(vecs, dim=4).count()
+    with pytest.raises(Exception, match="allow_quadratic"):
+        dd.semantic_dedup_pairs(
+            vecs, centroids=[[1.0, 0.5, 0.25, 0.125]]
+        ).count()
+    # explicit opt-in runs and produces the full expansion
+    assert dd.simhash_duplicates(copies, allow_quadratic=True).count() == 190
+    assert dd.minhash_lsh_pairs(copies, allow_quadratic=True).count() == 190
+    # small corpora stay under the real threshold: default still works
+    monkeypatch.setattr(dd, "MAX_EXPANSION_PAIRS", 2_000_000_000)
+    assert dd.minhash_lsh_pairs(copies).count() == 190

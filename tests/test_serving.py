@@ -368,3 +368,42 @@ def test_direct_unescapes_hive_partition_origins(spark, tmp_path):
     # batch path shares the index — must decode identically
     many = ds.get_many(["e1"], engine="direct")
     assert _canon(many["e1"]) == _canon(via_spark)
+
+
+def test_adopt_bootstraps_direct_serving(ds, tmp_path, spark):
+    """VERDICT r9 item 3: one-time adopt() folds a pre-log foreign
+    store's directory listing into an initial bootstrap commit, after
+    which the PointReader serves DIRECTLY with hash parity vs Spark; a
+    second adopt is a no-op."""
+    import shutil
+
+    foreign_root = tmp_path / "foreign2"
+    shutil.copytree(
+        ds.store._data_path(), foreign_root / "serve3" / "statements"
+    )
+    ds3 = Lakehouse(spark, str(foreign_root)).dataset("serve3", shards=4)
+    assert ds3.store._adopting
+    res = ds3.store.adopt()
+    assert res["adopted"] is True and res["version"] == 1
+    assert not ds3.store._adopting
+    # direct path now serves without a fallback, parity vs Spark
+    for eid in ALL_IDS:
+        direct = ds3.get(eid, engine="direct")
+        assert _canon(direct) == _canon(ds3.get(eid, engine="spark")), eid
+    # second adopt is a no-op
+    res2 = ds3.store.adopt()
+    assert res2 == {"adopted": False, "version": 1}
+    # a RE-OPEN of the adopted store is owned (log dir exists)
+    ds3b = Lakehouse(spark, str(foreign_root)).dataset("serve3", shards=4)
+    assert not ds3b.store._adopting
+    assert ds3b.store.adopt() == {"adopted": False, "version": 1}
+    # adopted files are MVCC-governed: a later write appends version 2
+    ds3.write_entities(
+        spark.createDataFrame(
+            [{"id": "post", "schema": "Person", "properties": {"name": ["P"]}}]
+        ),
+        origin="post-adopt",
+    )
+    assert ds3.store.commits.current_version() == 2
+    got = ds3.get("post", engine="direct")
+    assert got is not None and _canon(got) == _canon(ds3.get("post", engine="spark"))

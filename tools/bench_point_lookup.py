@@ -59,6 +59,10 @@ def main() -> None:
                     default="auto")
     ap.add_argument("--concurrent", nargs="?", type=int, const=8,
                     default=None, metavar="C")
+    ap.add_argument("--many", nargs="?", type=int, const=1000,
+                    default=None, metavar="B",
+                    help="measure get_many batch hydration with B-id "
+                         "batches, serial walk vs thread-pool fan-out")
     opts = ap.parse_args()
     sf_dir, n_warm, engine = opts.sf_dir, opts.n_warm, opts.engine
 
@@ -117,6 +121,50 @@ def main() -> None:
 
     if opts.concurrent is not None:
         concurrent_bench(lake, ds, ids, opts.concurrent, spark)
+    if opts.many is not None:
+        get_many_bench(ds, n, opts.many)
+
+
+def get_many_bench(ds, n_entities: int, batch: int) -> None:
+    """Batch hydration throughput: get_many with the serial file walk
+    (GET_MANY_THREADS=1) vs the thread-pool fan-out (VERDICT r9 item
+    5), hash-parity-checked against singles first."""
+    import json
+
+    reader = ds._point_reader
+    step = max(1, n_entities // (batch + 1))
+    ids = [f"doc-{i * step}" for i in range(1, batch + 1)]
+
+    got = ds.get_many(ids, engine="direct")
+    for eid in ids[:: max(1, batch // 20)]:
+        a = json.dumps(got[eid], default=str, sort_keys=True)
+        b = json.dumps(ds.get(eid, engine="direct"), default=str, sort_keys=True)
+        assert a == b, f"get_many mismatch vs single for {eid}"
+    print(f"get_many parity: batch == singles on sampled ids (batch={batch})")
+
+    def timed(threads: int, reps: int = 5) -> float:
+        old = reader.GET_MANY_THREADS
+        reader.GET_MANY_THREADS = threads
+        try:
+            ds.get_many(ids, engine="direct")  # warm footers/snapshot
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = ds.get_many(ids, engine="direct")
+                runs.append(time.perf_counter() - t0)
+                assert sum(v is not None for v in out.values()) == batch
+            return statistics.median(runs)
+        finally:
+            reader.GET_MANY_THREADS = old
+
+    serial = timed(1)
+    pooled = timed(reader.GET_MANY_THREADS)
+    print(
+        f"get_many ({batch} ids, {n_entities} entities): serial "
+        f"{serial * 1000:.0f}ms ({batch / serial:.0f} ids/s), pooled "
+        f"{pooled * 1000:.0f}ms ({batch / pooled:.0f} ids/s), speedup "
+        f"{serial / pooled:.2f}x"
+    )
 
 
 def concurrent_bench(lake, ds, ids, n_clients, spark) -> None:
