@@ -143,6 +143,12 @@ class PointReader:
         self._lock = threading.Lock()
         self._cached_version: int | None = None
         self._cached_index: dict[str, list[tuple[str, str]]] = {}
+        # read plane: stores on an object store expose a pyarrow
+        # filesystem (S3FS.pyarrow_fs) — every footer/row-group read
+        # below goes through it as a ranged GET; local stores read
+        # paths directly (pyarrow_fs absent → (None, identity))
+        hook = getattr(store._fs, "pyarrow_fs", None)
+        self._pafs, self._norm = hook() if hook else (None, lambda p: p)
         # path → parquet FileMetaData: safe to cache because store
         # files are IMMUTABLE (MVCC appends/rewrites create new files;
         # vacuum deletes) — a vacuumed path simply drops out of the
@@ -238,7 +244,7 @@ class PointReader:
             # overlap first-touch footer IO, not serialize on the cache
             # mutex (a racing duplicate read is harmless — files are
             # immutable, last writer wins the cache slot)
-            md = pq.read_metadata(path)
+            md = pq.read_metadata(self._norm(path), filesystem=self._pafs)
             with self._lock:
                 if len(self._md_cache) >= self.PF_CACHE_MAX:
                     self._md_cache.clear()
@@ -277,7 +283,7 @@ class PointReader:
         groups = self._prune_row_groups(md, sorted_ids)
         if not groups:
             return None
-        pf = pq.ParquetFile(path, metadata=md)
+        pf = pq.ParquetFile(self._norm(path), metadata=md, filesystem=self._pafs)
         table = pf.read_row_groups(groups, columns=_COLUMNS)
         mask = pc.and_(
             pc.is_in(table.column("entity_id"), value_set=pa.array(sorted_ids)),

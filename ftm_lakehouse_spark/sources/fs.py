@@ -42,9 +42,15 @@ def fs_join(base: str, *parts: str) -> str:
 
 
 def get_fs(path: str, spark=None):
-    """FS for ``path``: HadoopFS for any ``scheme://`` URI, LocalFS
-    otherwise. ``spark`` may be omitted for URIs if a session is
-    active."""
+    """FS for ``path``: S3FS (boto3 control plane + pyarrow read plane,
+    no JVM) for ``s3://``, HadoopFS for any other ``scheme://`` URI
+    (``s3a://`` is the Spark-data-plane spelling and needs the
+    cluster's s3a jars), LocalFS otherwise. ``spark`` may be omitted
+    for URIs if a session is active."""
+    if path.startswith("s3://"):
+        from ftm_lakehouse_spark.sources.object_store import S3FS
+
+        return S3FS()
     if "://" in path:
         return HadoopFS(path, spark)
     return LocalFS()
