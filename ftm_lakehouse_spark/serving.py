@@ -161,8 +161,13 @@ class PointReader:
         # work — see SCALE.md §7. FileMetaData is immutable →
         # thread-safe to share; each read opens its own
         # ParquetFile(metadata=...) so no reader object is shared
-        # across serving threads.
-        self._md_cache: dict = {}
+        # across serving threads. LRU eviction (round 10): a full
+        # clear at capacity caused a refetch spike — one footer per
+        # live file, each a ranged GET on object stores; evicting only
+        # the least-recently-used entry bounds the spike to one read.
+        from collections import OrderedDict
+
+        self._md_cache: OrderedDict = OrderedDict()
 
     # ------------------------------------------------------- snapshot
     @staticmethod
@@ -239,6 +244,8 @@ class PointReader:
 
         with self._lock:
             md = self._md_cache.get(path)
+            if md is not None:
+                self._md_cache.move_to_end(path)  # LRU touch
         if md is None:
             # footer read OUTSIDE the lock: get_many's thread pool must
             # overlap first-touch footer IO, not serialize on the cache
@@ -246,8 +253,8 @@ class PointReader:
             # immutable, last writer wins the cache slot)
             md = pq.read_metadata(self._norm(path), filesystem=self._pafs)
             with self._lock:
-                if len(self._md_cache) >= self.PF_CACHE_MAX:
-                    self._md_cache.clear()
+                while len(self._md_cache) >= self.PF_CACHE_MAX:
+                    self._md_cache.popitem(last=False)  # evict LRU only
                 self._md_cache[path] = md
         return md
 

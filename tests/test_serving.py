@@ -407,3 +407,30 @@ def test_adopt_bootstraps_direct_serving(ds, tmp_path, spark):
     assert ds3.store.commits.current_version() == 2
     got = ds3.get("post", engine="direct")
     assert got is not None and _canon(got) == _canon(ds3.get("post", engine="spark"))
+
+
+def test_md_cache_evicts_lru_not_all(ds):
+    """Footer-cache at capacity evicts only the least-recently-used
+    entry (round-9 verdict residual: a full clear caused a refetch
+    spike — one ranged GET per live file on object stores)."""
+    import os
+
+    reader = ds._point_reader
+    data = ds.store._data_path()
+    files = sorted(
+        os.path.join(data, rel) for rel in ds.store._fs.parquet_files(data)
+    )[:3]
+    assert len(files) == 3
+    p1, p2, p3 = files
+    reader.PF_CACHE_MAX = 2  # instance attr shadows the class bound
+    try:
+        with reader._lock:
+            reader._md_cache.clear()
+        reader._metadata(p1)
+        reader._metadata(p2)
+        reader._metadata(p1)  # LRU touch: p2 is now least recent
+        reader._metadata(p3)  # at capacity -> evict p2 ONLY
+        with reader._lock:
+            assert set(reader._md_cache) == {p1, p3}
+    finally:
+        del reader.PF_CACHE_MAX
