@@ -100,8 +100,14 @@ def predict(base_dir: str, rs: list[int]) -> None:
 def engine(sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
+    import ftm_lakehouse_spark.operators.dedupe as dedupe
     from ftm_lakehouse_spark.queries.inventory import QUERIES
     from ftm_lakehouse_spark.session import get_spark
+
+    # this tool IS the deliberate full-pair measurement (428B pairs at
+    # sf100 replication) — lift the accidental-launch guard that
+    # production runs keep (VERDICT r9 item 6)
+    dedupe.MAX_EXPANSION_PAIRS = 1 << 62
 
     spark = get_spark("simhash-closed-form")
     t0 = time.perf_counter()
