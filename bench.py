@@ -137,10 +137,35 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _calibrate_parallel(threads: int = 16) -> float:
+    """Multi-core twin of :func:`_calibrate`: the same sha256 work on
+    ``threads`` concurrent threads (hashlib releases the GIL), timed as
+    wall seconds. A single-core spin can read "idle" while other
+    tenants hold half the cores — THIS number scales with the
+    aggregate CPU bandwidth Spark's 32-way stages actually get. Idle
+    box: ≈ the solo time; contended: grows toward threads × solo."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunk = bytes(1 << 20)
+
+    def spin(_):
+        h = hashlib.sha256()
+        for _ in range(192):
+            h.update(chunk)
+        return h.hexdigest()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(spin, range(threads)))
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     calib_start = _calibrate()
+    calib_par_start = _calibrate_parallel()
     spark = get_spark("bench")
 
     qmap = query_map()
@@ -166,6 +191,7 @@ def main() -> None:
             warm[name] = reps[len(reps) // 2]
 
     calib_end = _calibrate()
+    calib_par_end = _calibrate_parallel()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_suite_seconds",
@@ -176,6 +202,7 @@ def main() -> None:
         # contention calibration: same fixed spin at suite start/end;
         # compare across rounds to normalize host load out of ratios
         "calib_s": [calib_start, calib_end],
+        "calib_par_s": [calib_par_start, calib_par_end],
     }
     if warm:
         out["warm"] = warm
@@ -207,6 +234,7 @@ def main() -> None:
             "sf": out["sf"],
             "warm_total": round(out.get("warm_total", 0.0), ndigits),
             "calib_s": [round(c, ndigits) for c in out["calib_s"]],
+            "calib_par_s": [round(c, ndigits) for c in out["calib_par_s"]],
             "queries_are": "warm_median" if warm else "cold",
             "queries": {k: round(v, ndigits) for k, v in stdout_queries.items()},
         }
