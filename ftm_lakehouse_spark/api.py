@@ -98,7 +98,7 @@ class NdjsonApi:
         if schema:
             q = q.where(schema=schema)
         q = q[0 : self._clamp(limit)]
-        return self._ndjson(self.lakehouse.dataset(dataset).entities(q))
+        return self._ndjson(self._dataset(dataset).entities(q))
 
     def statements(
         self, dataset: str, origin: str | None = None, limit: int = 1000
@@ -108,7 +108,7 @@ class NdjsonApi:
         q = Query()
         if origin:
             q = q.where(origin=origin)
-        df = self.lakehouse.dataset(dataset).statements(q).limit(self._clamp(limit))
+        df = self._dataset(dataset).statements(q).limit(self._clamp(limit))
         return self._ndjson(df)
 
     def get_entity(
@@ -122,13 +122,13 @@ class NdjsonApi:
         return json.loads(json.dumps(ent, default=str)) if ent else None
 
     def stats(self, dataset: str) -> dict:
-        return self.lakehouse.dataset(dataset).stats()
+        return self._dataset(dataset).stats()
 
     def version(self, dataset: str) -> dict:
         """Current commit-log version (reference
         api/routes/entities.py:65-69 statements/version): the cursor an
         incremental consumer polls before calling raw_since."""
-        return {"version": self.lakehouse.dataset(dataset).store.commits.current_version()}
+        return {"version": self._dataset(dataset).store.commits.current_version()}
 
     def delete_entity(self, dataset: str, entity_id: str, origin: str | None = None) -> dict:
         """Tombstone an entity (reference DELETE route,
@@ -178,7 +178,7 @@ class NdjsonApi:
     def list_jobs(self, dataset: str, name: str | None = None) -> dict:
         """Run history (reference JobRepository.iterate), newest first;
         optionally filtered to one job type."""
-        jobs = self.lakehouse.dataset(dataset).jobs
+        jobs = self._dataset(dataset).jobs
         names = [name] if name else jobs.job_types()
         runs = [r.to_dict() for n in names for r in jobs.iterate(n)]
         runs.sort(key=lambda d: d["run_id"], reverse=True)
@@ -186,7 +186,7 @@ class NdjsonApi:
 
     def latest_job(self, dataset: str, name: str) -> dict | None:
         """Latest run of one job type (reference JobRepository.latest)."""
-        rec = self.lakehouse.dataset(dataset).jobs.latest(name)
+        rec = self._dataset(dataset).jobs.latest(name)
         return rec.to_dict() if rec else None
 
     def write_entities(
@@ -372,6 +372,8 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                 return self._json({"error": "no such route"}, 404)
             except _BadParam as e:  # malformed query param → 400
                 self._json({"error": str(e)}, 400)
+            except KeyError as e:  # unknown dataset on a read route
+                self._json({"error": str(e)}, 404)
             except BrokenPipeError:  # client hung up mid-stream
                 pass
             except Exception as e:  # surface, don't kill the thread

@@ -312,3 +312,16 @@ def test_http_out_of_retention_version_is_410(http_api, api):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{http_api}/demo/entities/jane?version=1", timeout=60)
     assert e.value.code in (404, 410) and e.value.code == 410
+
+
+def test_http_unknown_dataset_404_on_all_read_routes(http_api):
+    """Read routes must not mint a config sidecar for probed names:
+    every read route 404s on an unknown dataset (round-10 extension of
+    the ADVICE fix beyond the point-get route)."""
+    import urllib.error
+    import urllib.request
+
+    for route in ("entities", "statements", "stats", "version", "jobs"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{http_api}/ghostds/{route}", timeout=60)
+        assert e.value.code == 404, route
