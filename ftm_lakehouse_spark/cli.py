@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--retention-hours", type=float, default=168.0)
 
     s = sub.add_parser(
+        "adopt",
+        help="fold a pre-log foreign store's files into an initial commit "
+        "so the MVCC log owns the table (one-time; enables direct serving)",
+    )
+    s.add_argument("dataset")
+
+    s = sub.add_parser(
         "restore",
         help="roll the live table back (or forward) to a commit's snapshot "
         "(portable ZFS-rollback analog; reach bounded by vacuum retention)",
@@ -203,6 +210,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed": len(removed)}))
     elif args.cmd == "restore":
         print(json.dumps(lake.dataset(args.dataset).restore(args.version)))
+    elif args.cmd == "adopt":
+        print(json.dumps(lake.dataset(args.dataset).store.adopt()))
     elif args.cmd == "crawl":
         n = lake.dataset(args.dataset).crawl(
             args.src_dir, origin=args.origin, make_entities=not args.no_entities

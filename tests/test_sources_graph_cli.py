@@ -104,6 +104,10 @@ def test_cli_smoke(tmp_path):
     assert any("add" in a for a in actions)
     r = run("vacuum", "demo", "--retention-hours", "0")
     assert json.loads(r.stdout.strip().splitlines()[-1])["removed"] > 0
+    # adopt on an engine-created store is a no-op (ownership signal)
+    r = run("adopt", "demo")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["adopted"] is False and out["version"] >= 1
 
 
 def test_cli_archive_and_publish_surface(tmp_path):
