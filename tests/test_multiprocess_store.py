@@ -211,3 +211,60 @@ def test_kill9_mid_commit_then_sweep(spark, lake_root):
     assert untracked == set()
     # the store still reads end-to-end
     assert ds.entities().count() == 1
+
+
+_ADOPTER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from ftm_lakehouse_spark.sources.statement_store import StatementStore
+from ftm_lakehouse_spark.model.dataset import DatasetConfig
+
+root = sys.argv[1]
+# adopt is pure control plane: no SparkSession in the worker at all
+st = StatementStore(None, root, DatasetConfig(name="foreign", shards=2))
+print(json.dumps(st.adopt() | {{"head": st.commits.current_version()}}))
+"""
+
+
+def test_cross_process_adopt_race(tmp_path):
+    """N spark-free processes adopt the same pre-log foreign store
+    concurrently: exactly ONE bootstrap commit lands (put-if-absent),
+    every process converges on version 1, and the adopted snapshot is
+    exactly the directory's parquet listing."""
+    import glob
+
+    store_root = str(tmp_path / "foreign")
+    data = os.path.join(store_root, "statements", "shard=0", "bucket=thing",
+                        "origin=bulk")
+    os.makedirs(data)
+    names = []
+    for i in range(3):
+        p = os.path.join(data, f"part-{i:03d}.snappy.parquet")
+        open(p, "wb").write(b"PAR1-fake-" + str(i).encode())
+        names.append(p)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _ADOPTER.format(repo=REPO), store_root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    # every process converged on the same owned version-1 store
+    assert all(o["head"] == 1 for o in outs), outs
+    # exactly one bootstrap record in the log
+    log_dir = os.path.join(store_root, "_meta", "commits")
+    records = [f for f in os.listdir(log_dir) if f.endswith(".json")
+               and not f.startswith("checkpoint-")]
+    assert records == ["000000000001.json"], records
+    rec = json.load(open(os.path.join(log_dir, records[0])))
+    assert rec["kind"] == "bootstrap"
+    assert sorted(rec["files_added"]) == sorted(
+        os.path.relpath(n, os.path.join(store_root, "statements")).replace(os.sep, "/")
+        for n in names
+    )
