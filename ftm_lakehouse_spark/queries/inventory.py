@@ -57,6 +57,77 @@ def _register(name: str, oracle: str | None):
 #: last rows-only gate, retired via the portable KMV +
 #: deterministic-sample construction).
 GRADE_ORDER = [
+    # ---- round-11 rotation (VERDICT r10 item 1): FINISH the rotation
+    # cycle. After r10 the staleness histogram (computed from the
+    # committed CORRECTNESS_r0*.json artifacts) was 37 gates last
+    # driver-graded r7, 45 last r9, 50 last r10. This window takes ALL
+    # 37 r7-stale gates plus the 8 stalest r9 gates (all 45 r9 gates
+    # tie on round, so the tiebreak is alphabetical — the same rule the
+    # r10 rotation used for its two r7 picks), keeping the five
+    # bench-headline capstone anchors. 45/50 occupants were NOT in the
+    # r10 window (bar: >=40), and after this round EVERY one of the 132
+    # gates holds a driver grade from rounds 9-11 — zero pre-r9 grades
+    # remain. Rotated-out gates stay verified every round by
+    # tools/check_parity.py (132/132 full-oracle at sf0.01) and pytest.
+    #
+    # kept bench-headline anchors (5) -------------------------------
+    "pipeline_pretrain_corpus",
+    "q5_local_supplier_volume",
+    "pipeline_zorder_scan",
+    "pipeline_ftm_e2e",
+    "pipeline_streaming_ingest",
+    # rotated IN: all 37 gates last driver-graded r7 ----------------
+    "a_stats_facets",
+    "c_shard_assignment",
+    "c_statement_id",
+    "dedup_cluster_canonical",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "f_point_lookup",
+    "f_property_semi_join",
+    "f_timestamp_range",
+    "ftm_canonicalize",
+    "i_matview_refresh",
+    "j_correlated_threshold",
+    "j_full_outer_nations",
+    "j_multiway_star",
+    "j_semi_join_changed",
+    "mm_audio_roundtrip",
+    "o_entity_slice",
+    "q18_large_volume_customer",
+    "q6_forecast_revenue",
+    "sample_stratified",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "text_benchmark_overlap",
+    "text_bpe_encode",
+    "text_quality_score",
+    "w_first_last_value",
+    "w_lag_lead",
+    "w_percent_rank",
+    "w_range_frame",
+    "x_approx_stats",
+    "x_asof_join",
+    "x_bloom_filter",
+    "x_countmin_sketch",
+    "x_histogram",
+    "x_pivot_wide",
+    "x_unpivot_long",
+    # rotated IN: the 8 stalest r9 gates (alphabetical tiebreak) ----
+    "a_median_groups",
+    "a_skew_salted",
+    "c_pack_codec",
+    "dedup_chunks",
+    "dedup_winnow_substrings",
+    "doc_chunk_overlap",
+    "graph_pagerank",
+    "graph_parent_chain",
+]
+
+#: the round-10 window, retired intact this round (every member holds a
+#: green r10 driver row); kept for the rotation-audit test.
+_R10_GRADE_ORDER = [
     # ---- round-10 rotation (VERDICT r9 item 1): the r9 window had
     # been static since round 8, so the OTHER 82 gates were last
     # driver-graded in r7 or earlier and held only local-parity
@@ -124,107 +195,6 @@ GRADE_ORDER = [
     # rotated IN: the two stalest r7 gates (alphabetical) -----------
     "a_entity_assembly",
     "a_grouping_sets",
-]
-
-#: the round-9 window, retired intact this round (every member holds a
-#: green r9 driver row); kept for the rotation-audit test.
-_R9_GRADE_ORDER = [
-    # ---- round-9: window held STABLE (no rotation). Driver-graded
-    # coverage saturated at 132/132 in round 8, so there is no
-    # never-graded gate to rotate in; the three round-8 hash-fails
-    # (text_length_buckets / text_novelty_score / sim_centroid_stats —
-    # oracle-SQL HUGEINT→float64 dtype artifact, engine values
-    # verified exact; VERDICT r8 "What's wrong") stay in-window so
-    # their CAST(... AS BIGINT) fixes re-grade to green this round.
-    # ---- round-8 rotation (VERDICT r7 item 2), SATURATION pass:
-    # ALL 39 gates that had never occupied a driver-graded slot in
-    # rounds 1-7 take the window at once (computed from the committed
-    # CORRECTNESS_r0*.json artifacts; pinned by
-    # tests/test_inventory_order.py), so cumulative driver-graded
-    # coverage goes 93/132 -> 132/132 THIS round instead of two
-    # 20-gate passes. The 11 remaining slots hold exactly the active
-    # capstones named in the window contract above (four pipelines,
-    # TPC-H Q5, winnowing, sequence packing, parent chains + pagerank,
-    # pack codec, blocked k-NN). For this one saturation round the
-    # per-family-anchor rule is carried by the rotated-in gates
-    # themselves where possible and by tools/check_parity.py (132/132
-    # full-oracle at sf0.01, re-verified this round) everywhere else;
-    # every previously-graded veteran already holds a green
-    # CORRECTNESS row from rounds 1-7.
-    #
-    # kept capstone anchors (11) -----------------------------------
-    "pipeline_pretrain_corpus",
-    "q5_local_supplier_volume",
-    "pipeline_zorder_scan",
-    "pipeline_ftm_e2e",
-    "pipeline_streaming_ingest",
-    "dedup_winnow_substrings",
-    "sample_pack_sequences",
-    "graph_parent_chain",
-    "graph_pagerank",
-    "c_pack_codec",
-    "sim_knn_blocked",
-    # rotated IN: never driver-graded before round 8 (39) ----------
-    # streaming/event-window family (the round-7 frame family —
-    # w_range_frame/w_percent_rank/w_first_last_value/w_lag_lead —
-    # ceded after its green round; these five grade the OTHER window
-    # mechanics: tumbling/hopping/session event-time groups, frame
-    # moving averages, ntile bucketing):
-    "w_tumbling_window",
-    "w_hopping_window",
-    "w_session_window",
-    "w_moving_avg",
-    "w_ntile_quartiles",
-    # TPC-H rotation (q6/q18 ceded after their green round; q5 stays
-    # the anchor): the never-graded trio.
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q22_global_sales_opportunity",
-    # text family: postings join, TF-IDF, decontamination, unigram-LM
-    # perplexity, n-gram dup coverage, plus the remaining never-graded
-    # text gates (bigram top-k, BPE merge table, length buckets,
-    # novelty, PII scrub, repetition ratio/stats).
-    "text_bm25_topk",
-    "text_tfidf_top_terms",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_dup_ngram_coverage",
-    "text_bigram_topk",
-    "text_bpe_merges",
-    "text_length_buckets",
-    "text_novelty_score",
-    "text_pii_scrub",
-    "text_repetition_ratio",
-    "text_repetition_stats",
-    # sampling family: importance weights, epoch shuffle, hash split,
-    # train/val/test split, source interleave.
-    "sample_dsir_weights",
-    "sample_epoch_shuffle",
-    "sample_hash_based",
-    "split_train_val_test",
-    "sample_interleave_sources",
-    # aggregate family never-graded pair: grouped medians, salted skew
-    # aggregation.
-    "a_median_groups",
-    "a_skew_salted",
-    # dedup/doc-chunk never-graded pair:
-    "dedup_chunks",
-    "doc_chunk_overlap",
-    # similarity family never-graded trio: centroid stats, one k-means
-    # update step, int8 quantization.
-    "sim_centroid_stats",
-    "sim_kmeans_update",
-    "sim_quantize_int8",
-    # exploratory/x family:
-    "x_json_extract",
-    "x_funnel_stages",
-    "x_cohort_retention",
-    "x_correlation",
-    "x_feature_snapshot",
-    "x_string_agg",
-    # multimodal anchor handover (mm_audio_roundtrip ceded after its
-    # green round; video framing keeps the family in the window):
-    "mm_video_frame_sample",
 ]
 
 
