@@ -27,6 +27,15 @@ MAX_LIMIT = 10_000
 class _BadParam(ValueError):
     """Malformed client-supplied query parameter → HTTP 400."""
 
+
+class NoSuchDataset(LookupError):
+    """Unknown dataset name on a read route → HTTP 404. A TYPED
+    LookupError, deliberately not a bare KeyError: the HTTP handler
+    maps only this class to 404, so a genuine dict-lookup KeyError
+    raised by a bug anywhere inside stats/jobs/serving code reaches
+    the 500 path as the server fault it is, instead of being
+    misreported as a client error."""
+
 try:
     from fastapi import FastAPI
     from fastapi.responses import StreamingResponse
@@ -46,6 +55,7 @@ class NdjsonApi:
 
     def __init__(self, lakehouse):
         import threading
+        from collections import OrderedDict
 
         self.lakehouse = lakehouse
         # point-get serving cache: Dataset construction (config sidecar
@@ -53,8 +63,13 @@ class NdjsonApi:
         # latency on the hot GET /entities/<id> route now that the
         # lookup itself is single-digit ms (serving.PointReader). The
         # cached Dataset holds no table state: every read re-checks the
-        # commit log head, so freshness is unaffected.
-        self._ds_cache: dict[str, object] = {}
+        # commit log head, so freshness is unaffected. LRU (round 11,
+        # VERDICT r10 item 4): evict ONE least-recently-used handle at
+        # capacity — a wholesale clear would re-mint every PointReader
+        # (and its parquet-metadata cache) at once, a latency-spike
+        # multiplier on a busy multi-dataset server (the same pattern
+        # class round 10 fixed in the footer cache, serving.py).
+        self._ds_cache: OrderedDict[str, object] = OrderedDict()
         self._ds_lock = threading.Lock()
 
     #: bound on cached Dataset handles — a deployment serves a known
@@ -66,19 +81,28 @@ class NdjsonApi:
         cached (lakehouse.dataset() creates a config sidecar as a side
         effect — a probe for an unknown name on the hot GET route must
         not mint storage or pin a Dataset + PointReader forever), and
-        the cache is bounded: client-supplied path segments cannot grow
-        driver memory without limit."""
+        the cache is LRU-bounded: client-supplied path segments cannot
+        grow driver memory without limit, and capacity evicts exactly
+        one cold handle instead of clearing every hot one.
+
+        Raises :class:`NoSuchDataset` (a LookupError, NOT a bare
+        KeyError) for unknown names, so the HTTP layer's 404 mapping
+        can never swallow a genuine KeyError bug inside serving/stats
+        code as a client error."""
         with self._ds_lock:
             ds = self._ds_cache.get(name)
             if ds is not None:
+                self._ds_cache.move_to_end(name)
                 return ds
         if not self.lakehouse.dataset_exists(name):
-            raise KeyError(f"no such dataset: {name!r}")
+            raise NoSuchDataset(f"no such dataset: {name!r}")
         ds = self.lakehouse.dataset(name)
         with self._ds_lock:
-            if len(self._ds_cache) >= self.DS_CACHE_MAX:
-                self._ds_cache.clear()
-            return self._ds_cache.setdefault(name, ds)
+            if name not in self._ds_cache and len(self._ds_cache) >= self.DS_CACHE_MAX:
+                self._ds_cache.popitem(last=False)
+            out = self._ds_cache.setdefault(name, ds)
+            self._ds_cache.move_to_end(name)
+            return out
 
     @staticmethod
     def _ndjson(df) -> Iterator[str]:
@@ -348,7 +372,7 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                         # a pinned version older than vacuum retention is
                         # GONE, permanently — not a server fault
                         return self._json({"error": str(e)}, 410)
-                    except KeyError as e:  # unknown dataset
+                    except NoSuchDataset as e:
                         return self._json({"error": str(e)}, 404)
                     if ent is None:
                         return self._json({"error": "entity not found"}, 404)
@@ -372,7 +396,7 @@ def serve(lakehouse, host: str = "127.0.0.1", port: int = 0):
                 return self._json({"error": "no such route"}, 404)
             except _BadParam as e:  # malformed query param → 400
                 self._json({"error": str(e)}, 400)
-            except KeyError as e:  # unknown dataset on a read route
+            except NoSuchDataset as e:  # unknown dataset on a read route
                 self._json({"error": str(e)}, 404)
             except BrokenPipeError:  # client hung up mid-stream
                 pass

@@ -187,12 +187,45 @@ class Dataset:
             raise
         return out[0].asDict(recursive=True) if out else None
 
+    #: fragments by which Spark versions/filesystems surface a read of
+    #: a vacuumed file: the Spark 4 errorClass, the wrapped Java
+    #: exception (DSv1 scans, task-side failures), and the phrasing
+    #: older AnalysisExceptions / Hadoop FS stacks use. Matched
+    #: case-insensitively against the stringified exception chain.
+    _MISSING_FILE_MARKERS = (
+        "path_not_found",
+        "path does not exist",
+        "filenotfoundexception",
+        "does not exist",
+        "no such file",
+    )
+
     @staticmethod
     def _spark_time_travel_guard(as_of: int | None, exc: Exception) -> None:
-        """Map a pinned-version Spark read failing on vacuumed files
-        (AnalysisException PATH_NOT_FOUND) to the typed LogTruncated
-        error, same contract as the direct path."""
-        if as_of is not None and "PATH_NOT_FOUND" in str(exc):
+        """Map a pinned-version Spark read failing on vacuumed files to
+        the typed LogTruncated error, same contract as the direct path.
+        Checks the Spark errorClass when available, else matches the
+        exception CHAIN's text against the known missing-file spellings
+        (round-11 ADVICE: matching only 'PATH_NOT_FOUND' missed
+        task-side java FileNotFoundException, turning a 410 into a
+        generic 500)."""
+        if as_of is None:
+            return
+        texts = []
+        cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        if cond is not None:
+            try:
+                texts.append(str(cond() or ""))
+            except Exception:
+                pass
+        e: BaseException | None = exc
+        while e is not None:
+            texts.append(str(e))
+            e = e.__cause__
+        blob = " ".join(texts).lower()
+        if any(m in blob for m in Dataset._MISSING_FILE_MARKERS):
             from ftm_lakehouse_spark.sources.commits import LogTruncated
 
             raise LogTruncated(

@@ -325,3 +325,52 @@ def test_http_unknown_dataset_404_on_all_read_routes(http_api):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(f"{http_api}/ghostds/{route}", timeout=60)
         assert e.value.code == 404, route
+
+
+def test_ds_cache_is_lru_with_single_eviction(api):
+    """Round-11 (VERDICT r10 item 4): the Dataset-handle cache evicts
+    exactly ONE least-recently-used entry at capacity — a wholesale
+    clear would re-mint every PointReader (and its parquet-metadata
+    cache) at once. Eviction order pinned like the footer cache's."""
+    for name in ("lru_a", "lru_b", "lru_c"):
+        api.write_entities(
+            name,
+            [json.dumps({"id": "e1", "schema": "Person",
+                         "properties": {"name": ["E"]}})],
+            origin="bulk",
+        )
+    api.DS_CACHE_MAX = 2  # instance override; code reads self.DS_CACHE_MAX
+    api._ds_cache.clear()
+    a1 = api._dataset("lru_a")
+    api._dataset("lru_b")
+    # touch a → b becomes the LRU entry
+    assert api._dataset("lru_a") is a1
+    api._dataset("lru_c")  # capacity: evicts b, NOT a
+    assert list(api._ds_cache) == ["lru_a", "lru_c"]
+    assert api._dataset("lru_a") is a1  # survived — no wholesale clear
+
+
+def test_unknown_dataset_raises_typed_lookup_error(api):
+    from ftm_lakehouse_spark.api import NoSuchDataset
+
+    with pytest.raises(NoSuchDataset):
+        api._dataset("ghostds")
+    assert issubclass(NoSuchDataset, LookupError)
+    assert not issubclass(NoSuchDataset, KeyError)
+
+
+def test_http_internal_keyerror_is_500_not_404(http_api, monkeypatch):
+    """Round-11 ADVICE: the 404 mapping is typed — a genuine
+    dict-lookup KeyError raised by a bug inside a handler must surface
+    as the 500 server fault it is, not masquerade as 'unknown
+    dataset'."""
+    import urllib.error
+    import urllib.request
+
+    def boom(self, dataset):
+        raise KeyError("internal-bug-marker")
+
+    monkeypatch.setattr(NdjsonApi, "stats", boom)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{http_api}/demo/stats", timeout=60)
+    assert e.value.code == 500

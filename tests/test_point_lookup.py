@@ -97,3 +97,41 @@ def test_point_lookup_reads_one_shard_constant_files(spark, tmp_path):
     # the get() API itself returns the same entity
     ent = ds.get("ent7")
     assert ent is not None and ent["entity_id"] == "ent7"
+
+
+def test_time_travel_guard_matches_all_missing_file_spellings():
+    """Round-11 ADVICE: the pinned-version guard must map every
+    spelling by which Spark surfaces a vacuumed file — the Spark 4
+    errorClass, task-side java FileNotFoundException (possibly nested
+    under a stage-failure wrapper), older AnalysisException phrasings —
+    to the typed LogTruncated (HTTP 410), not a generic 500."""
+    import pytest as _pytest
+
+    from ftm_lakehouse_spark.lakehouse import Dataset
+    from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+    spellings = [
+        "[PATH_NOT_FOUND] Path does not exist: file:/x/part-0.parquet",
+        "java.io.FileNotFoundException: File file:/x/part-0.parquet"
+        " does not exist",
+        "Path does not exist: s3a://lake/t/part-0.parquet",
+        "No such file or directory: /x/part-0.parquet",
+    ]
+    for msg in spellings:
+        with _pytest.raises(LogTruncated):
+            Dataset._spark_time_travel_guard(3, Exception(msg))
+    # nested cause chain (stage-failure wrapper around the java error)
+    inner = Exception("java.io.FileNotFoundException: part-0.parquet")
+    outer = Exception("Job aborted due to stage failure")
+    outer.__cause__ = inner
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, outer)
+    # errorClass attribute (Spark 4 PySparkException surface)
+    class _Exc(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, _Exc("opaque"))
+    # un-pinned reads and unrelated errors pass through untouched
+    Dataset._spark_time_travel_guard(None, Exception(spellings[0]))
+    Dataset._spark_time_travel_guard(3, Exception("divide by zero"))
