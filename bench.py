@@ -161,6 +161,51 @@ def _calibrate_parallel(threads: int = 16) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _vs_prev(warm: dict[str, float], calib_par: list[float], here: str):
+    """Round-over-round self-adjudication (round 11, VERDICT r10 item
+    6): compare this run's warm medians against the newest committed
+    driver artifact ``BENCH_r{N}.json`` and emit the geomean ratio
+    twice — raw, and normalized by the parallel-calibration ratio so
+    host contention (the r9 1.37× uniform phantom) divides out of the
+    verdict instead of needing a judge session to exonerate. Ratio
+    < 1 = this round is faster like-for-like."""
+    import glob
+    import math
+    import re
+
+    best = None
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f)):
+            best = f
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            prev = json.load(fh).get("parsed") or {}
+    except (OSError, ValueError):
+        return None
+    if prev.get("queries_are") != "warm_median":
+        return None  # pre-r9 artifact: cold numbers, not comparable
+    pq = prev.get("queries") or {}
+    common = [k for k in warm if pq.get(k, 0) > 0 and warm[k] > 0]
+    if len(common) < 10:
+        return None
+    raw = math.exp(
+        sum(math.log(warm[k] / pq[k]) for k in common) / len(common)
+    )
+    out = {
+        "prev": os.path.basename(best),
+        "n_common": len(common),
+        "warm_geomean_vs_prev": round(raw, 4),
+    }
+    pc = prev.get("calib_par_s") or []
+    if pc and calib_par:
+        cratio = (sum(calib_par) / len(calib_par)) / (sum(pc) / len(pc))
+        if cratio > 0:
+            out["warm_geomean_vs_prev_calib_norm"] = round(raw / cratio, 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -204,15 +249,19 @@ def main() -> None:
         "calib_s": [calib_start, calib_end],
         "calib_par_s": [calib_par_start, calib_par_end],
     }
+    here = os.path.dirname(os.path.abspath(__file__))
+    vs_prev = None
     if warm:
         out["warm"] = warm
         out["warm_total"] = round(sum(warm.values()), 4)
+        vs_prev = _vs_prev(out["warm"], out["calib_par_s"], here)
+        if vs_prev:
+            out["vs_prev"] = vs_prev
     # One canonical committed full-precision artifact per round
     # (round-9, VERDICT r8 item 7: retires the BENCH_LOCAL.json /
     # BENCH_LOCAL_r0N.json split — the suffixed name IS the live file).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
         fh.write(json.dumps(out) + "\n")
     spark.stop()
     # The driver records only the LAST 2000 bytes of stdout (measured
@@ -238,6 +287,13 @@ def main() -> None:
             "queries_are": "warm_median" if warm else "cold",
             "queries": {k: round(v, ndigits) for k, v in stdout_queries.items()},
         }
+        if vs_prev:
+            # byte-capped line: carry only the two verdict ratios (full
+            # provenance lives in BENCH_LOCAL_r{N}.json)
+            stdout_out["vs_prev"] = {
+                k: v for k, v in vs_prev.items()
+                if k.startswith("warm_geomean")
+            }
         line = json.dumps(stdout_out, separators=(",", ":"))
         if len(line) <= 1950:
             break
