@@ -252,17 +252,19 @@ class S3FS:
         bucket, key = parse_s3_uri(p)
         subs = self._walk(p)
         if subs:
+            # fold the bare key into the batch (DeleteObjects ignores
+            # misses) instead of issuing a separate delete_object —
+            # one request either way the path is a file or a prefix
             prefix = key.rstrip("/") + "/" if key else ""
-            for i in range(0, len(subs), 1000):
+            objs = [{"Key": prefix + s} for s in subs]
+            if key:
+                objs.append({"Key": key})
+            for i in range(0, len(objs), 1000):
                 self._s3.delete_objects(
-                    Bucket=bucket,
-                    Delete={
-                        "Objects": [
-                            {"Key": prefix + s} for s in subs[i : i + 1000]
-                        ]
-                    },
+                    Bucket=bucket, Delete={"Objects": objs[i : i + 1000]}
                 )
-        self._s3.delete_object(Bucket=bucket, Key=key)
+        elif key:
+            self._s3.delete_object(Bucket=bucket, Key=key)
 
     def rename(self, src: str, dst: str) -> None:
         """Server-side copy+delete — S3 has no rename. Two callers: the
