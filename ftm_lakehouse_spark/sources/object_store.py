@@ -279,6 +279,24 @@ class S3FS:
         self._s3.copy({"Bucket": sb, "Key": sk}, db, dk)
         self._s3.delete_object(Bucket=sb, Key=sk)
 
+    def rename_many(self, pairs: list[tuple[str, str]]) -> None:
+        """Fan the independent server-side copies of a stage→data move
+        over a small thread pool (boto3 clients are thread-safe; each
+        copy is its own HTTP round-trip, so a serial walk pays N×
+        request latency for work the backend performs concurrently).
+        The caller commits only after ALL moves return, and a failure
+        mid-batch leaves untracked keys that vacuum reaps — the same
+        crash contract as the serial walk."""
+        if len(pairs) <= 1:
+            for src, dst in pairs:
+                self.rename(src, dst)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(pairs))) as pool:
+            # list() re-raises the first failure after the pool drains
+            list(pool.map(lambda p: self.rename(p[0], p[1]), pairs))
+
     def write_bytes_atomic(self, p: str, data: bytes) -> None:
         # a single PUT is atomic on S3 (readers never see partials)
         bucket, key = parse_s3_uri(p)

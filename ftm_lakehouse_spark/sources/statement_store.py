@@ -338,9 +338,20 @@ class StatementStore:
                 .partitionBy(*PARTITION_COLUMNS)
                 .parquet(stage)
             )
-            for rel in sorted(fs.parquet_files(stage)):
-                fs.rename(fs.join(stage, rel), fs.join(data, rel))
-                moved.add(rel)
+            rels = sorted(fs.parquet_files(stage))
+            pairs = [
+                (fs.join(stage, rel), fs.join(data, rel)) for rel in rels
+            ]
+            if hasattr(fs, "rename_many"):
+                # object stores: the moves are independent server-side
+                # copies — fan them out instead of paying N× request
+                # latency serially (same crash contract: nothing is
+                # visible until the single commit below)
+                fs.rename_many(pairs)
+            else:
+                for src, dst in pairs:
+                    fs.rename(src, dst)
+            moved.update(rels)
             fs.delete(stage)
         parts = sorted({_partition_of(f) for f in moved})
         return moved, parts
