@@ -251,3 +251,21 @@ def test_conditional_put_probe_runs_once_per_bucket(s3env):
                      if m == "PUT" and ".cond-probe-" in p)
     assert second == 0  # cached per (endpoint, bucket)
     fs.delete("s3a://lake/probe-once")
+
+
+def test_rename_many_moves_all_pairs_concurrently(s3env):
+    """Stage→data move fan-out: every pair lands, sources gone, bytes
+    intact — bit-identical outcome to the serial walk."""
+    from ftm_lakehouse_spark.sources.object_store import S3FS
+
+    fs = S3FS()
+    pairs = []
+    for i in range(24):
+        src = f"s3a://lake/rnm/_stage-x/part-{i:02d}.parquet"
+        fs.write_bytes_atomic(src, f"body-{i}".encode())
+        pairs.append((src, f"s3a://lake/rnm/data/part-{i:02d}.parquet"))
+    fs.rename_many(pairs)
+    for i, (src, dst) in enumerate(pairs):
+        assert fs.read_bytes(dst) == f"body-{i}".encode()
+        assert not fs.exists(src)
+    fs.delete("s3a://lake/rnm")
