@@ -198,11 +198,17 @@ class HadoopFS:
         self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
             self._jvm.java.net.URI.create(uri), self._conf
         )
-        # rename-without-overwrite is atomic on HDFS/file/abfs but a
-        # COPY on S3A — there the commit log must fence or take a lock
-        # client (delta-rs documents the same constraint for S3)
+        # rename-without-overwrite is atomic on HDFS/file/abfs
+        # (hierarchical namespaces) but a COPY on the flat object
+        # stores — S3A, and ALSO the GCS connector (gs:// rename is
+        # client-orchestrated copy+delete; round-11 correction: gs was
+        # previously claimed atomic here, which would have let two
+        # drivers tear the commit log on GCS). Non-atomic stores must
+        # fence or take a lock client (delta-rs documents the same
+        # constraint); for GCS the native alternative is its
+        # S3-interop XML API + conditional writes via S3FS.
         scheme = uri.split("://", 1)[0].lower()
-        self.atomic_put_if_absent = scheme not in ("s3", "s3a", "s3n")
+        self.atomic_put_if_absent = scheme not in ("s3", "s3a", "s3n", "gs")
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)

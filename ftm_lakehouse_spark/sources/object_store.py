@@ -88,6 +88,10 @@ class S3FS:
 
     #: true atomic put-if-absent via S3 conditional writes
     atomic_put_if_absent = True
+    #: S3 has no directories: empty prefixes vanish with their last
+    #: object, so directory-hygiene passes (vacuum's empty-partition
+    #: reap) are a no-op here and skip their listing walk entirely
+    has_directories = False
 
     def __init__(self, client=None):
         if client is None:
@@ -265,6 +269,24 @@ class S3FS:
                 )
         elif key:
             self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def delete_many(self, paths: list[str]) -> None:
+        """Batch object deletion: 1000-key ``DeleteObjects`` requests
+        instead of one round-trip per file — vacuum's reap of a large
+        rewrite's retirees is 2 requests per 1000 files, not 2 per
+        file. Misses are ignored (idempotent, like ``delete``)."""
+        by_bucket: dict[str, list[str]] = {}
+        for p in paths:
+            bucket, key = parse_s3_uri(p)
+            by_bucket.setdefault(bucket, []).append(key)
+        for bucket, keys in by_bucket.items():
+            for i in range(0, len(keys), 1000):
+                self._s3.delete_objects(
+                    Bucket=bucket,
+                    Delete={
+                        "Objects": [{"Key": k} for k in keys[i : i + 1000]]
+                    },
+                )
 
     def rename(self, src: str, dst: str) -> None:
         """Server-side copy+delete — S3 has no rename. Two callers: the
