@@ -269,3 +269,53 @@ def test_rename_many_moves_all_pairs_concurrently(s3env):
         assert fs.read_bytes(dst) == f"body-{i}".encode()
         assert not fs.exists(src)
     fs.delete("s3a://lake/rnm")
+
+
+def test_vacuum_batches_deletes_on_s3(s3env, local_ds, spark):
+    """Round-11 scale hygiene: vacuum's data-file reaping over S3 goes
+    through 1000-key DeleteObjects batches (POST) — zero per-file
+    DELETE requests — and issues no per-file HEAD existence probes
+    (both sweeps feed from one data-dir walk)."""
+    from ftm_lakehouse_spark.sources.object_store import S3FS
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+
+    # a store state with retired files: re-merge after an extra write,
+    # so pre-merge files are retired-but-present, then mirror to S3
+    local_ds.store.vacuum(retention_hours=0.0)  # start clean
+    _upload_dir(str(local_ds.store.path), "lake", "tables/vacbatch",
+                include_meta=True)
+    store = StatementStore(
+        spark, "s3a://lake/tables/vacbatch", local_ds.config
+    )
+    n_files = len(store._fs.parquet_files(store._data_path()))
+    assert n_files > 1
+    # retire EVERY live file via a directly-written rewrite commit that
+    # replaces them with nothing-on-disk names (metadata-only: the
+    # point is the reaper's request pattern, not the rewrite)
+    live = store.commits.snapshot()
+    store.commits.commit(
+        "rewrite",
+        [["s", "b", "o"]],
+        files_added=[],
+        files_removed=live,
+        read_version=store.commits.current_version(),
+    )
+    s3env.reset()
+    removed = store.vacuum(retention_hours=0.0)
+    assert set(removed) >= set(live)
+    with s3env.lock:
+        per_file_deletes = sum(
+            1 for m, p, _ in s3env.log if m == "DELETE" and ".parquet" in p
+        )
+        batch_posts = sum(
+            1 for m, p, _ in s3env.log if m == "POST" and "delete" in p
+        )
+        heads = sum(
+            1 for m, p, _ in s3env.log if m == "HEAD" and ".parquet" in p
+        )
+    assert per_file_deletes == 0, per_file_deletes
+    assert 1 <= batch_posts <= 2 + len(live) // 1000, batch_posts
+    # mtime age-gating HEADs only the ORPHAN candidates (none here);
+    # retired files are never HEAD-probed
+    assert heads == 0, heads
+    S3FS().delete("s3a://lake/tables/vacbatch")
