@@ -333,7 +333,7 @@ class S3FS:
     #: config).
     _cond_put_verified: dict[tuple[str | None, str], bool] = {}
 
-    def _verify_conditional_put(self, bucket: str) -> None:
+    def _verify_conditional_put(self, bucket: str, near_key: str) -> None:
         """One-time probe: endpoints that REJECT ``If-None-Match``
         already fail loudly, but endpoints that silently IGNORE it
         (older MinIO, some S3 proxies) return 200 to both racing
@@ -350,8 +350,14 @@ class S3FS:
             return
         # pid+uuid key: concurrent probes from other processes can
         # never collide on it, so the second PUT's outcome is purely
-        # the endpoint's precondition behavior
-        probe = f".cond-probe-{os.getpid()}-{uuid.uuid4().hex}"
+        # the endpoint's precondition behavior. Placed under the
+        # TARGET's parent prefix, not the bucket root — prefix-scoped
+        # credentials (a policy granting only tables/*) must be able
+        # to run the probe wherever they can write commits.
+        parent = posixpath.dirname(near_key)
+        probe = (parent + "/" if parent else "") + (
+            f".cond-probe-{os.getpid()}-{uuid.uuid4().hex}"
+        )
         try:
             self._s3.put_object(
                 Bucket=bucket, Key=probe, Body=b"", IfNoneMatch="*"
@@ -388,7 +394,7 @@ class S3FS:
         import botocore.exceptions
 
         bucket, key = parse_s3_uri(p)
-        self._verify_conditional_put(bucket)
+        self._verify_conditional_put(bucket, key)
         try:
             self._s3.put_object(
                 Bucket=bucket, Key=key, Body=data.encode("utf-8"),
