@@ -319,3 +319,27 @@ def test_vacuum_batches_deletes_on_s3(s3env, local_ds, spark):
     # retired files are never HEAD-probed
     assert heads == 0, heads
     S3FS().delete("s3a://lake/tables/vacbatch")
+
+
+def test_point_reader_serves_an_s3a_root(s3env, local_ds, spark):
+    """The serving read plane works through the s3a-rooted shape too:
+    pyarrow's S3 client reads the same bucket the cluster's jars would
+    write, with full hash parity vs the local Spark path — so a
+    read-only serving deployment can point at the production s3a URI
+    verbatim."""
+    from ftm_lakehouse_spark.serving import PointReader
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+
+    _upload_dir(str(local_ds.store.path), "lake", "tables/s3ademo",
+                include_meta=True)
+    store = StatementStore(
+        spark, "s3a://lake/tables/s3ademo", local_ds.config
+    )
+    assert not store._adopting
+    reader = PointReader(store)
+    for eid in ("alice", "acme", "gone", "missing"):
+        assert _canon(reader.get(eid)) == _canon(
+            local_ds.get(eid, engine="spark")
+        ), eid
+    batch = reader.get_many(["alice", "acme", "gone", "missing"])
+    assert _canon(batch["alice"]) == _canon(reader.get("alice"))
