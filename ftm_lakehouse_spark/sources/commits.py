@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import uuid
 from datetime import datetime, timezone
@@ -307,7 +308,7 @@ class CommitLog:
             record["read_version"] = read_version
         if txn is not None:
             record["txn"] = [txn[0], int(txn[1])]
-        for _ in range(MAX_COMMIT_ATTEMPTS):
+        for _a in range(MAX_COMMIT_ATTEMPTS):
             head = self.current_version()
             if txn is not None and self.txn_version(txn[0], head) >= int(txn[1]):
                 return None  # replayed batch — already committed
@@ -325,7 +326,17 @@ class CommitLog:
                 if version % CHECKPOINT_INTERVAL == 0:
                     self._write_checkpoint(version)
                 return version
-            # lost the race — another writer owns this version; retry
+            # Lost the race — another writer owns this version. Retry
+            # after a jittered backoff that grows with consecutive
+            # losses: with N writers fanning in, immediate retries make
+            # every loser re-list the log per competitor commit (O(N²)
+            # listings — each a paginated LIST on object stores) and
+            # keep all N racing for the same next version. Full jitter
+            # (AWS's recommended strategy) de-synchronizes the herd;
+            # the cap keeps worst-case commit latency bounded. First
+            # loss retries near-immediately, so the common 2-writer
+            # case pays ~nothing.
+            time.sleep(random.random() * min(0.025 * (1 << min(_a, 5)), 0.8))
         raise CommitConflict("version allocation contention: too many lost races")
 
     def txn_version(self, app_id: str, until: int | None = None) -> int:
