@@ -173,10 +173,13 @@ def _vs_prev(warm: dict[str, float], calib_par: list[float], here: str):
     import math
     import re
 
-    best = None
-    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
-        if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f)):
-            best = f
+    # newest by the NUMERIC round, not lexicographic order (which would
+    # put BENCH_r9.json after BENCH_r10.json for unpadded names)
+    best, best_round = None, -1
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f))
+        if m and int(m.group(1)) > best_round:
+            best, best_round = f, int(m.group(1))
     if best is None:
         return None
     try:

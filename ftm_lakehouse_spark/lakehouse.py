@@ -192,12 +192,15 @@ class Dataset:
     #: exception (DSv1 scans, task-side failures), and the phrasing
     #: older AnalysisExceptions / Hadoop FS stacks use. Matched
     #: case-insensitively against the stringified exception chain.
+    #: deliberately FILE-scoped: a bare "does not exist" would also
+    #: match missing-bucket/missing-table analysis errors and convert a
+    #: transient/config server fault into a permanent 410
     _MISSING_FILE_MARKERS = (
         "path_not_found",
         "path does not exist",
         "filenotfoundexception",
-        "does not exist",
         "no such file",
+        "file does not exist",
     )
 
     @staticmethod
@@ -643,7 +646,13 @@ class Lakehouse:
         self.spark = spark
         self.root = root
         self._fs = get_fs(root, spark)
-        self._fs.mkdirs(root)
+        # Create only a MISSING root: on object stores mkdirs is now a
+        # real PUT (the StatementStore ownership marker), and a
+        # read-only serving deployment constructing a Lakehouse over an
+        # existing root must not issue writes at boot (AccessDenied
+        # under read-only credentials) nor litter markers.
+        if not self._fs.isdir(root):
+            self._fs.mkdirs(root)
 
     def _config_path(self, name: str) -> str:
         return self._fs.join(self.root, name, "_meta", "config.json")

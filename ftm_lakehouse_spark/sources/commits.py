@@ -335,8 +335,13 @@ class CommitLog:
             # (AWS's recommended strategy) de-synchronizes the herd;
             # the cap keeps worst-case commit latency bounded. First
             # loss retries near-immediately, so the common 2-writer
-            # case pays ~nothing.
-            time.sleep(random.random() * min(0.025 * (1 << min(_a, 5)), 0.8))
+            # case pays ~nothing; the FINAL lost attempt skips the
+            # sleep — no retry follows, so it would only delay the
+            # CommitConflict.
+            if _a < MAX_COMMIT_ATTEMPTS - 1:
+                time.sleep(
+                    random.random() * min(0.025 * (1 << min(_a, 5)), 0.8)
+                )
         raise CommitConflict("version allocation contention: too many lost races")
 
     def txn_version(self, app_id: str, until: int | None = None) -> int:

@@ -352,7 +352,12 @@ def export_delta_log(
             }
         }
     )
-    fs.mkdirs(log_dir)
+    # _delta_log/ is a PUBLIC interchange directory read by foreign
+    # engines (delta-rs, delta-spark, Trino) — never drop this engine's
+    # private '.init' marker object in it on object stores; the log
+    # file's own PUT creates the prefix there
+    if getattr(fs, "has_directories", True):
+        fs.mkdirs(log_dir)
     log_path = fs.join(log_dir, f"{version:020d}.json")
     fs.write_text_atomic(log_path, "\n".join(json.dumps(a) for a in actions) + "\n")
     if version > 0 and checkpoint_interval > 0 and version % checkpoint_interval == 0:

@@ -135,3 +135,17 @@ def test_time_travel_guard_matches_all_missing_file_spellings():
     # un-pinned reads and unrelated errors pass through untouched
     Dataset._spark_time_travel_guard(None, Exception(spellings[0]))
     Dataset._spark_time_travel_guard(3, Exception("divide by zero"))
+
+
+def test_time_travel_guard_is_file_scoped():
+    """Self-review follow-up: missing-BUCKET / missing-TABLE analysis
+    errors also contain 'does not exist' but are transient/config
+    server faults — they must NOT map to the permanent 410."""
+    from ftm_lakehouse_spark.lakehouse import Dataset
+
+    for msg in (
+        "The specified bucket does not exist",
+        "[TABLE_OR_VIEW_NOT_FOUND] The table or view `t` does not exist",
+        "Database 'x' does not exist",
+    ):
+        Dataset._spark_time_travel_guard(3, Exception(msg))  # no raise
