@@ -161,14 +161,66 @@ def _calibrate_parallel(threads: int = 16) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def _vs_prev(warm: dict[str, float], calib_par: list[float], here: str):
+def _spark_floor(run_once, reps: int = 5) -> float:
+    """The Spark fixed-overhead floor, MEASURED in-session (round 12,
+    VERDICT r11 item 2a): the warm median wall of a trivial one-row
+    aggregate driven through the exact same noop-write path the bench
+    queries use, so it pays the same scheduling + planning + Py4J +
+    commit cost and ~zero compute. Sub-second warm medians are
+    dominated by this floor, and the floor does NOT track the sha256
+    CPU spin — which is why dividing raw query ratios by the spin
+    ratio turned r11's idle-host, flat-to-faster round into a phantom
+    1.22× regression. With the floor measured per round, the
+    normalization can scale only the above-floor component."""
+
+    def trivial(s, _sf_dir):
+        return s.range(1000).selectExpr("sum(id) AS s")
+
+    walls = sorted(run_once(trivial) for _ in range(reps))
+    return walls[len(walls) // 2]
+
+
+def _vs_prev(
+    warm: dict[str, float],
+    calib_par: list[float],
+    here: str,
+    calib_spark: float | None = None,
+    prefix: str = "BENCH_r",
+):
     """Round-over-round self-adjudication (round 11, VERDICT r10 item
     6): compare this run's warm medians against the newest committed
-    driver artifact ``BENCH_r{N}.json`` and emit the geomean ratio
-    twice — raw, and normalized by the parallel-calibration ratio so
-    host contention (the r9 1.37× uniform phantom) divides out of the
-    verdict instead of needing a judge session to exonerate. Ratio
-    < 1 = this round is faster like-for-like."""
+    driver artifact ``{prefix}{N}.json`` and emit the geomean ratio
+    twice — raw, and host-normalized. Ratio < 1 = this round is faster
+    like-for-like.
+
+    Normalization model (round 12, VERDICT r11 item 2 — the r11
+    artifact divided raw by the full sha256-spin ratio and read a
+    flat-to-faster round as a 1.22× regression, because sub-second
+    warm medians are dominated by Spark's fixed scheduling/planning
+    floor which barely tracks CPU bandwidth):
+
+    * ``floor`` — when BOTH rounds carry a measured ``calib_spark_s``
+      probe (the warm median of a trivial one-row aggregate through
+      the same noop-write path): decompose each query into
+      floor + compute, scale only the compute component by the spin
+      ratio, and compare the prediction against prev:
+      ``pred_k = floor_prev + max(warm_k - floor_now, eps) / cratio``.
+      Both floors are measured, so nothing is modeled.
+    * ``damped_sqrt`` — when the prev artifact predates the probe:
+      ``raw / sqrt(cratio)``. Rationale: the spin measures available
+      CPU bandwidth (pass-through exponent 1 for compute-bound time,
+      0 for the fixed floor); without measured floors the geometric
+      midpoint is the estimator. Empirical anchor: the engine-
+      unchanged r10→r11 pair measured pass-through
+      ln(0.9098)/ln(0.7436) ≈ 0.32, so sqrt keeps that pair's verdict
+      flat (1.055) where full division (exponent 1) manufactured a
+      22% phantom and raw (exponent 0) overstated a 9% win.
+
+    ``verdict`` classifies with a ±2% flat band: when raw and
+    normalized land on OPPOSITE sides of 1.0 the round is
+    ``host_dominated`` — the host moved more than the engine, and
+    adjudication falls to BENCH_LOCAL on a comparable host or the next
+    round (VERDICT r11 item 2c; BASELINE.md §adjudication)."""
     import glob
     import math
     import re
@@ -176,8 +228,8 @@ def _vs_prev(warm: dict[str, float], calib_par: list[float], here: str):
     # newest by the NUMERIC round, not lexicographic order (which would
     # put BENCH_r9.json after BENCH_r10.json for unpadded names)
     best, best_round = None, -1
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f))
+    for f in glob.glob(os.path.join(here, prefix + "*.json")):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)\.json", os.path.basename(f))
         if m and int(m.group(1)) > best_round:
             best, best_round = f, int(m.group(1))
     if best is None:
@@ -205,7 +257,43 @@ def _vs_prev(warm: dict[str, float], calib_par: list[float], here: str):
     if pc and calib_par:
         cratio = (sum(calib_par) / len(calib_par)) / (sum(pc) / len(pc))
         if cratio > 0:
-            out["warm_geomean_vs_prev_calib_norm"] = round(raw / cratio, 4)
+            def side(x: float) -> str:
+                return "faster" if x < 0.98 else ("slower" if x > 1.02 else "flat")
+
+            f_prev = prev.get("calib_spark_s")
+            if calib_spark and f_prev:
+                norm = math.exp(
+                    sum(
+                        math.log(
+                            (f_prev + max(warm[k] - calib_spark, 1e-4) / cratio)
+                            / pq[k]
+                        )
+                        for k in common
+                    )
+                    / len(common)
+                )
+                out["calib_norm_model"] = "floor"
+                # both floors are measured, so the model is trusted;
+                # flag only a strict faster-vs-slower clash with raw
+                s_raw, s_norm = side(raw), side(norm)
+                verdict = (
+                    "host_dominated"
+                    if {s_raw, s_norm} == {"faster", "slower"}
+                    else s_norm
+                )
+            else:
+                norm = raw / math.sqrt(cratio)
+                out["calib_norm_model"] = "damped_sqrt"
+                # without measured floors the truth lies between raw
+                # (pass-through 0: all-floor) and raw/cratio
+                # (pass-through 1: all-compute); if that bracket spans
+                # the flat band the spin cannot adjudicate the round
+                lo, hi = sorted((raw, raw / cratio))
+                verdict = (
+                    side(norm) if side(lo) == side(hi) else "host_dominated"
+                )
+            out["warm_geomean_vs_prev_calib_norm"] = round(norm, 4)
+            out["verdict"] = verdict
     return out
 
 
@@ -229,9 +317,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
+    # Spark fixed-overhead floor, measured through the same path after
+    # warmup (round 12: feeds the floor-aware _vs_prev normalization)
+    calib_spark = _spark_floor(run_once)
+
+    # optional gate subset (round 12, VERDICT r11 item 4: the sf1 depth
+    # bench runs only the expensive gates — comma-separated names)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qmap[name]
         timings[name] = run_once(fn)
         if n_warm > 0:
@@ -251,20 +348,31 @@ def main() -> None:
         # compare across rounds to normalize host load out of ratios
         "calib_s": [calib_start, calib_end],
         "calib_par_s": [calib_par_start, calib_par_end],
+        # measured Spark floor (trivial-query warm median through the
+        # same noop-write path) — the floor-aware normalization input
+        "calib_spark_s": calib_spark,
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    # sf1 depth-bench mode writes/compares BENCH_SF1_* artifacts so the
+    # two scale points adjudicate independently (VERDICT r11 item 4)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    prev_prefix = f"BENCH_{tag}_r" if tag else "BENCH_r"
     vs_prev = None
     if warm:
         out["warm"] = warm
         out["warm_total"] = round(sum(warm.values()), 4)
-        vs_prev = _vs_prev(out["warm"], out["calib_par_s"], here)
+        vs_prev = _vs_prev(
+            out["warm"], out["calib_par_s"], here,
+            calib_spark=calib_spark, prefix=prev_prefix,
+        )
         if vs_prev:
             out["vs_prev"] = vs_prev
     # One canonical committed full-precision artifact per round
     # (round-9, VERDICT r8 item 7: retires the BENCH_LOCAL.json /
     # BENCH_LOCAL_r0N.json split — the suffixed name IS the live file).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
-    with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "12")
+    local_name = f"BENCH_LOCAL_{tag}_r{rnd}.json" if tag else f"BENCH_LOCAL_r{rnd}.json"
+    with open(os.path.join(here, local_name), "w") as fh:
         fh.write(json.dumps(out) + "\n")
     spark.stop()
     # The driver records only the LAST 2000 bytes of stdout (measured
@@ -285,17 +393,24 @@ def main() -> None:
             "unit": "sec",
             "sf": out["sf"],
             "warm_total": round(out.get("warm_total", 0.0), ndigits),
-            "calib_s": [round(c, ndigits) for c in out["calib_s"]],
-            "calib_par_s": [round(c, ndigits) for c in out["calib_par_s"]],
+            # calib floats stay at full 4-decimal precision regardless
+            # of the query-dict degradation (round 12, VERDICT r11 item
+            # 6: the r11 stdout rounded calib to [0.2, 0.1], making the
+            # driver artifact's normalization unreproducible — these
+            # are 5 floats, the cap pressure is the 67-query dict)
+            "calib_s": out["calib_s"],
+            "calib_par_s": out["calib_par_s"],
+            "calib_spark_s": out["calib_spark_s"],
             "queries_are": "warm_median" if warm else "cold",
             "queries": {k: round(v, ndigits) for k, v in stdout_queries.items()},
         }
         if vs_prev:
-            # byte-capped line: carry only the two verdict ratios (full
-            # provenance lives in BENCH_LOCAL_r{N}.json)
+            # byte-capped line: the verdict ratios + classification
+            # (full provenance lives in BENCH_LOCAL_r{N}.json)
             stdout_out["vs_prev"] = {
                 k: v for k, v in vs_prev.items()
                 if k.startswith("warm_geomean")
+                or k in ("verdict", "calib_norm_model")
             }
         line = json.dumps(stdout_out, separators=(",", ":"))
         if len(line) <= 1950:

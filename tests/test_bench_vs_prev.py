@@ -1,16 +1,29 @@
-"""bench.py's self-adjudicating round-over-round comparison (round 11,
-VERDICT r10 item 6): the artifact must carry its own verdict — the warm
-geomean vs the newest committed driver artifact, raw AND normalized by
-the parallel-calibration ratio, so host contention divides out instead
-of needing a judge session (the r9 1.37× uniform phantom)."""
+"""bench.py's self-adjudicating round-over-round comparison (rounds
+11-12). Round 12 (VERDICT r11 items 1+2): these tests are HERMETIC —
+every ``_vs_prev`` call gets a tmp directory seeded with pinned
+artifacts, never the live repo root, because the driver commits a new
+``BENCH_r{N}.json`` after EVERY round and the r11 suite rotted the
+moment that file landed (3/357 failed on the judged tree). And the
+normalization is floor-aware: the old raw/cratio division read r11's
+idle-host, engine-unchanged round as a 1.22× regression; the new model
+scales only the above-floor component (measured ``calib_spark_s``
+probes) or, for probe-less prev artifacts, damps the correction to
+sqrt(cratio) and brackets the verdict."""
 
 import importlib.util
 import json
 import os
+import re
+import shutil
 
 import pytest
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: pinned fixture artifacts (specific committed rounds, never a glob of
+#: the live root — future driver drops must not change these tests)
+_PINNED_PREV = "BENCH_r10.json"
+_PINNED_CUR_LOCAL = "BENCH_LOCAL_r11.json"
 
 
 @pytest.fixture(scope="module")
@@ -25,37 +38,214 @@ def bench():
 
 @pytest.fixture(scope="module")
 def prev():
-    f = os.path.join(_ROOT, "BENCH_r10.json")
+    f = os.path.join(_ROOT, _PINNED_PREV)
     if not os.path.exists(f):
         pytest.skip("no committed driver artifact")
     return json.load(open(f))["parsed"]
 
 
-def test_identical_round_reads_as_one(bench, prev):
-    res = bench._vs_prev(prev["queries"], prev["calib_par_s"], _ROOT)
+@pytest.fixture()
+def here(tmp_path):
+    """A tmp stand-in for the repo root holding ONLY the pinned prev
+    artifact — _vs_prev's newest-round glob runs against this, so the
+    driver committing BENCH_r{11,12,...}.json cannot reach the test."""
+    shutil.copy(os.path.join(_ROOT, _PINNED_PREV), tmp_path / _PINNED_PREV)
+    return str(tmp_path)
+
+
+def test_identical_round_reads_as_one(bench, prev, here):
+    res = bench._vs_prev(prev["queries"], prev["calib_par_s"], here)
+    assert res["prev"] == _PINNED_PREV
     assert res["warm_geomean_vs_prev"] == 1.0
     assert res["warm_geomean_vs_prev_calib_norm"] == 1.0
     assert res["n_common"] == len(prev["queries"])
+    assert res["verdict"] == "flat"
+    assert res["calib_norm_model"] == "damped_sqrt"  # r10 has no probe
 
 
-def test_contention_divides_out_of_the_verdict(bench, prev):
-    """Queries 30% slower under a host that calibrates 30% slower →
-    raw ratio says regression, normalized says unchanged."""
+def test_uniform_contention_is_host_dominated(bench, prev, here):
+    """Queries 30% slower under a host that calibrates 30% slower:
+    without measured floors the truth lies anywhere in [raw/cratio,
+    raw] = [1.0, 1.3] — the bracket spans flat, so the spin cannot
+    adjudicate and the verdict says so instead of crying regression
+    (or silently exonerating a real one)."""
     slower = {k: v * 1.3 for k, v in prev["queries"].items()}
     contended = [c * 1.3 for c in prev["calib_par_s"]]
-    res = bench._vs_prev(slower, contended, _ROOT)
+    res = bench._vs_prev(slower, contended, here)
     assert res["warm_geomean_vs_prev"] == pytest.approx(1.3, abs=0.01)
-    assert res["warm_geomean_vs_prev_calib_norm"] == pytest.approx(1.0, abs=0.01)
+    # damped point estimate sits between the bracket ends
+    assert 1.0 < res["warm_geomean_vs_prev_calib_norm"] < 1.3
+    assert res["verdict"] == "host_dominated"
 
 
-def test_fast_host_does_not_flatter(bench, prev):
+def test_fast_host_does_not_flatter(bench, prev, here):
     """Same engine on a 2× faster host: raw 0.5 would read as a win;
-    the normalized ratio reads 1.0 — no free lunch from the host."""
+    the bracket [0.5, 1.0] spans flat → host_dominated, no free lunch."""
     faster = {k: v * 0.5 for k, v in prev["queries"].items()}
     idle = [c * 0.5 for c in prev["calib_par_s"]]
-    res = bench._vs_prev(faster, idle, _ROOT)
+    res = bench._vs_prev(faster, idle, here)
+    assert res["verdict"] == "host_dominated"
+
+
+def test_true_regression_on_stable_host(bench, prev, here):
+    """25% slower queries with an UNCHANGED calibration: every model
+    agrees — verdict 'slower', norm == raw."""
+    slower = {k: v * 1.25 for k, v in prev["queries"].items()}
+    res = bench._vs_prev(slower, prev["calib_par_s"], here)
+    assert res["warm_geomean_vs_prev"] == pytest.approx(1.25, abs=0.01)
+    assert res["warm_geomean_vs_prev_calib_norm"] == pytest.approx(1.25, abs=0.01)
+    assert res["verdict"] == "slower"
+
+
+def test_true_win_on_stable_host(bench, prev, here):
+    faster = {k: v * 0.8 for k, v in prev["queries"].items()}
+    res = bench._vs_prev(faster, prev["calib_par_s"], here)
+    assert res["verdict"] == "faster"
+
+
+def test_replay_r10_r11_lands_flat(bench, here):
+    """VERDICT r11 item 2 Done-criterion: replaying the exact committed
+    r10→r11 pair (idle driver host, engine untouched, raw 0.9098,
+    old-model norm 1.2235) must yield a normalized verdict in
+    [0.9, 1.1] — the damped model reads ~1.055 and classifies the
+    round as host_dominated rather than a 22% phantom regression."""
+    cur = os.path.join(_ROOT, _PINNED_CUR_LOCAL)
+    if not os.path.exists(cur):
+        pytest.skip("no committed r11 local artifact")
+    r11 = json.load(open(cur))
+    res = bench._vs_prev(r11["warm"], r11["calib_par_s"], here)
+    assert res["warm_geomean_vs_prev"] == pytest.approx(0.9098, abs=0.001)
+    assert 0.9 <= res["warm_geomean_vs_prev_calib_norm"] <= 1.1
+    assert res["calib_norm_model"] == "damped_sqrt"
+    assert res["verdict"] == "host_dominated"
+
+
+def _seed_floor_prev(tmp_path, queries, calib_par, calib_spark):
+    art = {
+        "parsed": {
+            "queries_are": "warm_median",
+            "queries": queries,
+            "calib_par_s": calib_par,
+            "calib_spark_s": calib_spark,
+        }
+    }
+    (tmp_path / "BENCH_r20.json").write_text(json.dumps(art))
+    return str(tmp_path)
+
+
+def test_floor_model_divides_out_contention(bench, tmp_path):
+    """With MEASURED floors on both sides the model is exact: a 1.3×
+    contended host slows the floor to the measured f_now and the
+    compute by cratio — the prediction reconstructs prev's walls and
+    the verdict is 'flat', with no bracket needed."""
+    pq = {f"q{i}": 0.2 + 0.1 * i for i in range(12)}
+    f_prev, cratio = 0.2, 1.3
+    f_now = f_prev * 1.25  # floor under-responds to contention
+    warm = {k: f_now + (v - f_prev) * cratio for k, v in pq.items()}
+    here = _seed_floor_prev(tmp_path, pq, [0.2, 0.2], f_prev)
+    res = bench._vs_prev(
+        warm, [0.2 * cratio, 0.2 * cratio], here, calib_spark=f_now
+    )
+    assert res["calib_norm_model"] == "floor"
     assert res["warm_geomean_vs_prev_calib_norm"] == pytest.approx(1.0, abs=0.01)
+    assert res["verdict"] == "flat"
+    assert res["warm_geomean_vs_prev"] > 1.1  # raw alone would mislead
+
+
+def test_floor_model_catches_real_regression_under_idle_host(bench, tmp_path):
+    """The r11 failure shape, with probes: host 25% faster (cratio
+    0.8) but the engine genuinely regressed 30% above-floor — raw
+    looks flat-ish, the floor model surfaces the regression."""
+    pq = {f"q{i}": 0.2 + 0.1 * i for i in range(12)}
+    f_prev, cratio, regress = 0.2, 0.8, 1.3
+    f_now = f_prev * 0.95
+    warm = {k: f_now + (v - f_prev) * cratio * regress for k, v in pq.items()}
+    here = _seed_floor_prev(tmp_path, pq, [0.25, 0.25], f_prev)
+    res = bench._vs_prev(
+        warm, [0.25 * cratio, 0.25 * cratio], here, calib_spark=f_now
+    )
+    assert res["calib_norm_model"] == "floor"
+    assert res["warm_geomean_vs_prev_calib_norm"] > 1.1
+    assert res["verdict"] == "slower"
+
+
+def test_newest_round_wins_even_future_artifacts(bench, prev, tmp_path):
+    """The Done-criterion's synthetic-future-artifact check: the suite
+    must hold on a tree carrying BENCH_r11.json AND a BENCH_r99.json —
+    exercised here by dropping both next to the pinned r10 fixture and
+    asserting the numeric-newest is selected (in a tmp dir, so the
+    live root stays untouched)."""
+    shutil.copy(os.path.join(_ROOT, _PINNED_PREV), tmp_path / _PINNED_PREV)
+    r11 = os.path.join(_ROOT, "BENCH_r11.json")
+    if os.path.exists(r11):
+        shutil.copy(r11, tmp_path / "BENCH_r11.json")
+    synthetic = {
+        "parsed": {
+            "queries_are": "warm_median",
+            "queries": {k: v * 2 for k, v in prev["queries"].items()},
+            "calib_par_s": prev["calib_par_s"],
+        }
+    }
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(synthetic))
+    res = bench._vs_prev(prev["queries"], prev["calib_par_s"], str(tmp_path))
+    assert res["prev"] == "BENCH_r99.json"
+    assert res["warm_geomean_vs_prev"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_sf1_prefix_selects_only_tagged_artifacts(bench, prev, tmp_path):
+    """VERDICT r11 item 4: the sf1 depth bench adjudicates against
+    BENCH_SF1_r{N}.json only — the sf0.1 artifacts in the same dir are
+    invisible to it (different scale points must not cross-compare)."""
+    shutil.copy(os.path.join(_ROOT, _PINNED_PREV), tmp_path / _PINNED_PREV)
+    assert (
+        bench._vs_prev(
+            prev["queries"], prev["calib_par_s"], str(tmp_path),
+            prefix="BENCH_SF1_r",
+        )
+        is None
+    )
+    art = {
+        "parsed": {
+            "queries_are": "warm_median",
+            "queries": prev["queries"],
+            "calib_par_s": prev["calib_par_s"],
+        }
+    }
+    (tmp_path / "BENCH_SF1_r11.json").write_text(json.dumps(art))
+    res = bench._vs_prev(
+        prev["queries"], prev["calib_par_s"], str(tmp_path),
+        prefix="BENCH_SF1_r",
+    )
+    assert res["prev"] == "BENCH_SF1_r11.json"
+    assert res["warm_geomean_vs_prev"] == 1.0
 
 
 def test_graceful_when_no_artifact(bench, tmp_path):
     assert bench._vs_prev({"q": 1.0}, [0.1, 0.1], str(tmp_path)) is None
+
+
+def test_no_test_reads_live_root_artifacts_unpinned():
+    """Meta-hermeticity (VERDICT r11 item 1): no test may consume
+    driver artifacts from the live repo root through a round-unpinned
+    path — wildcard globs of BENCH_r*/CORRECTNESS_r* are confined to
+    tmp dirs, last_graded calls must pin max_round, and _vs_prev
+    never receives the live root. Named single-round fixtures
+    (e.g. BENCH_r10.json) are fine: a committed file never changes."""
+    tests_dir = os.path.join(_ROOT, "tests")
+    for fname in sorted(os.listdir(tests_dir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(tests_dir, fname)).read()
+        # no artifact wildcard together with the live root on one line
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"(BENCH|CORRECTNESS)_r\*", line) and "_ROOT" in line:
+                raise AssertionError(f"{fname}:{i} globs live-root artifacts")
+            if ("_vs_prev" + "(") in line and "_ROOT" in line:
+                raise AssertionError(f"{fname}:{i} passes live root to _vs_prev")
+        # every last_graded use in tests pins the round range (the
+        # call including its kwargs fits one line in this codebase)
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"(?<!def )last_graded\(", line) and "max_round" not in line:
+                raise AssertionError(
+                    f"{fname}:{i}: last_graded call without max_round pin"
+                )

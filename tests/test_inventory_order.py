@@ -1,22 +1,43 @@
 """The driver's correctness window grades only the FIRST 50 entries of
-query_map() — pin that the window is curated: the bench-headline
-anchors present, every graded slot full-oracle, rows-only checks
-excluded (round-2 VERDICT top-next item), and the round-11 rotation
-(VERDICT r10 item 1) actually FINISHES the re-sample cycle: 45/50
-window occupants were NOT in the r10 window, drawn strictly from the
-least-recently-driver-graded gates, and after this round no gate's
-last driver grade predates round 9."""
+query_map() — pin that the window is curated and that the rotation is
+GENERATED, not hand-transcribed (round 12, VERDICT r11 item 3): the
+committed GRADE_ORDER must equal ``tools/rotate_window.py``'s output
+computed from the driver artifacts at the pinned round range.
 
-import json
+Hermeticity (VERDICT r11 item 1): every artifact read here goes through
+``rotate_window.last_graded(max_round=PINNED_ROUND)``, so the driver
+committing CORRECTNESS_r{N>PINNED}.json after the round closes cannot
+change this test's input. When regenerating the window next round, bump
+``PINNED_ROUND`` together with GRADE_ORDER — the generator prints the
+new value.
+"""
+
+import importlib.util
 import os
 
 from ftm_lakehouse_spark.queries.inventory import (
     GRADE_ORDER,
     QUERIES,
-    _R10_GRADE_ORDER,
+    _R11_GRADE_ORDER,
     oracle_map,
     query_map,
 )
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: the round whose artifacts the committed GRADE_ORDER was generated
+#: against — the newest CORRECTNESS_r{N}.json at generation time.
+PINNED_ROUND = 11
+
+
+def _rotate_mod():
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(_ROOT, "tools", "rotate_window.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
 
 #: the kept bench-headline capstone anchors — the five shapes the
 #: round-over-round bench comparison keys on. They hold their window
@@ -28,20 +49,6 @@ ANCHORS = {
     "pipeline_zorder_scan",
     "q5_local_supplier_volume",
 }
-
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _last_graded() -> dict[str, int]:
-    """gate -> most recent round with a CORRECTNESS row (any result),
-    derived from the committed driver artifacts r1-r10."""
-    last: dict[str, int] = {}
-    for rnd in range(1, 11):
-        f = os.path.join(_ROOT, f"CORRECTNESS_r{rnd:02d}.json")
-        if os.path.exists(f):
-            for k in json.load(open(f)):
-                last[k] = max(last.get(k, 0), rnd)
-    return last
 
 
 def test_grade_order_is_the_first_fifty():
@@ -69,33 +76,61 @@ def test_nothing_lost_in_reorder():
     assert set(oracle_map()) == {n for n, (_, s) in QUERIES.items() if s is not None}
 
 
-def test_r11_rotation_finishes_the_cycle():
-    """VERDICT r10 item 1 bar: >=40 window occupants were NOT in the
-    r10 window; rotated-in gates are exactly the least-recently-
-    driver-graded ones (ALL gates staler than any non-member, no
-    cherry-picking); and after this round's grade no gate's last
-    driver row predates round 9."""
-    last = _last_graded()
+def test_grade_order_equals_generated_window():
+    """GRADE_ORDER is the generator's output at the pinned round — the
+    rotation cannot silently drift from the (last-round asc, name asc)
+    staleness rule because the committed list IS the rule's output."""
+    rw = _rotate_mod()
+    assert rw.ANCHORS == [n for n in GRADE_ORDER if n in ANCHORS][: len(rw.ANCHORS)]
+    last, rounds = rw.last_graded(max_round=PINNED_ROUND)
     if not last:  # fresh checkout without driver artifacts
         return
-    rotated = set(GRADE_ORDER) - ANCHORS
-    fresh = [n for n in GRADE_ORDER if n not in set(_R10_GRADE_ORDER)]
+    assert rounds[-1] == PINNED_ROUND, (
+        f"PINNED_ROUND={PINNED_ROUND} but newest artifact within range is "
+        f"r{rounds[-1]} — regenerate the window and bump the pin"
+    )
+    assert list(GRADE_ORDER) == rw.compute_window(last)
+
+
+def test_r12_rotation_keeps_the_cadence():
+    """VERDICT r11 item 3 bar: >=40 window occupants were NOT in the
+    r11 window, and after this round's grade no gate's last driver
+    grade predates round 10 (the r9-stale cohort is fully windowed)."""
+    rw = _rotate_mod()
+    last, _ = rw.last_graded(max_round=PINNED_ROUND)
+    if not last:
+        return
+    fresh = [n for n in GRADE_ORDER if n not in set(_R11_GRADE_ORDER)]
     assert len(fresh) >= 40, len(fresh)
-    # the window holds ALL gates last graded before r9 (the 37 r7-stale
-    # gates): nothing staler than a window member was skipped
-    pre_r9 = sorted(n for n, r in last.items() if r < 9)
-    missing = [n for n in pre_r9 if n not in rotated]
-    assert not missing, f"stalest gates left out of the window: {missing}"
-    # the remaining rotated slots hold only r9-graded gates (never
-    # r10-graded ones — those are the freshest), picked by the same
-    # alphabetical tiebreak the r10 rotation used
-    r9_picks = sorted(n for n in rotated if last.get(n, 0) >= 9)
-    assert all(last[n] == 9 for n in r9_picks), {n: last[n] for n in r9_picks}
-    all_r9 = sorted(n for n, r in last.items() if r == 9)
-    assert r9_picks == all_r9[: len(r9_picks)], "r9 picks not the alphabetical stalest"
-    # cycle completion: every inventory gate is graded in r9/r10 or
-    # sits in this window (i.e. will be graded r11)
-    stale_after_r11 = [
-        n for n, r in last.items() if r < 9 and n not in set(GRADE_ORDER)
+    # every gate whose last grade predates r10 sits in this window, so
+    # after the r12 grade zero pre-r10 grades remain
+    stale_after_r12 = [
+        n for n, r in last.items() if r < 10 and n not in set(GRADE_ORDER)
     ]
-    assert not stale_after_r11, stale_after_r11
+    assert not stale_after_r12, stale_after_r12
+
+
+def test_pinned_range_immune_to_future_artifacts(tmp_path):
+    """The generator input is pinned: a CORRECTNESS artifact from a
+    FUTURE round (the driver drops one after every round) must not
+    change last_graded(max_round=PINNED_ROUND)'s output. Exercised
+    against a synthetic copy of the live artifacts plus a fake r99."""
+    import json
+    import shutil
+
+    rw = _rotate_mod()
+    live, _ = rw.last_graded(max_round=PINNED_ROUND)
+    if not live:
+        return
+    for rnd in range(1, PINNED_ROUND + 1):
+        for name in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+            src = os.path.join(_ROOT, name)
+            if os.path.exists(src):
+                shutil.copy(src, tmp_path / name)
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"totally_new_gate": {"rows_match": True}})
+    )
+    pinned, rounds = rw.last_graded(root=str(tmp_path), max_round=PINNED_ROUND)
+    assert pinned == live
+    assert rounds[-1] == PINNED_ROUND
+    assert rw.compute_window(pinned) == list(GRADE_ORDER)
