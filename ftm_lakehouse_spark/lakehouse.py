@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Callable
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -183,7 +184,10 @@ class Dataset:
         try:
             out = assemble_entities(rows).collect()
         except Exception as e:
-            self._spark_time_travel_guard(as_of, e)
+            self._spark_time_travel_guard(
+                as_of, e,
+                verify=lambda: self._pinned_snapshot_vacuumed(as_of),
+            )
             raise
         return out[0].asDict(recursive=True) if out else None
 
@@ -203,39 +207,96 @@ class Dataset:
         "file does not exist",
     )
 
+    def _pinned_snapshot_vacuumed(self, as_of: int) -> bool:
+        """Confirm via the commit log that the snapshot pinned at
+        ``as_of`` really does reference data files vacuum has removed
+        (round-12 ADVICE: a text-matched missing-file phrase alone can
+        be a transient storage/executor error merely QUOTING the
+        spelling — converting that to a permanent 410 would make a
+        retryable fault terminal). Authoritative answers:
+
+        * the log itself raises ``LogTruncated`` replaying ``as_of``
+          → truncated, True;
+        * a referenced data file is absent from storage → vacuumed,
+          True (bounded existence probe: vacuum removes a pinned
+          version's files wholesale, so a capped scan finds a hole);
+        * everything verifies present, or the check itself fails →
+          False — the original error stays a retryable 500."""
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+        try:
+            files = self.store.commits.snapshot(as_of)
+        except LogTruncated:
+            return True
+        except Exception:
+            return False
+        try:
+            fs = self._fs
+            data = self.store._data_path()
+            for f in files[:256]:
+                if not fs.exists(fs.join(data, f)):
+                    return True
+        except Exception:
+            return False
+        return False
+
     @staticmethod
-    def _spark_time_travel_guard(as_of: int | None, exc: Exception) -> None:
+    def _spark_time_travel_guard(
+        as_of: int | None,
+        exc: Exception,
+        verify: Callable[[], bool] | None = None,
+    ) -> None:
         """Map a pinned-version Spark read failing on vacuumed files to
         the typed LogTruncated error, same contract as the direct path.
-        Checks the Spark errorClass when available, else matches the
-        exception CHAIN's text against the known missing-file spellings
-        (round-11 ADVICE: matching only 'PATH_NOT_FOUND' missed
-        task-side java FileNotFoundException, turning a 410 into a
-        generic 500)."""
+        The Spark errorClass is authoritative when present (round-12
+        ADVICE: a structured NON-file condition must not fall through
+        to text matching — its message may merely quote a missing-file
+        phrase); otherwise the exception CHAIN's text is matched
+        against the known missing-file spellings (round-11 ADVICE:
+        matching only 'PATH_NOT_FOUND' missed task-side java
+        FileNotFoundException, turning a 410 into a generic 500), and
+        a text hit is confirmed through ``verify`` (the commit-log
+        check :meth:`_pinned_snapshot_vacuumed`) before the error
+        becomes a permanent 410 — unverifiable stays a retryable 500."""
         if as_of is None:
             return
-        texts = []
+        from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+        def _truncated() -> None:
+            raise LogTruncated(
+                f"snapshot at version {as_of} references vacuumed data "
+                f"files; time travel is bounded by the vacuum retention "
+                f"window"
+            ) from exc
+
         cond = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", None
         )
+        structured = ""
         if cond is not None:
             try:
-                texts.append(str(cond() or ""))
+                structured = str(cond() or "")
             except Exception:
-                pass
+                structured = ""
+        if structured:
+            # authoritative either way: a missing-file condition maps
+            # to 410, any other condition is NOT a vacuumed-file read
+            # no matter what phrases its message quotes
+            if any(
+                m in structured.lower() for m in Dataset._MISSING_FILE_MARKERS
+            ):
+                _truncated()
+            return
+        texts = []
         e: BaseException | None = exc
         while e is not None:
             texts.append(str(e))
             e = e.__cause__
         blob = " ".join(texts).lower()
         if any(m in blob for m in Dataset._MISSING_FILE_MARKERS):
-            from ftm_lakehouse_spark.sources.commits import LogTruncated
-
-            raise LogTruncated(
-                f"snapshot at version {as_of} references vacuumed data "
-                f"files; time travel is bounded by the vacuum retention "
-                f"window"
-            ) from exc
+            if verify is not None and not verify():
+                return
+            _truncated()
 
     def get_many(
         self,
@@ -265,7 +326,10 @@ class Dataset:
         try:
             collected = assemble_entities(rows).collect()
         except Exception as e:
-            self._spark_time_travel_guard(as_of, e)
+            self._spark_time_travel_guard(
+                as_of, e,
+                verify=lambda: self._pinned_snapshot_vacuumed(as_of),
+            )
             raise
         got = {r["entity_id"]: r.asDict(recursive=True) for r in collected}
         return {eid: got.get(eid) for eid in entity_ids}

@@ -48,6 +48,13 @@ import time
 import uuid
 from datetime import datetime, timezone
 
+#: jitter source for commit-retry backoff. SystemRandom, NOT the global
+#: Mersenne Twister (round-12 ADVICE): fork-started Spark/Python
+#: workers inherit the parent's PRNG state, so racing forked writers
+#: would draw IDENTICAL jitter sequences — synchronized retries are
+#: exactly the herd the full-jitter backoff exists to break up.
+_JITTER = random.SystemRandom()
+
 __all__ = [
     "CommitLog",
     "CommitConflict",
@@ -340,7 +347,7 @@ class CommitLog:
             # CommitConflict.
             if _a < MAX_COMMIT_ATTEMPTS - 1:
                 time.sleep(
-                    random.random() * min(0.025 * (1 << min(_a, 5)), 0.8)
+                    _JITTER.random() * min(0.025 * (1 << min(_a, 5)), 0.8)
                 )
         raise CommitConflict("version allocation contention: too many lost races")
 
@@ -431,9 +438,30 @@ class CommitLog:
         guard truncation solely via ``oldest_version``, so interior
         holes would be silently skipped, not detected)."""
         removed: list[str] = []
+        listing = self._fs.listdir(self.root)
+        # Reap stale conditional-write probe sentinels (round-12
+        # ADVICE: S3FS._verify_conditional_put's cleanup is
+        # best-effort; under write-only credentials every process
+        # leaves a .cond-probe-* object in this prefix, and nothing
+        # else ever deletes them). Cleanup already holds the listing —
+        # and the sweep runs even when no checkpoint exists yet. The
+        # cutoff guard keeps a concurrently in-flight probe
+        # (milliseconds old) safe from deletion between its two PUTs.
+        for name in listing:
+            if not name.startswith(".cond-probe-"):
+                continue
+            p = self._fs.join(self.root, name)
+            try:
+                if datetime.fromtimestamp(
+                    self._fs.mtime(p), tz=timezone.utc
+                ) < cutoff:
+                    self._fs.delete(p)
+                    removed.append(name)
+            except OSError:
+                pass  # raced with its own best-effort cleanup
         cps = sorted(
             int(n[len("checkpoint-") : -5])
-            for n in self._fs.listdir(self.root)
+            for n in listing
             if n.startswith("checkpoint-") and n.endswith(".json")
         )
         if not cps:

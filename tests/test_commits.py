@@ -294,3 +294,57 @@ def test_log_cleanup_never_punches_interior_holes(tmp_path, monkeypatch):
     assert removed == ["000000000001.json"]  # stops at the skewed record 2
     assert log.oldest_version() == 2  # contiguous: no hole at 3/4
     assert log.snapshot() == pre
+
+
+def test_cleanup_reaps_stale_cond_probes(tmp_path):
+    """Round-12 ADVICE: S3FS's conditional-write probe sentinels are
+    deleted best-effort; under write-only credentials they accumulate
+    in the commit-log prefix forever. cleanup() already lists the
+    directory — it must reap .cond-probe-* keys older than the cutoff,
+    and spare fresh ones (a concurrently in-flight probe must survive
+    the window between its two conditional PUTs)."""
+    import os as _os
+    from datetime import datetime, timedelta, timezone
+
+    from ftm_lakehouse_spark.sources.commits import CommitLog
+    from ftm_lakehouse_spark.sources.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "log")
+    fs.mkdirs(root)
+    log = CommitLog(fs, root)
+    for i in range(1, 3):
+        log.commit("append", [("s", str(i))], files_added=[f"f{i}.parquet"])
+
+    stale = fs.join(root, ".cond-probe-1234-deadbeef")
+    fresh = fs.join(root, ".cond-probe-5678-cafebabe")
+    fs.write_text_atomic(stale, "")
+    fs.write_text_atomic(fresh, "")
+    old = (datetime.now(timezone.utc) - timedelta(days=30)).timestamp()
+    _os.utime(stale, (old, old))
+
+    removed = log.cleanup(datetime.now(timezone.utc) - timedelta(days=1))
+    assert ".cond-probe-1234-deadbeef" in removed
+    assert not fs.exists(stale)
+    assert fs.exists(fresh)  # in-flight probe untouched
+    # commit records untouched by the probe sweep (none old enough)
+    assert log.oldest_version() == 1
+
+
+def test_commit_jitter_uses_process_safe_entropy():
+    """Round-12 ADVICE: fork-started workers inherit the global
+    Mersenne Twister state, so the retry jitter must draw from
+    SystemRandom (kernel entropy — differs across forks by
+    construction) or the full-jitter backoff re-synchronizes the
+    exact herd it exists to break."""
+    import random as _random
+
+    from ftm_lakehouse_spark.sources import commits as commits_mod
+
+    assert isinstance(commits_mod._JITTER, _random.SystemRandom)
+    # and the backoff site actually draws from it, not random.random
+    import inspect
+
+    src = inspect.getsource(commits_mod.CommitLog.commit)
+    assert "_JITTER.random()" in src
+    assert "random.random()" not in src

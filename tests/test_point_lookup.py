@@ -149,3 +149,65 @@ def test_time_travel_guard_is_file_scoped():
         "Database 'x' does not exist",
     ):
         Dataset._spark_time_travel_guard(3, Exception(msg))  # no raise
+
+
+def test_time_travel_guard_verifies_before_410():
+    """Round-12 ADVICE: a transient error that merely QUOTES a
+    missing-file phrase (e.g. a wrapped retry error embedding an inner
+    FileNotFoundException that later succeeds) must NOT become a
+    permanent 410 when the commit-log check says the pinned snapshot's
+    files are all still present — and a structured NON-file errorClass
+    is authoritative: no text fallback at all."""
+    import pytest as _pytest
+
+    from ftm_lakehouse_spark.lakehouse import Dataset
+    from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+    quoted = Exception(
+        "retry budget exhausted; last attempt failed with inner error "
+        "java.io.FileNotFoundException: part-0.parquet (will retry)"
+    )
+    # verify says the snapshot is intact -> retryable, no 410
+    Dataset._spark_time_travel_guard(3, quoted, verify=lambda: False)
+    # verify confirms vacuumed files -> 410
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, quoted, verify=lambda: True)
+    # no verifier wired (static/unit context): text match alone decides
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, quoted)
+
+    class _Structured(Exception):
+        def getCondition(self):
+            return "CAST_INVALID_INPUT"
+
+    # structured non-file condition whose MESSAGE quotes a spelling:
+    # authoritative, never a 410, verify not even consulted
+    boom = _Structured("[CAST_INVALID_INPUT] ... path does not exist ...")
+    Dataset._spark_time_travel_guard(
+        3, boom, verify=lambda: (_ for _ in ()).throw(RuntimeError)
+    )
+
+
+def test_pinned_snapshot_vacuumed_commit_log_check(spark, tmp_path):
+    """The guard's verifier against a real store: intact snapshot ->
+    False; a referenced data file removed from storage -> True; a
+    version behind log cleanup -> True (LogTruncated from replay)."""
+    from ftm_lakehouse_spark.lakehouse import Lakehouse
+
+    ds = Lakehouse(spark, str(tmp_path)).dataset("vac", shards=2)
+    rows = [
+        {"id": f"e{i}", "schema": "Person", "properties": {"name": [f"N{i}"]}}
+        for i in range(20)
+    ]
+    ds.write_entities(spark.createDataFrame(rows), origin="bulk")
+    ds.merge(force=True)
+    v = ds.version
+    assert ds._pinned_snapshot_vacuumed(v) is False
+
+    # remove one referenced data file out from under the snapshot
+    files = ds.store.commits.snapshot(v)
+    assert files
+    victim = ds._fs.join(ds.store._data_path(), files[0])
+    assert ds._fs.exists(victim)
+    ds._fs.delete(victim)
+    assert ds._pinned_snapshot_vacuumed(v) is True
