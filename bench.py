@@ -262,14 +262,19 @@ def _vs_prev(
 
             f_prev = prev.get("calib_spark_s")
             if calib_spark and f_prev:
+                # per-query EFFECTIVE floors: a gate can run FASTER
+                # than the trivial probe (lighter plan), and clamping
+                # its compute to ~0 while predicting the full f_prev
+                # would bias every such gate's ratio to f_prev/pq_k —
+                # a systematic phantom regression. A query's floor
+                # cannot exceed its own wall on either side.
+                def _pred(k: str) -> float:
+                    f_now_k = min(calib_spark, warm[k])
+                    f_prev_k = min(f_prev, pq[k])
+                    return f_prev_k + max(warm[k] - f_now_k, 1e-4) / cratio
+
                 norm = math.exp(
-                    sum(
-                        math.log(
-                            (f_prev + max(warm[k] - calib_spark, 1e-4) / cratio)
-                            / pq[k]
-                        )
-                        for k in common
-                    )
+                    sum(math.log(_pred(k) / pq[k]) for k in common)
                     / len(common)
                 )
                 out["calib_norm_model"] = "floor"

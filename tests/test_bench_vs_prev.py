@@ -249,3 +249,19 @@ def test_no_test_reads_live_root_artifacts_unpinned():
                 raise AssertionError(
                     f"{fname}:{i}: last_graded call without max_round pin"
                 )
+
+
+def test_floor_model_no_bias_for_gates_faster_than_probe(bench, tmp_path):
+    """A planning-light gate can run FASTER than the trivial floor
+    probe. The per-query effective floor (min(probe, wall)) must keep
+    an engine-unchanged, host-unchanged round at 1.0 — without it,
+    every sub-probe gate would contribute probe/wall > 1 and the
+    geomean would manufacture a regression out of thin air."""
+    # half the gates sit BELOW the 0.2 s probe on both sides
+    pq = {f"fast{i}": 0.08 + 0.01 * i for i in range(6)}
+    pq.update({f"slow{i}": 0.5 + 0.2 * i for i in range(6)})
+    here = _seed_floor_prev(tmp_path, pq, [0.2, 0.2], 0.2)
+    res = bench._vs_prev(dict(pq), [0.2, 0.2], here, calib_spark=0.2)
+    assert res["calib_norm_model"] == "floor"
+    assert res["warm_geomean_vs_prev_calib_norm"] == pytest.approx(1.0, abs=0.02)
+    assert res["verdict"] == "flat"
