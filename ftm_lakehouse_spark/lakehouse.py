@@ -205,6 +205,12 @@ class Dataset:
         "filenotfoundexception",
         "no such file",
         "file does not exist",
+        # Spark 4 task-side condition (probed r12: today it reaches
+        # Python as a Py4JJavaError with condition=None and the text
+        # path catches it via "file does not exist"; if a future
+        # PySpark structures it, the authoritative branch must still
+        # classify it as a missing file)
+        "file_not_exist",
     )
 
     def _pinned_snapshot_vacuumed(self, as_of: int) -> bool:

@@ -211,3 +211,33 @@ def test_pinned_snapshot_vacuumed_commit_log_check(spark, tmp_path):
     assert ds._fs.exists(victim)
     ds._fs.delete(victim)
     assert ds._pinned_snapshot_vacuumed(v) is True
+
+
+def test_time_travel_guard_spark4_task_side_condition():
+    """Probed this round on Spark 4.1: a file vanishing AFTER plan
+    resolution surfaces as Py4JJavaError, condition=None, message
+    '[FAILED_READ_FILE.FILE_NOT_EXIST] ... File does not exist.' —
+    caught by the text path today. If a future PySpark structures the
+    condition, the authoritative branch must classify it as a missing
+    file too (marker 'file_not_exist'), not return it as a non-file
+    condition."""
+    import pytest as _pytest
+
+    from ftm_lakehouse_spark.lakehouse import Dataset
+    from ftm_lakehouse_spark.sources.commits import LogTruncated
+
+    # today's shape: unstructured, text-matched, verify-confirmed
+    today = Exception(
+        "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while "
+        "reading file file:///x/part-0.parquet. File does not exist."
+    )
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, today, verify=lambda: True)
+
+    # tomorrow's shape: the same condition, structured
+    class _Structured(Exception):
+        def getCondition(self):
+            return "FAILED_READ_FILE.FILE_NOT_EXIST"
+
+    with _pytest.raises(LogTruncated):
+        Dataset._spark_time_travel_guard(3, _Structured("opaque"))
