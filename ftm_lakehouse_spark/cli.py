@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
         "so the MVCC log owns the table (one-time; enables direct serving)",
     )
     s.add_argument("dataset")
+    s.add_argument(
+        "--force",
+        action="store_true",
+        help="operator override for a store stuck owned-at-version-0 with "
+        "data (e.g. a crashed mid-adopt): fold the directory listing "
+        "anyway — only for stores KNOWN to be foreign read-only imports",
+    )
 
     s = sub.add_parser(
         "restore",
@@ -211,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "restore":
         print(json.dumps(lake.dataset(args.dataset).restore(args.version)))
     elif args.cmd == "adopt":
-        print(json.dumps(lake.dataset(args.dataset).store.adopt()))
+        print(json.dumps(lake.dataset(args.dataset).store.adopt(force=args.force)))
     elif args.cmd == "crawl":
         n = lake.dataset(args.dataset).crawl(
             args.src_dir, origin=args.origin, make_entities=not args.no_entities

@@ -238,7 +238,7 @@ class StatementStore:
         parts = sorted({_partition_of(f) for f in files})
         self.commits.try_bootstrap(parts, files)
 
-    def adopt(self) -> dict:
+    def adopt(self, force: bool = False, wait_s: float = 5.0) -> dict:
         """One-time EXPLICIT adoption of a pre-log foreign store
         (round-10, VERDICT r9 item 3): fold the current data-directory
         listing into an initial bootstrap commit — the files are
@@ -250,23 +250,62 @@ class StatementStore:
         Idempotent: a second call (or adopting an engine-created
         store) is a no-op reporting the current version. Writes always
         did this lazily via ``_ensure_bootstrap``; ``adopt()`` is for
-        READ-ONLY serving deployments that never issue a write."""
+        READ-ONLY serving deployments that never issue a write.
+
+        Concurrency (round-12, caught by the multiprocess race test):
+        a racing adopter creates the log directory an instant BEFORE
+        publishing the bootstrap record, so a store constructed inside
+        that window classifies as owned-at-version-0 and would report
+        head 0 forever. When explicit adoption finds that shape
+        (owned, no records, data files present) it polls up to
+        ``wait_s`` for the in-flight winner's record and converges on
+        version 1. If no record ever lands (a crashed mid-adopt), the
+        poll times out and the store stays at version 0 — deliberately,
+        because owned-at-v0-with-data is ALSO the signature of an
+        engine store's torn first append, whose orphans must never be
+        auto-folded (the r11 ownership-marker semantics;
+        test_streaming_recovery). ``force=True`` is the operator
+        override for the crashed-adoption case: it folds the current
+        directory listing into version 1 regardless — only for stores
+        KNOWN to be foreign read-only imports."""
         with self._maint_lock:
-            if not self._adopting:
+            if self._adopting:
+                self._fs.mkdirs(self.commits.root)
+                self._ensure_bootstrap()
+                # ownership flips: the log dir now exists and (if there
+                # was data) version 1 is the directory manifest —
+                # identical read set, now MVCC-governed
+                self._adopting = False
                 return {
-                    "adopted": False,
+                    "adopted": True,
                     "version": self.commits.current_version(),
                 }
-            self._fs.mkdirs(self.commits.root)
-            self._ensure_bootstrap()
-            # ownership flips: the log dir now exists and (if there was
-            # data) version 1 is the directory manifest — identical
-            # read set, now MVCC-governed
-            self._adopting = False
-            return {
-                "adopted": True,
-                "version": self.commits.current_version(),
-            }
+        # Not adopting: nothing below mutates store state (the force
+        # bootstrap is a put-if-absent race the log arbitrates), so the
+        # window poll runs OUTSIDE the per-path maint lock — a same-
+        # process winner must be able to take that lock and publish
+        # while we wait.
+        head = self.commits.current_version()
+        if head == 0:
+            data = self._data_path()
+            files = (
+                sorted(self._fs.parquet_files(data))
+                if self._fs.isdir(data)
+                else []
+            )
+            if files and force:
+                parts = sorted({_partition_of(f) for f in files})
+                won = self.commits.try_bootstrap(parts, files)
+                return {
+                    "adopted": won,
+                    "version": self.commits.current_version(),
+                }
+            if files:
+                deadline = time.monotonic() + wait_s
+                while head == 0 and time.monotonic() < deadline:
+                    time.sleep(0.02)
+                    head = self.commits.current_version()
+        return {"adopted": False, "version": head}
 
     def _stage_move(
         self,

@@ -268,3 +268,81 @@ def test_cross_process_adopt_race(tmp_path):
         os.path.relpath(n, os.path.join(store_root, "statements")).replace(os.sep, "/")
         for n in names
     )
+
+
+def test_adopt_converges_inside_winner_window(tmp_path):
+    """Round-12: a store constructed inside another adopter's
+    mkdirs→bootstrap window (log dir exists, zero records, data
+    present) classifies as owned-at-v0; explicit adopt() must wait out
+    the in-flight winner and converge on version 1 instead of
+    reporting head 0."""
+    import threading
+
+    from ftm_lakehouse_spark.model.dataset import DatasetConfig
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "statements", "shard=0", "bucket=thing",
+                        "origin=bulk")
+    os.makedirs(data)
+    for i in range(3):
+        open(os.path.join(data, f"part-{i:03d}.snappy.parquet"), "wb").write(
+            b"PAR1-fake-" + str(i).encode()
+        )
+    # the winner, paused mid-window: log dir created, record not yet
+    winner = StatementStore(None, root, DatasetConfig(name="foreign", shards=2))
+    assert winner._adopting
+    winner._fs.mkdirs(winner.commits.root)
+
+    # the loser constructs INSIDE the window
+    loser = StatementStore(None, root, DatasetConfig(name="foreign", shards=2))
+    assert not loser._adopting
+
+    results = {}
+
+    def late_adopt():
+        results["loser"] = loser.adopt(wait_s=10.0)
+
+    t = threading.Thread(target=late_adopt)
+    t.start()
+    time.sleep(0.3)  # loser is polling
+    results["winner"] = winner.adopt()
+    t.join(timeout=15)
+    assert not t.is_alive()
+    assert results["winner"] == {"adopted": True, "version": 1}
+    assert results["loser"] == {"adopted": False, "version": 1}
+    assert loser.commits.current_version() == 1
+
+
+def test_adopt_crashed_midflight_needs_force(tmp_path):
+    """If the racing winner CRASHED between mkdirs and the bootstrap
+    record, owned-at-v0-with-data is indistinguishable from an engine
+    store's torn first append — the poll times out and the store stays
+    v0 (never auto-fold). force=True is the operator override that
+    folds the directory listing."""
+    from ftm_lakehouse_spark.model.dataset import DatasetConfig
+    from ftm_lakehouse_spark.sources.statement_store import StatementStore
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "statements", "shard=0", "bucket=thing",
+                        "origin=bulk")
+    os.makedirs(data)
+    names = []
+    for i in range(3):
+        p = os.path.join(data, f"part-{i:03d}.snappy.parquet")
+        open(p, "wb").write(b"PAR1-fake-" + str(i).encode())
+        names.append(f"shard=0/bucket=thing/origin=bulk/part-{i:03d}.snappy.parquet")
+    crashed = StatementStore(None, root, DatasetConfig(name="foreign", shards=2))
+    crashed._fs.mkdirs(crashed.commits.root)  # crash right here
+
+    st = StatementStore(None, root, DatasetConfig(name="foreign", shards=2))
+    assert not st._adopting
+    out = st.adopt(wait_s=0.2)
+    assert out == {"adopted": False, "version": 0}
+
+    out = st.adopt(force=True)
+    assert out == {"adopted": True, "version": 1}
+    assert sorted(st.commits.snapshot(1)) == sorted(names)
+    # idempotent afterwards, with or without force
+    assert st.adopt(force=True)["version"] == 1
+    assert st.adopt()["version"] == 1
