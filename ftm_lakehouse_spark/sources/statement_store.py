@@ -312,6 +312,7 @@ class StatementStore:
         df: DataFrame,
         buckets: set[str] | None = None,
         zorder: tuple[str, ...] | None = None,
+        materialized: bool = False,
     ) -> tuple[set[str], list[tuple[str, ...]]]:
         """Write ``df`` via a private stage directory, then move each
         (uniquely-named) file into the table. Returns (data-dir-relative
@@ -332,7 +333,6 @@ class StatementStore:
         fs = self._fs
         data = self._data_path()
         moved: set[str] = set()
-        materialized = False
         if buckets is None:
             # Callers that already enumerated their partitions pass the
             # bucket set in. This fallback needs an extra pass over df,
@@ -395,7 +395,12 @@ class StatementStore:
         parts = sorted({_partition_of(f) for f in moved})
         return moved, parts
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        materialize: bool = False,
+    ) -> None:
         """Lock-free blind append: stage-move + one atomic commit.
         Crash between move and commit leaves untracked files that are
         never read and that ``vacuum`` reaps after retention.
@@ -405,18 +410,43 @@ class StatementStore:
         already-committed version is skipped — the contract that turns
         an at-least-once streaming ``foreachBatch`` sink into an
         exactly-once one (streaming/journal.py passes its checkpoint
-        identity + epoch here)."""
+        identity + epoch here).
+
+        ``materialize`` (round-12 optimization, guide §1.2 "don't
+        compute things you throw away"): eagerly localCheckpoint ``df``
+        so the input plan executes ONCE instead of once per downstream
+        pass (the partition-discovery collect + the write job — and for
+        a streaming micro-batch each pass replays the stateful dedup
+        plan including its per-execution RocksDB state load). The right
+        call when recomputing ``df`` costs more than one disk
+        round-trip of its rows: streaming micro-batches (bounded by the
+        trigger) and emission-bounded entity writes (whose plan carries
+        an explode + a dedup shuffle). Default off: a plain backfill
+        append of an already-materialized table would pay a pointless
+        extra disk copy when its discovery pass is a cheap
+        column-pruned scan. An empty materialized input returns after
+        the checkpoint job — which has already consumed every input
+        partition (the contract a streaming foreachBatch sink needs) —
+        without touching tags or the log."""
         if txn is not None and self.commits.txn_version(txn[0]) >= int(txn[1]):
             return  # replayed micro-batch: already durable, skip the job
         df = df.select(*STATEMENT_SCHEMA.fieldNames())
+        if materialize:
+            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
         touched = df.select(*PARTITION_COLUMNS).distinct().collect()
+        if materialize and not touched:
+            return  # empty batch, already consumed in full by the checkpoint
         # advisory freshness stamped BEFORE data lands (crash-safe
         # ordering, reference storage/parquet.py:545-569): a crash
         # leaves the partition marked dirty, never clean
         for r in touched:
             self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
         self._ensure_bootstrap()
-        added, parts = self._stage_move(df, buckets={r["bucket"] for r in touched})
+        added, parts = self._stage_move(
+            df,
+            buckets={r["bucket"] for r in touched},
+            materialized=materialize,
+        )
         if added:
             # the atomic replay re-check inside commit() closes the race
             # two concurrent replays of one epoch could otherwise hit;

@@ -62,19 +62,28 @@ class StreamingJournal:
         txn_app = f"journal:{self.checkpoint_dir}"
 
         def sink(batch_df, epoch: int) -> None:
-            if self.store.commits.txn_version(txn_app) >= epoch or batch_df.isEmpty():
+            if self.store.commits.txn_version(txn_app) >= epoch:
                 # Replayed epoch (crash landed between the store commit
-                # and the checkpoint advance) or nothing to write.
-                # Either way the batch must still be consumed IN FULL:
-                # Spark validates that foreachBatch processed every
-                # partition before committing the upstream state stores
-                # (STATE_STORE_COMMIT_VALIDATION on 4.x), and the
-                # dropDuplicatesWithinWatermark state rides on that
-                # commit — an early return here wedges the stream on
-                # restart (caught by tests/test_streaming_recovery.py).
+                # and the checkpoint advance). The batch must still be
+                # consumed IN FULL: Spark validates that foreachBatch
+                # processed every partition before committing the
+                # upstream state stores (STATE_STORE_COMMIT_VALIDATION
+                # on 4.x), and the dropDuplicatesWithinWatermark state
+                # rides on that commit — an early return here wedges
+                # the stream on restart (caught by
+                # tests/test_streaming_recovery.py).
                 batch_df.write.format("noop").mode("overwrite").save()
                 return
-            self.store.append(batch_df, txn=(txn_app, epoch))
+            # materialize=True executes the stateful micro-batch plan
+            # exactly ONCE (round-12, guide §1.2): the eager checkpoint
+            # consumes every partition (satisfying the same state-store
+            # commit validation, including for an empty batch — the
+            # pre-change isEmpty() + noop-write pair replayed the plan,
+            # and its RocksDB state load, up to two extra times per
+            # epoch), and the discovery collect + stage write jobs read
+            # the checkpointed rows instead of replaying the source
+            # scan + dedup state machinery.
+            self.store.append(batch_df, txn=(txn_app, epoch), materialize=True)
 
         writer = (
             stream.writeStream.foreachBatch(sink)

@@ -72,8 +72,8 @@ def test_crash_after_write_before_checkpoint(spark, tmp_path):
     # the sink dies before Spark records the epoch in the checkpoint
     real_append = store.append
 
-    def dying_append(df, txn=None):
-        real_append(df, txn=txn)
+    def dying_append(df, txn=None, **kw):
+        real_append(df, txn=txn, **kw)
         raise RuntimeError("injected crash after durable write")
 
     store.append = dying_append
