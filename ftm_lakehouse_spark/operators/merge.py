@@ -73,19 +73,51 @@ def canonicalize(raw: DataFrame, grace_cutoff: datetime | None = None) -> DataFr
     # (reference _dedupe_sql keys only on id). So entity_id/prop are
     # masked to '' for non-fragment rows; fragment rows keep the full
     # per-id idempotency group.
-    ek = F.when(is_fragment, F.col("entity_id")).otherwise(F.lit(""))
+    # ``ek`` masks to ``id`` (not a constant) for non-fragment rows:
+    # any function of ``id`` added to window 1's keys leaves its group
+    # exactly (shard, bucket, origin, id), and window 2 — which shares
+    # these keys, see below — then hashes non-fragment rows BY ID
+    # across tasks instead of collapsing every non-fragment row of a
+    # physical partition into one task (guide §2.5: the shared exchange
+    # must not lose window 1's fine-grained spread).
+    ek = F.when(is_fragment, F.col("entity_id")).otherwise(F.col("id"))
     pk = F.when(is_fragment, F.col("prop")).otherwise(F.lit(""))
     id_group = ["shard", "bucket", "origin", ek, pk, F.col("fragment"), F.col("id")]
     w_id = W.partitionBy(*id_group)
     w_id_rank = w_id.orderBy(F.desc("last_seen"), F.desc_nulls_last("deleted_at"))
     # Window 2 — the supersession group (fragment rows only consult it).
-    w_frag = W.partitionBy(*MERGE_GROUP_FRAGMENT)
+    # Keyed on the SAME masked (ek, pk) columns as window 1 — for
+    # fragment rows that is exactly MERGE_GROUP_FRAGMENT (ek=entity_id,
+    # pk=prop), and for non-fragment rows the group degenerates to
+    # per-id, which is harmless: both of this window's outputs
+    # (_fs_frag, _max_ls) are consumed only under ``is_fragment``. The
+    # shared keys make window 2's partition keys a strict SUBSET of
+    # window 1's, so one hash exchange on the supersession keys serves
+    # both windows (HashPartitioning satisfies any ClusteredDistribution
+    # whose keys are a superset): the merge pays ONE shuffle instead of
+    # two (round-12, guide §2.4 — verified in
+    # plans/r12/ftm_canonicalize_after.txt; window 2 is annotated first
+    # so its exchange is the one that materializes). Per-task skew bound
+    # is unchanged — fragment rows stay spread by their (already
+    # task-local) supersession group, non-fragment rows by id.
+    w_frag = W.partitionBy("shard", "bucket", "origin", ek, pk, F.col("fragment"))
 
-    annotated = (
-        raw.withColumn("_rn", F.row_number().over(w_id_rank))
-        .withColumn("_fs_id", F.min("first_seen").over(w_id))
-        .withColumn("_fs_frag", F.min("first_seen").over(w_frag))
-        .withColumn("_max_ls", F.max("last_seen").over(w_frag))
+    # One select (not chained withColumn — each chained window column
+    # lands in its own Window operator and pays its own Exchange; a
+    # single projection lets ExtractWindowExpressions group same-spec
+    # functions). ``_fs_id`` rides w_id_rank's (partition, order) spec
+    # with an explicit whole-group frame — min over the full group is
+    # order-independent, so it shares ONE Window operator with ``_rn``
+    # instead of needing an unordered twin. Net plan: 2 Window
+    # operators, 1 Exchange (was 4 and 4).
+    annotated = raw.select(
+        "*",
+        F.min("first_seen").over(w_frag).alias("_fs_frag"),
+        F.max("last_seen").over(w_frag).alias("_max_ls"),
+        F.row_number().over(w_id_rank).alias("_rn"),
+        F.min("first_seen").over(w_id_rank.rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("_fs_id"),
     )
     keep = (F.col("_rn") == 1) & (
         ~is_fragment | (F.col("last_seen") == F.col("_max_ls"))
