@@ -35,10 +35,16 @@ _EOW = "</w>"
 
 
 def _word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
+    # Repartition only when the source arrives UNDER-parallel (a local
+    # one-file scan): the groupBy's map-side partial aggregation never
+    # needs a pre-shuffle, so at corpus scale — where the scan already
+    # fans out — the round-robin repartition would be a full shuffle of
+    # the corpus text for nothing (guide §2.4: accidental Exchange).
     par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return (
-        docs.repartition(par)
-        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -115,6 +121,12 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    # Per-round eager checkpoint is deliberate: an A/B against lazy
+    # chaining with a checkpoint every 4 rounds (round-12) measured the
+    # lazy form ~1.5-2× SLOWER and unstable — nested ``aggregate``
+    # lambda rewrites re-execute inside every argmax job and their
+    # struct-accumulator codegen dwarfs the one extra (tiny,
+    # word-table-sized) materialization job per round.
     for rank in range(num_merges):
         best = (
             _adjacent_pair_counts(words)
