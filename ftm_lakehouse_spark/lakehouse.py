@@ -93,13 +93,10 @@ class Dataset:
             seen=seen,
             fragment=fragment,
         ).dropDuplicates(["id", "fragment", "origin"])
-        # materialize=True: the exploded+deduped statement plan (an
-        # explode fan-out plus a dedup shuffle) executes once instead of
-        # once per append pass (round-12, guide §1.2); emissions are
-        # bounded by the producer contract (the reference buffers them
-        # in memory), so one executor-disk round-trip beats replaying
-        # the explode and its shuffle for the discovery collect.
-        self.store.append(stmts, materialize=True)
+        # the single-pass append executes the exploded+deduped statement
+        # plan exactly once, inside the stage write job (round-12,
+        # guide §1.2) — no discovery pass, no checkpoint
+        self.store.append(stmts)
 
     def write_entities_json(self, path: str, origin: str = "default", **kw) -> None:
         """Ingest an entities.ftm.json lines file (S8)."""

@@ -45,7 +45,6 @@ import uuid
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
-from ftm_lakehouse_spark.persist import DATA_SIZED as _DATA_LEVEL
 from pyspark.sql import functions as F
 
 from ftm_lakehouse_spark.model.dataset import DatasetConfig
@@ -310,9 +309,7 @@ class StatementStore:
     def _stage_move(
         self,
         df: DataFrame,
-        buckets: set[str] | None = None,
         zorder: tuple[str, ...] | None = None,
-        materialized: bool = False,
     ) -> tuple[set[str], list[tuple[str, ...]]]:
         """Write ``df`` via a private stage directory, then move each
         (uniquely-named) file into the table. Returns (data-dir-relative
@@ -321,65 +318,84 @@ class StatementStore:
         writers — threads or drivers — can run this concurrently; files
         become *visible* only when the caller's commit record lands.
 
-        Writer profiles are per BUCKET (reference
-        storage/parquet.py:487-541 splits its append by bucket for
-        exactly this): document-family buckets carry long text values
-        and get the large profile (zstd, smaller row groups, no value
-        dictionary); thing/interval buckets get the small profile
-        (snappy, big row groups, dictionaries). Parquet writer options
-        are per write JOB in Spark, so the batch splits into one job
-        per profile actually present — the partition pruning on the
-        ``bucket`` partition column makes each job scan only its slice."""
+        Single-pass protocol (round-12, guide §1.2): the input plan —
+        which may be an expensive subtree (an entity emission's
+        explode + dedup, the merge's canonicalize windows, a stateful
+        streaming micro-batch) — executes exactly ONCE, in the stage
+        write job. Partitions (and so the bucket set) are derived from
+        the staged FILE NAMES, which replaces both the pre-pass
+        discovery collect and the eager localCheckpoint that earlier
+        rounds used to keep multiple passes from replaying the plan.
+
+        Writer profiles stay per BUCKET (reference
+        storage/parquet.py:487-541 splits its append by bucket):
+        document-family buckets carry long text values and get the
+        large profile (zstd, smaller row groups, no value dictionary);
+        thing/interval buckets get the small profile (snappy, big row
+        groups, dictionaries). Parquet writer options are per write JOB
+        in Spark, so the batch stages under the small profile first and
+        any document-family slice is then REWRITTEN with the large
+        profile from the staged parquet — a columnar read of just that
+        slice, never a re-execution of the input plan."""
         fs = self._fs
         data = self._data_path()
-        moved: set[str] = set()
-        if buckets is None:
-            # Callers that already enumerated their partitions pass the
-            # bucket set in. This fallback needs an extra pass over df,
-            # and the write jobs below need one more each — when df is
-            # an expensive subtree (the merge's double-window
-            # canonicalize), recomputing it per consumer is the
-            # repeated-subtree trap (round-3 lesson, SCALE.md §6):
-            # materialize ONCE and let every pass read the
-            # materialization — the data-sized policy level (SCALE.md
-            # §8): the cohort is the merge hot path and must not bloat
-            # as deserialized objects against its own write jobs.
-            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
-            materialized = True
-            buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
-        groups = [
-            (True, sorted(b for b in buckets if b in LARGE_VALUE_BUCKETS)),
-            (False, sorted(b for b in buckets if b not in LARGE_VALUE_BUCKETS)),
+        stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        if zorder:
+            from ftm_lakehouse_spark.functions.zorder import zorder_cluster
+
+            fanout = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            clustered = zorder_cluster(
+                df, zorder, list(PARTITION_COLUMNS), fanout
+            )
+        else:
+            clustered = self._cluster_for_write(df)
+        (
+            clustered.write.mode("overwrite")
+            .options(**self._write_options(large=False))
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(stage)
+        )
+        rels = sorted(fs.parquet_files(stage))
+        large_rels = [
+            r for r in rels if _partition_of(r)[1] in LARGE_VALUE_BUCKETS
         ]
-        if not materialized and all(members for _, members in groups):
-            # both writer profiles present → two write jobs over df;
-            # same trap, same cure
-            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
-        for large, members in groups:
-            if not members:
-                continue
-            stage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
-            slice_df = df.filter(F.col("bucket").isin(members))
+        keep_rels = [r for r in rels if r not in set(large_rels)]
+        stages = [(stage, keep_rels)]
+        if large_rels:
+            # profile fix-up for document-family buckets: rewrite the
+            # staged slice (columnar, slice-sized) under the large
+            # profile, re-establishing the clustering order the
+            # partitioned writer expects
+            restage = fs.join(self.path, f"_stage-{uuid.uuid4().hex}")
+            slice_df = (
+                self.spark.read.option("basePath", stage)
+                .schema(STATEMENT_SCHEMA)
+                .parquet(*[fs.join(stage, r) for r in large_rels])
+            )
             if zorder:
                 from ftm_lakehouse_spark.functions.zorder import zorder_cluster
 
                 fanout = int(
                     self.spark.conf.get("spark.sql.shuffle.partitions", "32")
                 )
-                clustered = zorder_cluster(
+                slice_df = zorder_cluster(
                     slice_df, zorder, list(PARTITION_COLUMNS), fanout
                 )
             else:
-                clustered = self._cluster_for_write(slice_df)
+                slice_df = slice_df.sortWithinPartitions(*WRITE_SORT_COLUMNS)
             (
-                clustered.write.mode("overwrite")
-                .options(**self._write_options(large=large))
+                slice_df.write.mode("overwrite")
+                .options(**self._write_options(large=True))
                 .partitionBy(*PARTITION_COLUMNS)
-                .parquet(stage)
+                .parquet(restage)
             )
-            rels = sorted(fs.parquet_files(stage))
+            stages.append((restage, sorted(fs.parquet_files(restage))))
+        moved: set[str] = set()
+        for src_root, src_rels in stages:
             pairs = [
-                (fs.join(stage, rel), fs.join(data, rel)) for rel in rels
+                (fs.join(src_root, rel), fs.join(data, rel)) for rel in src_rels
             ]
             if hasattr(fs, "rename_many"):
                 # object stores: the moves are independent server-side
@@ -390,8 +406,8 @@ class StatementStore:
             else:
                 for src, dst in pairs:
                     fs.rename(src, dst)
-            moved.update(rels)
-            fs.delete(stage)
+            moved.update(src_rels)
+            fs.delete(src_root)
         parts = sorted({_partition_of(f) for f in moved})
         return moved, parts
 
@@ -412,46 +428,35 @@ class StatementStore:
         exactly-once one (streaming/journal.py passes its checkpoint
         identity + epoch here).
 
-        ``materialize`` (round-12 optimization, guide §1.2 "don't
-        compute things you throw away"): eagerly localCheckpoint ``df``
-        so the input plan executes ONCE instead of once per downstream
-        pass (the partition-discovery collect + the write job — and for
-        a streaming micro-batch each pass replays the stateful dedup
-        plan including its per-execution RocksDB state load). The right
-        call when recomputing ``df`` costs more than one disk
-        round-trip of its rows: streaming micro-batches (bounded by the
-        trigger) and emission-bounded entity writes (whose plan carries
-        an explode + a dedup shuffle). Default off: a plain backfill
-        append of an already-materialized table would pay a pointless
-        extra disk copy when its discovery pass is a cheap
-        column-pruned scan. An empty materialized input returns after
-        the checkpoint job — which has already consumed every input
-        partition (the contract a streaming foreachBatch sink needs) —
-        without touching tags or the log."""
+        ``materialize`` is accepted for compatibility and ignored: the
+        single-pass ``_stage_move`` (round-12, guide §1.2) executes the
+        input plan exactly ONCE — in the stage write job — so there is
+        no second pass left to protect with an eager checkpoint. The
+        write job also consumes every input partition, the contract a
+        streaming foreachBatch sink needs even for an empty batch
+        (state-store commit validation); an empty batch returns after
+        that job without touching tags or the log."""
         if txn is not None and self.commits.txn_version(txn[0]) >= int(txn[1]):
             return  # replayed micro-batch: already durable, skip the job
         df = df.select(*STATEMENT_SCHEMA.fieldNames())
-        if materialize:
-            df = df.localCheckpoint(eager=True, storageLevel=_DATA_LEVEL)
-        touched = df.select(*PARTITION_COLUMNS).distinct().collect()
-        if materialize and not touched:
-            return  # empty batch, already consumed in full by the checkpoint
-        # advisory freshness stamped BEFORE data lands (crash-safe
-        # ordering, reference storage/parquet.py:545-569): a crash
-        # leaves the partition marked dirty, never clean
-        for r in touched:
-            self.tags.touch(self._partition_tag(r["shard"], r["bucket"], r["origin"]))
+        # bootstrap BEFORE the move: an adoption-mode store must fold
+        # pre-existing foreign files into the log before this append's
+        # files land next to them (engine-created stores: no-op)
         self._ensure_bootstrap()
-        added, parts = self._stage_move(
-            df,
-            buckets={r["bucket"] for r in touched},
-            materialized=materialize,
-        )
-        if added:
-            # the atomic replay re-check inside commit() closes the race
-            # two concurrent replays of one epoch could otherwise hit;
-            # a loser's staged files are untracked and vacuumed
-            self.commits.commit("append", parts, sorted(added), txn=txn)
+        added, parts = self._stage_move(df)
+        if not added:
+            return  # empty batch, consumed in full by the write job
+        # advisory freshness stamped BEFORE data becomes VISIBLE (the
+        # commit below; staged-then-moved files are untracked until it
+        # lands — crash-safe ordering, reference storage/parquet.py:
+        # 545-569): a crash leaves the partition marked dirty, never
+        # visibly clean with new data
+        for shard, bucket, origin in parts:
+            self.tags.touch(self._partition_tag(shard, bucket, origin))
+        # the atomic replay re-check inside commit() closes the race
+        # two concurrent replays of one epoch could otherwise hit;
+        # a loser's staged files are untracked and vacuumed
+        self.commits.commit("append", parts, sorted(added), txn=txn)
         self.tags.touch("last_updated")
 
     @staticmethod
@@ -536,15 +541,8 @@ class StatementStore:
             snap = self.commits.snapshot(read_version)
             scope = {tuple(p) for p in expected or []}
             files_removed = [f for f in snap if _partition_of(f) in scope]
-        # a partition-scoped rewrite's output rows can only carry the
-        # scoped partitions' buckets — passing them skips _stage_move's
-        # bucket-discovery pass (which would recompute df's whole
-        # subtree: the skew-stress profile showed the merge's
-        # canonicalize windows running 3× through this path)
-        buckets = {p[1] for p in expected} if expected else None
         added, written = self._stage_move(
             df.select(*STATEMENT_SCHEMA.fieldNames()),
-            buckets=buckets,
             zorder=zorder,
         )
         all_parts = sorted(

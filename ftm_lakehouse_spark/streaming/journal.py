@@ -74,16 +74,14 @@ class StreamingJournal:
                 # tests/test_streaming_recovery.py).
                 batch_df.write.format("noop").mode("overwrite").save()
                 return
-            # materialize=True executes the stateful micro-batch plan
-            # exactly ONCE (round-12, guide §1.2): the eager checkpoint
-            # consumes every partition (satisfying the same state-store
-            # commit validation, including for an empty batch — the
-            # pre-change isEmpty() + noop-write pair replayed the plan,
-            # and its RocksDB state load, up to two extra times per
-            # epoch), and the discovery collect + stage write jobs read
-            # the checkpointed rows instead of replaying the source
-            # scan + dedup state machinery.
-            self.store.append(batch_df, txn=(txn_app, epoch), materialize=True)
+            # the single-pass append executes the stateful micro-batch
+            # plan exactly ONCE, inside the stage write job (round-12,
+            # guide §1.2); that job consumes every partition even for an
+            # empty batch, satisfying the state-store commit validation
+            # (the pre-change isEmpty() + noop-write pair replayed the
+            # plan, and its RocksDB state load, up to two extra times
+            # per epoch).
+            self.store.append(batch_df, txn=(txn_app, epoch))
 
         writer = (
             stream.writeStream.foreachBatch(sink)
