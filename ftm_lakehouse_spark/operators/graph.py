@@ -158,32 +158,31 @@ def pagerank_fixed_point(
             edges.count()
             old.unpersist()
     deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
-    nodes = deg.select(F.col(src_col).alias("node"), "_deg")
-    if iterations > 1:
-        # the per-node table is small (one row per node) — memory is fine
-        nodes = nodes.localCheckpoint(eager=True)
-    n_nodes = nodes.select(F.count("*").alias("_n"))
-    base = F.expr(f"div({(100 - damping_pct) * scale}, 100 * _n)")
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "_deg", F.expr(f"div({scale}, _n)").alias("rank")
+    # the per-node table is small (one row per node) — memory is fine
+    nodes = deg.select(F.col(src_col).alias("node"), "_deg").localCheckpoint(
+        eager=True
     )
+    # N is ONE scalar: fold it to the driver once (a count over the
+    # materialized node table) so ``base`` and the seed rank become
+    # literals — the broadcast-crossJoin alternative re-attaches a
+    # BroadcastNestedLoopJoin + broadcast exchange to EVERY iteration's
+    # plan for a single number (round-12, guide §2.4). Same integer
+    # arithmetic, identical ranks.
+    n = nodes.count()
+    base = F.lit((100 - damping_pct) * scale // (100 * n))
+    ranks = nodes.select("node", "_deg", F.lit(scale // n).alias("rank"))
     for i in range(iterations):
         contribs = edges.join(ranks, edges[src_col] == ranks.node).select(
             F.col(dst_col).alias("node"),
             F.expr("div(rank, _deg)").alias("_c"),
         )
         sums = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                "_deg",
-                (
-                    base
-                    + F.expr(f"div({damping_pct} * coalesce(_s, 0), 100)")
-                ).alias("rank"),
-            )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            "_deg",
+            (
+                base + F.expr(f"div({damping_pct} * coalesce(_s, 0), 100)")
+            ).alias("rank"),
         )
         if iterations > 8 and i % 4 == 3:  # pragma: no cover - long runs only
             ranks = ranks.localCheckpoint(eager=True)
