@@ -497,18 +497,38 @@ class StatementStore:
         entity-keyed salt. Hashing only the 3 partition columns would
         collapse a 1.8M-row write onto <#partitions> tasks; the salt
         multiplies fan-out while keeping every entity wholly inside one
-        task, so the entity_id clustering sort still yields contiguous
-        entities and tight min/max file stats."""
+        hash group, so the entity_id clustering sort still yields
+        contiguous entities and tight min/max file stats.
+
+        REBALANCE instead of a fixed-fanout repartition (round-12,
+        guide §2.2/§6): AQE sizes the write partitions from the ACTUAL
+        shuffle bytes — a few-thousand-row emission coalesces to one
+        file per table partition instead of <shuffle.partitions> shards
+        of it, and a backfill-sized batch splits until tasks sit near
+        ``spark.sql.adaptive.advisoryPartitionSizeInBytes``. The same
+        code is right at both scales; a constant fanout was right at
+        neither."""
         import pyspark.sql.functions as _F
 
         fanout = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         salt = _F.pmod(_F.xxhash64("entity_id"), _F.lit(max(1, fanout // 4)))
-        return (
-            df.withColumn("_wsalt", salt)
-            .repartition(fanout, *PARTITION_COLUMNS, "_wsalt")
-            .drop("_wsalt")
-            .sortWithinPartitions(*WRITE_SORT_COLUMNS)
+        salted = df.withColumn("_wsalt", salt)
+        aqe_on = (
+            str(
+                df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+            ).lower()
+            == "true"
         )
+        if aqe_on:
+            clustered = salted.hint("rebalance", *PARTITION_COLUMNS, "_wsalt")
+        else:
+            # stateful streaming micro-batches run with AQE force-
+            # disabled (MicroBatchExecution), and REBALANCE resolution
+            # requires AQE — the hint would be silently DROPPED there,
+            # leaving the dedup state's arbitrary partitioning. Keep
+            # the fixed-fanout hash repartition for that path.
+            clustered = salted.repartition(fanout, *PARTITION_COLUMNS, "_wsalt")
+        return clustered.drop("_wsalt").sortWithinPartitions(*WRITE_SORT_COLUMNS)
 
     def overwrite_partitions(
         self,
