@@ -129,34 +129,59 @@ def assemble_entities(
 
     # per-(entity, prop) value arrays first: two-level fold keeps the
     # per-group state bounded (values of one prop), and the second
-    # groupBy reuses the same entity_id hash partitioning.
-    values_expr = F.array_sort(F.collect_set("value"))
+    # groupBy reuses the same entity_id hash partitioning. ONE pass
+    # (round-12, guide §1.2): checksum rows ride the same aggregation
+    # as conditional aggregates — the previous two-subtree form
+    # (filtered per-prop fold + a separate last_change aggregation,
+    # re-joined on entity_id) scanned the statements input twice and
+    # paid an extra exchange + join. collect_set/min/max ignore the
+    # NULLs the ``when`` guards produce, so per-group results are
+    # byte-identical; checksum-only groups are carried with ``n = 0``
+    # and folded out below exactly where the old filter dropped them.
+    values_expr = F.array_sort(
+        F.collect_set(F.when(~is_checksum, F.col("value")))
+    )
     if max_values_per_prop is not None:
         values_expr = F.slice(values_expr, 1, max_values_per_prop)
-    per_prop = (
-        statements.filter(~is_checksum)
-        .groupBy("entity_id", "prop")
-        .agg(
-            values_expr.alias("values"),
-            F.collect_set("schema").alias("schemata"),
-            F.min("first_seen").alias("first_seen"),
-            F.max("last_seen").alias("last_seen"),
-            F.collect_set("origin").alias("origins"),
-            F.count("*").alias("n"),
-        )
+    per_prop = statements.groupBy("entity_id", "prop").agg(
+        values_expr.alias("values"),
+        F.collect_set(F.when(~is_checksum, F.col("schema"))).alias("schemata"),
+        F.min(F.when(~is_checksum, F.col("first_seen"))).alias("first_seen"),
+        F.max(F.when(~is_checksum, F.col("last_seen"))).alias("last_seen"),
+        F.collect_set(F.when(~is_checksum, F.col("origin"))).alias("origins"),
+        F.count_if(~is_checksum).alias("n"),
+        F.max(F.when(is_checksum, F.col("first_seen"))).alias("_lc"),
     )
 
+    # checksum-only groups (n = 0) must never win the caption; rank
+    # them below the old filtered universe entirely
     caption_expr = F.min_by(
-        F.col("values")[0],
+        # F.get, not [0]: a checksum-only group's values array is EMPTY
+        # and ANSI mode turns [0] into INVALID_ARRAY_INDEX; get() yields
+        # NULL, and the r=100 rank keeps such a group from ever winning
+        F.get(F.col("values"), 0),
         F.struct(
-            F.when(caption_rank > 0, caption_rank).otherwise(F.lit(99)).alias("r"),
+            F.when(F.col("n") == 0, F.lit(100))
+            .when(caption_rank > 0, caption_rank)
+            .otherwise(F.lit(99))
+            .alias("r"),
             F.col("prop").alias("p"),
         ),
     )
 
+    real_groups = F.filter(
+        F.collect_list(F.struct("prop", "values", "n")), lambda g: g["n"] > 0
+    )
     entities = per_prop.groupBy("entity_id").agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("prop", "values")))
+            F.array_sort(
+                F.transform(
+                    real_groups,
+                    lambda g: F.struct(
+                        g["prop"].alias("prop"), g["values"].alias("values")
+                    ),
+                )
+            )
         ).alias("properties"),
         F.array_distinct(F.flatten(F.collect_list("schemata"))).alias("_schemata"),
         caption_expr.alias("caption"),
@@ -164,22 +189,22 @@ def assemble_entities(
         F.max("last_seen").alias("last_seen"),
         F.array_distinct(F.flatten(F.collect_list("origins"))).alias("origins"),
         F.sum("n").alias("n_statements"),
+        F.max("_lc").alias("_last_change"),
     )
 
-    last_change = (
-        statements.filter(is_checksum)
-        .groupBy("entity_id")
-        .agg(F.max("first_seen").alias("last_change"))
-    )
-
-    return entities.join(last_change, "entity_id", "left").select(
-        "entity_id",
-        "caption",
-        merge_schemata(F.col("_schemata")).alias("schema"),
-        "properties",
-        "first_seen",
-        "last_seen",
-        F.coalesce("last_change", "first_seen").alias("last_change"),
-        F.array_sort("origins").alias("origins"),
-        "n_statements",
+    return (
+        # an entity whose every statement is a checksum row was absent
+        # from the old per-prop universe — drop it here the same way
+        entities.filter(F.col("n_statements") > 0)
+        .select(
+            "entity_id",
+            "caption",
+            merge_schemata(F.col("_schemata")).alias("schema"),
+            "properties",
+            "first_seen",
+            "last_seen",
+            F.coalesce("_last_change", "first_seen").alias("last_change"),
+            F.array_sort("origins").alias("origins"),
+            "n_statements",
+        )
     )
