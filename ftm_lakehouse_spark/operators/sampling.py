@@ -73,17 +73,39 @@ def temperature_mix(
 
     Returns the surviving rows with ``keep_rate`` attached.
     """
+    rates = temperature_mix_rates(df, strata_col, alpha)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(mix_keep(F.col(id_col), salt))
+    )
+
+
+def temperature_mix_rates(
+    df: DataFrame, strata_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """The per-stratum keep-rate table of :func:`temperature_mix` —
+    ``(strata_col, keep_rate)``, one row per stratum, broadcast-size by
+    construction. Split out so a pipeline that already makes a pass
+    over the corpus can compute the rates on the FULL basis and apply
+    :func:`mix_keep` as a filter on its own pass, instead of joining
+    the corpus against a second corpus-sized membership set
+    (round-12, guide §3.2: a join that a broadcast filter can replace)."""
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
     n_min = counts.agg(F.min("_n").alias("_n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    return counts.crossJoin(F.broadcast(n_min)).select(
         strata_col,
         F.round(
             F.pow(F.col("_n_min").cast("double") / F.col("_n"), 1.0 - alpha), 6
         ).alias("keep_rate"),
     )
+
+
+def mix_keep(id_col: Column, salt: str = "mix:") -> Column:
+    """The membership predicate of :func:`temperature_mix`, applicable
+    wherever a ``keep_rate`` column (from
+    :func:`temperature_mix_rates`) is in scope. Kept as the single
+    definition of the draw-vs-threshold comparison so the mix decision
+    can never diverge between the standalone operator and a fused
+    pipeline pass."""
     thresh = F.floor(F.col("keep_rate") * _HASH_SPACE).cast("long")
-    draw = hash_uniform(F.col(id_col), salt)
-    return (
-        df.join(F.broadcast(rates), strata_col)
-        .filter(draw < thresh)
-    )
+    return hash_uniform(id_col, salt) < thresh
