@@ -288,6 +288,12 @@ def _token_bits(token, bits: int):
 #: such a tier is a cluster-day (VERDICT r9 item 6)
 MAX_EXPANSION_PAIRS = 2_000_000_000
 
+#: edge count above which connected_components pins a join-key hash
+#: layout for the iteration joins (below it the label table broadcasts
+#: and the layout is irrelevant) — same regime boundary as
+#: pagerank_fixed_point's edge re-layout
+CC_RELAYOUT_EDGES = 50_000_000
+
 
 def _guard_quadratic(est_pairs: int, op: str, allow: bool) -> None:
     """Loud refusal for an output expansion that is quadratic in the
@@ -755,8 +761,29 @@ def connected_components(
     # and silently collapse every node into one meaningless cluster.
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # cut lineage once up front: the edge set feeds every iteration
-    und = und.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # materialize the edge set once up front: it feeds every iteration.
+    # persist + count instead of localCheckpoint (round-12, guide §2.4)
+    # because InMemoryTableScan PRESERVES outputPartitioning while a
+    # checkpointed LogicalRDD degrades to UnknownPartitioning (verified
+    # on 4.1) — the prerequisite for the data-adaptive re-layout below.
+    und = und.persist(StorageLevel.DISK_ONLY)
+    n_edges = und.count()
+    if n_edges >= CC_RELAYOUT_EDGES:
+        # Large edge set ⇒ the label table is past the broadcast regime
+        # and every iteration's edges⋈labels join becomes a sort-merge
+        # join that would re-shuffle the WHOLE edge set per round. Pin
+        # the join-key hash layout ONCE so the iterations move only the
+        # label vector — per-round shuffle drops from O(|edges|) to
+        # O(|labels|). Same data-adaptive pattern (and threshold) as
+        # pagerank_fixed_point: below it the labels side broadcasts and
+        # the edge layout is irrelevant, so the extra re-layout pass
+        # would be pure cost at bench scale. Evidence:
+        # plans/r12/cc_iteration_{before,after}.txt (4 exchanges/round
+        # → 1, the fundamental groupBy).
+        old = und
+        und = und.repartition("u").persist(StorageLevel.DISK_ONLY)
+        und.count()
+        old.unpersist()
     labels = (
         und.select(F.col("u").alias("doc")).distinct().withColumn("label", F.col("doc"))
     )
@@ -783,6 +810,11 @@ def connected_components(
         labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    # labels is checkpointed (materialized) by the last iteration, so
+    # the pinned edge layout is no longer needed — release it rather
+    # than letting converged edge sets accumulate in the block manager
+    # across the queries of one session
+    und.unpersist()
     return labels.select("doc", F.col("label").alias("cluster"))
 
 

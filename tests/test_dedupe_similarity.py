@@ -196,6 +196,26 @@ def test_connected_components_multi_hop(spark):
     }
 
 
+def test_connected_components_relayout_branch(spark, monkeypatch):
+    """The at-scale edge re-layout (round-12: pin the join-key hash
+    layout once so iterations never re-shuffle the edge set) must
+    produce the identical clustering — forced on by dropping the
+    threshold to 0 so the branch runs at test size."""
+    from ftm_lakehouse_spark.operators import dedupe
+
+    monkeypatch.setattr(dedupe, "CC_RELAYOUT_EDGES", 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    out = {r["doc"]: r["cluster"] for r in dedupe.connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
 def test_benchmark_overlap_finds_contamination(spark):
     from ftm_lakehouse_spark.operators.dedupe import benchmark_overlap
 
