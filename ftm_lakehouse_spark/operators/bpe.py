@@ -118,15 +118,21 @@ def bpe_train(
     words = (
         _word_frequencies(docs, text_col)
         .select("word", "n", _initial_symbols().alias("symbols"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    # Per-round eager checkpoint is deliberate: an A/B against lazy
+    # A checkpoint EVERY round is deliberate: an A/B against lazy
     # chaining with a checkpoint every 4 rounds (round-12) measured the
     # lazy form ~1.5-2× SLOWER and unstable — nested ``aggregate``
     # lambda rewrites re-execute inside every argmax job and their
     # struct-accumulator codegen dwarfs the one extra (tiny,
-    # word-table-sized) materialization job per round.
+    # word-table-sized) materialization per round. The checkpoint is
+    # NON-eager (round-13, VERDICT r12 item 7): the next argmax job
+    # materializes the rewritten table as it runs, so each round pays
+    # ONE job (rewrite+count+argmax fused) instead of two — the rewrite
+    # still executes exactly once per round (the checkpoint caches it
+    # at that first and only consuming job), halving the per-round
+    # scheduling floor that dominates this gate at bench SF.
     for rank in range(num_merges):
         best = (
             _adjacent_pair_counts(words)
@@ -140,7 +146,7 @@ def bpe_train(
         merges.append((rank, left, right, left + right, cnt))
         words = words.select(
             "word", "n", _merge_pair(F.col("symbols"), left, right).alias("symbols")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

@@ -139,12 +139,28 @@ def _minhash_value_stage(
     )
     # band keys only — the heavy shingle arrays do NOT travel through
     # the bucket join; candidates are re-hydrated afterwards
-    banded = base.select(
-        "doc",
-        F.explode(
-            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows)
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = (
+        base.select(
+            "doc",
+            F.explode(
+                lsh_band_keys(
+                    minhash_signature(F.col("shingles"), num_hashes), bands, rows
+                )
+            ).alias("bk"),
+        )
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        # banded feeds BOTH sides of the candidate self-join, and the
+        # signature expression (num_hashes × |shingles| md5+concat per
+        # row) is the most allocation-heavy projection in the engine —
+        # without a lineage cut it executes twice per run (round-13,
+        # guide §1.2/§5: measured 495 s CPU + 167 s GC in one 32-task
+        # stage when the duplicated evaluation GC-storms a warm 16g
+        # heap, vs 26 s CPU for the identical stage on a fresh heap).
+        # Materializing the narrow (doc, band, key) table computes the
+        # signatures ONCE; at 100 TB this is |docs|×bands rows of
+        # ~50 B — far cheaper than a second full signature pass.
+        .localCheckpoint(eager=False, storageLevel=_DISK)
+    )
 
     cand = (
         banded.alias("l")

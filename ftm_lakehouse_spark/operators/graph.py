@@ -169,6 +169,11 @@ def pagerank_fixed_point(
     # plan for a single number (round-12, guide §2.4). Same integer
     # arithmetic, identical ranks.
     n = nodes.count()
+    if n == 0:
+        # empty edge set ⇒ no nodes: return an empty (node, rank) frame
+        # (the pre-r12 broadcast-crossJoin form's behavior) instead of
+        # dividing by zero below (ADVICE r12)
+        return nodes.select("node", F.col("_deg").cast("long").alias("rank")).limit(0)
     base = F.lit((100 - damping_pct) * scale // (100 * n))
     ranks = nodes.select("node", "_deg", F.lit(scale // n).alias("rank"))
     for i in range(iterations):

@@ -219,7 +219,15 @@ class StatementStore:
     # --------------------------------------------------------- writes
     @staticmethod
     def _partition_tag(shard: str, bucket: str, origin: str) -> str:
-        return f"updated:{shard}/{bucket}/{origin}"
+        """Tag key for one (shard, bucket, origin) partition. Values
+        arrive as Hive-ESCAPED path segments since the round-12
+        single-pass append derives partitions from staged file names;
+        decode them (exact inverse — Hive escapes '%' itself) so tag
+        keys keep matching the column-value keys every pre-r12 append
+        wrote for origins with escapable characters (ADVICE r12)."""
+        from urllib.parse import unquote
+
+        return f"updated:{unquote(shard)}/{unquote(bucket)}/{unquote(origin)}"
 
     def _ensure_bootstrap(self) -> None:
         """Adopt pre-log data files into the log before the first
@@ -310,6 +318,7 @@ class StatementStore:
         self,
         df: DataFrame,
         zorder: tuple[str, ...] | None = None,
+        streaming: bool = False,
     ) -> tuple[set[str], list[tuple[str, ...]]]:
         """Write ``df`` via a private stage directory, then move each
         (uniquely-named) file into the table. Returns (data-dir-relative
@@ -350,7 +359,7 @@ class StatementStore:
                 df, zorder, list(PARTITION_COLUMNS), fanout
             )
         else:
-            clustered = self._cluster_for_write(df)
+            clustered = self._cluster_for_write(df, streaming=streaming)
         (
             clustered.write.mode("overwrite")
             .options(**self._write_options(large=False))
@@ -416,6 +425,7 @@ class StatementStore:
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         materialize: bool = False,
+        streaming: bool = False,
     ) -> None:
         """Lock-free blind append: stage-move + one atomic commit.
         Crash between move and commit leaves untracked files that are
@@ -434,8 +444,14 @@ class StatementStore:
         no second pass left to protect with an eager checkpoint. The
         write job also consumes every input partition, the contract a
         streaming foreachBatch sink needs even for an empty batch
-        (state-store commit validation); an empty batch returns after
-        that job without touching tags or the log."""
+        (state-store commit validation); an empty batch touches
+        ``last_updated`` (the append RAN — the pre-r12 contract for
+        freshness consumers, ADVICE r12) but not the log.
+
+        ``streaming=True`` (the journal sink sets it) routes the write
+        clustering to the fixed-fanout path: stateful micro-batches run
+        with AQE runtime-disabled, where the REBALANCE hint would be
+        silently dropped (ADVICE r12)."""
         if txn is not None and self.commits.txn_version(txn[0]) >= int(txn[1]):
             return  # replayed micro-batch: already durable, skip the job
         df = df.select(*STATEMENT_SCHEMA.fieldNames())
@@ -443,9 +459,13 @@ class StatementStore:
         # pre-existing foreign files into the log before this append's
         # files land next to them (engine-created stores: no-op)
         self._ensure_bootstrap()
-        added, parts = self._stage_move(df)
+        added, parts = self._stage_move(df, streaming=streaming)
         if not added:
-            return  # empty batch, consumed in full by the write job
+            # empty batch, consumed in full by the write job: stamp the
+            # append attempt (pre-r12 touched last_updated for every
+            # append, empty or not) without a commit record
+            self.tags.touch("last_updated")
+            return
         # advisory freshness stamped BEFORE data becomes VISIBLE (the
         # commit below; staged-then-moved files are untracked until it
         # lands — crash-safe ordering, reference storage/parquet.py:
@@ -492,7 +512,7 @@ class StatementStore:
             }
         return base
 
-    def _cluster_for_write(self, df: DataFrame) -> DataFrame:
+    def _cluster_for_write(self, df: DataFrame, streaming: bool = False) -> DataFrame:
         """Distribute rows for writing: partition columns + an
         entity-keyed salt. Hashing only the 3 partition columns would
         collapse a 1.8M-row write onto <#partitions> tasks; the salt
@@ -513,7 +533,13 @@ class StatementStore:
         fanout = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         salt = _F.pmod(_F.xxhash64("entity_id"), _F.lit(max(1, fanout // 4)))
         salted = df.withColumn("_wsalt", salt)
-        aqe_on = (
+        # ``streaming`` is the explicit caller flag from the journal
+        # sink (ADVICE r12): a stateful foreachBatch micro-batch runs
+        # with AQE runtime-disabled while the session conf still says
+        # true, so the conf check alone would leave the REBALANCE hint
+        # silently dropped — no clustering shuffle at all — on exactly
+        # the path that needs the fixed fanout.
+        aqe_on = not streaming and (
             str(
                 df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
             ).lower()
