@@ -10,8 +10,44 @@ for batch-matrix shapes (top-k via numpy) where per-row folds lose.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def lit_doubles(xs) -> Column:
+    """``array<double>`` literal built as ONE SQL expression string —
+    a single py4j round trip however long the vector (round-13, guide
+    §1.2): the per-element ``F.array(*[F.lit(x) ...])`` form costs one
+    driver⇄JVM round trip PER element (~0.5 ms each), which put 1–2 s
+    of pure Python/py4j chatter in front of every centroid/hyperplane
+    gate run. ``repr(float)`` round-trips exactly and Java's double
+    parsing is correctly rounded, so the literal values are
+    bit-identical to the ``F.lit`` form (verified over randoms,
+    denormals, and both double extremes)."""
+    vals = [float(x) for x in xs]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])  # pragma: no cover
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal as ONE SQL expression string —
+    the 2-D companion of :func:`lit_doubles` for centroid/plane/codebook
+    matrices (k×dim ``F.lit`` calls collapse to one py4j round trip)."""
+    mat = [[float(x) for x in row] for row in rows]
+    if not mat or not all(math.isfinite(v) for row in mat for v in row):
+        return F.array(  # pragma: no cover
+            *[F.array(*[F.lit(v) for v in row]) for row in mat]
+        )
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in mat
+        )
+        + ")"
+    )
 
 
 def _as_double(v: Column) -> Column:

@@ -23,7 +23,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ftm_lakehouse_spark.functions.vectors import cosine_similarity
+from ftm_lakehouse_spark.functions.vectors import (
+    cosine_similarity,
+    lit_double_matrix,
+    lit_doubles,
+)
 
 __all__ = [
     "topk_vs_query",
@@ -78,7 +82,7 @@ def topk_vs_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against one literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     return (
         vectors.select(
             id_col, cosine_similarity(F.col(vec_col), q).alias("cosine")
@@ -333,7 +337,10 @@ def hyperplane_signature(vec_col, num_bits: int = 16, dim: int = 64, seed: int =
     # num_bits separate folds: halves Catalyst analysis/codegen time,
     # which dominates at small scale and is pure overhead at any scale.
     # Float semantics are unchanged — same sequential per-plane fold.
-    planes_col = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in planes])
+    # one-expression literal matrix (round-13): the per-element F.lit
+    # form cost num_bits×dim py4j round trips (~1 s of driver chatter
+    # per signature construction) — see functions/vectors.lit_doubles
+    planes_col = lit_double_matrix(planes)
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(num_bits)])
     bits = F.transform(
         planes_col,
@@ -516,7 +523,7 @@ def _centroid_dist_array(vec_col: str, C: np.ndarray) -> F.Column:
     made the analyzed tree O(k²·dim) and ran the driver out of heap at
     k=16 / dim=64. A single transform keeps the tree O(k·dim) however
     many times it is referenced."""
-    c_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in C])
+    c_lit = lit_double_matrix(C)
     return F.transform(
         c_lit,
         lambda c: F.aggregate(
@@ -651,16 +658,22 @@ def _adc_tables(vec_col, books: np.ndarray) -> F.Column:
     every looked-up value stays bit-identical to the SQL oracle."""
     m, ksub, dsub = books.shape
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    b_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in books[j, c]])
-                    for c in range(ksub)
-                ]
+    # 3-D analog of functions/vectors.lit_double_matrix: one SQL string,
+    # one py4j round trip, bit-identical double literals
+    b_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"{float(x)!r}D" for x in books[j, c])
+                + ")"
+                for c in range(ksub)
             )
+            + ")"
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     return F.transform(
         b_lit,
@@ -682,9 +695,7 @@ def _adc_tables(vec_col, books: np.ndarray) -> F.Column:
 def _residual(vec_col: str, centroids: np.ndarray, cell_col: str) -> F.Column:
     """``v - centroid[cell]`` as a JVM zip_with — the vector each
     residual-PQ codebook actually quantizes."""
-    c_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
+    c_lit = lit_double_matrix(centroids)
     return F.zip_with(
         F.col(vec_col),
         F.element_at(c_lit, F.col(cell_col) + 1),
