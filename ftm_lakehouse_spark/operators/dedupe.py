@@ -819,9 +819,13 @@ def connected_components(
                 "label",
             )
         )
-        # materialize BEFORE the convergence probe so the iteration's
-        # work isn't recomputed by the count and the next round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # materialize AT the convergence probe (non-eager checkpoint,
+        # round-13): the count consumes every partition, so the probe
+        # job itself caches the iteration's labels — the join+window
+        # work still executes exactly once per round, but the separate
+        # eager materialization job (and its scheduling floor) is gone:
+        # one job per round instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
         labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if changed == 0:
