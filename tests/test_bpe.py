@@ -2,6 +2,7 @@
 implementation (textbook Sennrich algorithm) — merge tables must be
 IDENTICAL, including tie-breaks."""
 
+import pytest
 import re
 from collections import Counter
 
@@ -60,6 +61,7 @@ def test_bpe_matches_reference_implementation(spark):
     assert len(got) == 12
 
 
+@pytest.mark.slow
 def test_bpe_segmentation_applies_learned_merges(spark):
     docs = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
     merges = [

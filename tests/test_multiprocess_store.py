@@ -8,6 +8,7 @@ orphan-stage story. Reference parity: the reference gets this from
 delta-rs's optimistic commit protocol (storage/parquet.py:326-475);
 this is the same guarantee on the reimplemented log."""
 
+import pytest
 import json
 import os
 import signal
@@ -84,6 +85,7 @@ def _run_worker(wid: str, root: str, n: int):
     )
 
 
+@pytest.mark.slow
 def test_two_driver_committer_storm(spark, lake_root):
     """Invariants after two real drivers storm one store with >= 8
     commits each: contiguous versions, every logical commit exactly

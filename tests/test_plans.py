@@ -11,6 +11,8 @@ batching (logic/parquet.py:195-231).
 
 from __future__ import annotations
 
+import pytest
+
 from ftm_lakehouse_spark.queries.inventory import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -352,6 +354,7 @@ BNLJ_SCALAR_BROADCASTS = {
 }
 
 
+@pytest.mark.slow
 def test_no_gate_plans_a_cartesian_or_unjustified_nested_loop(spark):
     """Whole-inventory audit: no gate's physical plan may contain a
     CartesianProduct, and BroadcastNestedLoopJoin is allowed only for

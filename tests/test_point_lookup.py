@@ -7,6 +7,7 @@ origin). The pin reads the ACTUAL executed-plan scan metrics
 (numFiles), not the plan text, so a regression in pruning or in the
 merge's file layout fails loudly."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -52,6 +53,7 @@ def _total_files(store) -> int:
     )
 
 
+@pytest.mark.slow
 def test_point_lookup_reads_one_shard_constant_files(spark, tmp_path):
     from ftm_lakehouse_spark.lakehouse import Lakehouse
     from ftm_lakehouse_spark.model.statement import entity_shard

@@ -251,6 +251,7 @@ def _op_scripts(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(_op_scripts())
+@pytest.mark.slow
 def test_restore_vacuum_interleaving_fuzz(spark, tmp_path_factory, ops):
     import pytest as _pytest
 

@@ -102,6 +102,7 @@ class _Mirror:
         self.state = set(current)
 
 
+@pytest.mark.slow
 def test_s3_store_lifecycle_fuzz(s3env, spark, tmp_path):
     from ftm_lakehouse_spark.serving import PointReader
     from ftm_lakehouse_spark.sources.commits import LogTruncated

@@ -10,6 +10,7 @@ Spark path on EVERY entity (present and missing), on batch gets, and
 on a version pinned mid-history (time travel on both engines).
 """
 
+import pytest
 import json
 import random
 
@@ -42,6 +43,7 @@ def _random_wave(rng: random.Random) -> list[dict]:
     return rows
 
 
+@pytest.mark.slow
 def test_store_lifecycle_fuzz_direct_vs_spark(spark, tmp_path):
     rng = random.Random(20260816)
     for case in range(6):

@@ -1,5 +1,6 @@
 """CSV round-trip, parent-chain resolution, CLI smoke."""
 
+import pytest
 import json
 import subprocess
 import sys
@@ -53,6 +54,7 @@ def test_parent_chain_resolution(spark):
     assert out["x"]["is_cycle"] and out["y"]["is_cycle"]
 
 
+@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     root = str(tmp_path / "lake")
     src = tmp_path / "ents.json"
@@ -110,6 +112,7 @@ def test_cli_smoke(tmp_path):
     assert out["adopted"] is False and out["version"] >= 1
 
 
+@pytest.mark.slow
 def test_cli_archive_and_publish_surface(tmp_path):
     """The reference CLI's archive/publish verbs: crawl → head →
     download → make → stream → unlock/configure."""

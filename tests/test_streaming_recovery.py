@@ -149,6 +149,7 @@ def test_crash_mid_write_before_commit(spark, tmp_path):
     assert store.raw().count() == len(ROWS1) + len(ROWS2)
 
 
+@pytest.mark.slow
 def test_crash_mid_pipeline_full_composition(spark, tmp_path):
     """Round-4 VERDICT item 4: kill the FULL pipeline (journal →
     matview refresh → merge) between stages, restart everything from
