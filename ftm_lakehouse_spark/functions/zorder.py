@@ -75,7 +75,10 @@ def _dim_key(df: DataFrame, col: str, bits: int) -> Column:
             uniq.append(b)
     if not uniq:
         return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(b) for b in uniq])
+    from ftm_lakehouse_spark.functions.vectors import lit_doubles
+
+    # up to 255 boundary literals — one F.expr round trip (lit_doubles)
+    arr = lit_doubles(uniq)
     k = F.size(F.filter(arr, lambda b: as_num >= b)).cast("long")
     scaled = F.floor(k * F.lit(n_buckets) / F.lit(len(uniq) + 1)).cast("long")
     return F.coalesce(scaled, F.lit(0))

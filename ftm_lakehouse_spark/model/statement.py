@@ -116,9 +116,10 @@ BASE_ID_PROP_TYPE = "checksum"
 
 def schema_bucket(schema_col: Column) -> Column:
     """Map an FtM schema name to its storage bucket (default ``thing``)."""
-    mapping = F.create_map(
-        *[F.lit(x) for kv in SCHEMA_BUCKETS.items() for x in kv]
-    )
+    from ftm_lakehouse_spark.functions.literals import lit_str_map
+
+    # one F.expr round trip instead of 120 F.lit calls (functions/literals)
+    mapping = lit_str_map(SCHEMA_BUCKETS)
     return F.coalesce(mapping[schema_col], F.lit("thing"))
 
 

@@ -39,6 +39,10 @@ from ftm_lakehouse_spark.model.ontology import (
     SCHEMA_ANCESTORS,
     SCHEMA_SPECIFICITY,
 )
+from ftm_lakehouse_spark.functions.literals import (
+    lit_str_array_map,
+    lit_str_int_map,
+)
 from ftm_lakehouse_spark.model.statement import BASE_ID_PROP, BASE_ID_PROP_TYPE
 
 __all__ = ["assemble_entities", "merge_schemata", "SCHEMA_SPECIFICITY"]
@@ -48,18 +52,16 @@ CAPTION_PROPS = ("name", "title", "fileName", "full")
 
 
 def _ancestors_map():
-    return F.create_map(
-        *[
-            x
-            for k, v in sorted(SCHEMA_ANCESTORS.items())
-            for x in (F.lit(k), F.array(*[F.lit(a) for a in v]))
-        ]
+    # one F.expr round trip instead of ~300 F.lit/F.array calls
+    # (functions/literals); sorted keys keep the plan text deterministic
+    return lit_str_array_map(
+        {k: v for k, v in sorted(SCHEMA_ANCESTORS.items())}
     )
 
 
 def _depth_map():
-    return F.create_map(
-        *[F.lit(x) for kv in sorted(SCHEMA_SPECIFICITY.items()) for x in kv]
+    return lit_str_int_map(
+        {k: v for k, v in sorted(SCHEMA_SPECIFICITY.items())}
     )
 
 

@@ -417,6 +417,17 @@ def simhash_duplicates(
         ).alias("c"),
     ).select("doc", "sh", F.col("c.block").alias("block"), F.col("c.chunk").alias("chunk"))
     l, r = chunked.alias("l"), chunked.alias("r")
+    # hamming is a cheap pure function of the pair (xor + popcount), so
+    # it is computed IN the join projection and the ``<= max_hamming``
+    # filter runs BEFORE the dropDuplicates exchange (round-13, guide
+    # §2.3: filter/project before the shuffle): only near-pairs and a
+    # 1-byte distance travel the dedup shuffle, instead of every
+    # chunk-collision pair dragging both 8-byte raw signatures through
+    # it (46 MB → ~1 MB at bench SF). A pair surviving via several
+    # blocks recomputes the popcount per block — far cheaper than
+    # shuffling the losers. Identical pair set: hamming is the same on
+    # every copy of a pair, and filter∘dedup ≡ dedup∘filter for a
+    # row-pure predicate.
     cand = (
         l.join(
             r,
@@ -427,16 +438,13 @@ def simhash_duplicates(
         .select(
             F.col("l.doc").alias("a"),
             F.col("r.doc").alias("b"),
-            F.col("l.sh").alias("ha"),
-            F.col("r.sh").alias("hb"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    rep_pairs = (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a").alias("ra"), F.col("b").alias("rb"), "hamming")
+    rep_pairs = cand.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"), "hamming"
     )
     # ---- data-adaptive expansion layout (round-8 sf100 defect). The
     # member expansions below multiply each value-grain row by
@@ -458,6 +466,35 @@ def simhash_duplicates(
         F.sum(F.size("members").cast("bigint") * F.size("members")).alias("m2"),
     ).collect()[0]
     heavy_copies = (g_stats["mx"] or 1) > 1
+    est = 0
+    if heavy_copies:
+        # Decide with small rows (round-13, guide §8): the layout
+        # estimate needs only member COUNTS, so the NARROW
+        # (ra, rb, hamming) pair table is checkpointed and joined to a
+        # two-column sizes view of ``grp`` — the round-12 form
+        # checkpointed the pair table with BOTH member arrays already
+        # attached (46 MB written + re-read at bench SF, arbitrarily
+        # wide under heavy replication) just to sum their sizes. The
+        # member arrays now travel exactly once, directly into the
+        # expansion join below.
+        rep_pairs = rep_pairs.localCheckpoint(eager=False, storageLevel=_DISK)
+        sizes = grp.select(F.col("rep").alias("_r"), F.size("members").alias("_m"))
+        est = (
+            rep_pairs.join(
+                sizes.select(F.col("_r").alias("ra"), F.col("_m").alias("_sa")), "ra"
+            )
+            .join(
+                sizes.select(F.col("_r").alias("rb"), F.col("_m").alias("_sb")), "rb"
+            )
+            .agg(F.sum(F.col("_sa").cast("bigint") * F.col("_sb")).alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
+        # total expansion = cross-group pairs + within-group pairs
+        # (m2 upper-bounds members²); both already computed for layout
+        _guard_quadratic(
+            est + int(g_stats["m2"] or 0), "simhash_duplicates", allow_quadratic
+        )
     cross_pre = (
         rep_pairs.join(
             grp.select(F.col("rep").alias("ra"), F.col("members").alias("ma")), "ra"
@@ -466,20 +503,10 @@ def simhash_duplicates(
             grp.select(F.col("rep").alias("rb"), F.col("members").alias("mb")), "rb"
         )
     )
-    if heavy_copies:
-        cross_pre = cross_pre.localCheckpoint(eager=False, storageLevel=_DISK)
-        est = cross_pre.agg(
-            F.sum(F.size("ma").cast("bigint") * F.size("mb")).alias("s")
-        ).collect()[0]["s"] or 0
-        # total expansion = cross-group pairs + within-group pairs
-        # (m2 upper-bounds members²); both already computed for layout
-        _guard_quadratic(
-            est + int(g_stats["m2"] or 0), "simhash_duplicates", allow_quadratic
+    if heavy_copies and est > 8 * _target:
+        cross_pre = cross_pre.repartition(
+            int(min(4096, max(par, est // _target)))
         )
-        if est > 8 * _target:
-            cross_pre = cross_pre.repartition(
-                int(min(4096, max(par, est // _target)))
-            )
     cross = (
         cross_pre.select("hamming", F.explode("ma").alias("i"), "mb")
         .select("hamming", "i", F.explode("mb").alias("j"))
@@ -683,6 +710,16 @@ def embedding_near_dups(
         )
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .dropDuplicates(["a", "b"])
+        # spread the cosine verify (round-13, the same reason grp/base
+        # repartition after their groupBy): the dedup shuffle output is
+        # a few MB of (a, b) keys, so AQE coalesces it to 1–2
+        # partitions, and the 64-dim dot products below — ~100× denser
+        # per byte than the shuffle itself — serialized onto 1–2 cores
+        # (measured: a 2-task 1.9 s CPU tail on the bench gate). The
+        # extra exchange re-moves only the narrowest table in the
+        # operator (24 B/pair), bounded by the dedup exchange that just
+        # moved the same bytes.
+        .repartition(par)
     )
     hydrated = cand.join(
         base.select(

@@ -66,11 +66,15 @@ def _ext_mime_map():
     """Extension → mimetype as a Catalyst literal map (the JVM-side
     stand-in for the reference's ``guess_mimetype(caption)``) — a
     constant expression, no UDF in the row path."""
-    pairs = []
-    for ext, mime in sorted(mimetypes.types_map.items()):
-        pairs.append(F.lit(ext.lstrip(".").lower()))
-        pairs.append(F.lit(mime))
-    return F.create_map(*pairs)
+    from ftm_lakehouse_spark.functions.literals import lit_str_map
+
+    # one F.expr round trip instead of ~300 F.lit calls (functions/literals)
+    return lit_str_map(
+        {
+            ext.lstrip(".").lower(): mime
+            for ext, mime in sorted(mimetypes.types_map.items())
+        }
+    )
 
 
 def folder_paths(entities: DataFrame, max_depth: int = 32) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ftm_lakehouse_spark.functions.literals import lit_str_map
 from ftm_lakehouse_spark.model.statement import (
     BASE_ID_PROP,
     BASE_ID_PROP_TYPE,
@@ -71,7 +72,8 @@ LINGUISTIC_TYPES = ("name", "string", "text", "html")
 
 
 def prop_type(prop: Column) -> Column:
-    mapping = F.create_map(*[F.lit(x) for kv in PROP_TYPES.items() for x in kv])
+    # one F.expr round trip instead of 190 F.lit calls (functions/literals)
+    mapping = lit_str_map(PROP_TYPES)
     return F.coalesce(mapping[prop], F.lit("string"))
 
 

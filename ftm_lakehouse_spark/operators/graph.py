@@ -130,11 +130,30 @@ def pagerank_fixed_point(
         # execution memory — localCheckpoint's MEMORY_AND_DISK default
         # OOMed a 16 GB local driver at sf10 while DISK_ONLY sails
         # through; on a cluster this is the same call (or a lakehouse
-        # materialization)
+        # materialization). The persist is LAZY: the deg/nodes
+        # checkpoint below materializes it in the SAME pass that
+        # computes the degrees, instead of a standalone count() that
+        # paid one extra full read of the edge set (round-13, §1.2).
         from pyspark import StorageLevel
 
         edges = edges.persist(StorageLevel.DISK_ONLY)
-        n_edges = edges.count()  # materialize the derivation once
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    # the per-node table is small (one row per node) — memory is fine
+    nodes = deg.select(F.col(src_col).alias("node"), "_deg").localCheckpoint(
+        eager=True
+    )
+    # N (node count) and the edge count are TWO scalars: fold both to
+    # the driver in one tiny job over the materialized node table so
+    # ``base`` and the seed rank become literals — the
+    # broadcast-crossJoin alternative re-attaches a
+    # BroadcastNestedLoopJoin + broadcast exchange to EVERY iteration's
+    # plan for a single number (round-12, guide §2.4). Same integer
+    # arithmetic, identical ranks.
+    head = nodes.agg(
+        F.count("*").alias("_n"), F.sum("_deg").alias("_e")
+    ).first()
+    n, n_edges = head["_n"], head["_e"] or 0
+    if iterations > 1 and n_edges >= 50_000_000:
         # Data-adaptive layout (round-7 sf100 fix): when the edge list
         # is large, re-persist it partitioned on the JOIN key (src) —
         # a distinct leaves it on (src, dst), so every iteration's
@@ -145,44 +164,47 @@ def pagerank_fixed_point(
         # rank vector. Below the threshold the ranks side broadcasts
         # and the edge layout is irrelevant — skip the extra pass
         # (measured 3× on the sf0.1 gate if applied unconditionally).
-        if n_edges >= 50_000_000:
-            n_shuf = int(
-                edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-            old = edges
-            edges = (
-                old.repartition(n_shuf, src_col)
-                .sortWithinPartitions(src_col)
-                .persist(StorageLevel.DISK_ONLY)
-            )
-            edges.count()
-            old.unpersist()
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
-    # the per-node table is small (one row per node) — memory is fine
-    nodes = deg.select(F.col(src_col).alias("node"), "_deg").localCheckpoint(
-        eager=True
-    )
-    # N is ONE scalar: fold it to the driver once (a count over the
-    # materialized node table) so ``base`` and the seed rank become
-    # literals — the broadcast-crossJoin alternative re-attaches a
-    # BroadcastNestedLoopJoin + broadcast exchange to EVERY iteration's
-    # plan for a single number (round-12, guide §2.4). Same integer
-    # arithmetic, identical ranks.
-    n = nodes.count()
+        from pyspark import StorageLevel
+
+        n_shuf = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        old = edges
+        edges = (
+            old.repartition(n_shuf, src_col)
+            .sortWithinPartitions(src_col)
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        edges.count()
+        old.unpersist()
     if n == 0:
         # empty edge set ⇒ no nodes: return an empty (node, rank) frame
         # (the pre-r12 broadcast-crossJoin form's behavior) instead of
         # dividing by zero below (ADVICE r12)
         return nodes.select("node", F.col("_deg").cast("long").alias("rank")).limit(0)
     base = F.lit((100 - damping_pct) * scale // (100 * n))
+    # Join strategy per iteration (round-13, guide §3.1): n is already
+    # a driver scalar, so the decision is made HERE, not left to size
+    # estimates — Catalyst cannot see through the iterative
+    # nodes⋈sums subtree and planned every iteration as a SortMergeJoin
+    # that re-shuffled the ENTIRE persisted edge set (verified:
+    # Exchange over InMemoryTableScan per iteration in the r13 before
+    # plan, and the iteration stages serialized onto one AQE-coalesced
+    # task). Below ~1M nodes (≈64 MB at ~64 B/row, the same
+    # executor-memory budget as the session's adaptive broadcast
+    # threshold) the rank vector is broadcast explicitly: edges never
+    # move, each iteration is one map-side BHJ + one small groupBy
+    # shuffle. Past the boundary the SMJ path stands, where the ≥50M
+    # edge re-layout above already keeps the edge side shuffle-free.
+    hint = F.broadcast if n <= 1_000_000 else (lambda df: df)
     ranks = nodes.select("node", "_deg", F.lit(scale // n).alias("rank"))
     for i in range(iterations):
-        contribs = edges.join(ranks, edges[src_col] == ranks.node).select(
+        contribs = edges.join(hint(ranks), edges[src_col] == ranks.node).select(
             F.col(dst_col).alias("node"),
             F.expr("div(rank, _deg)").alias("_c"),
         )
         sums = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = nodes.join(sums, "node", "left").select(
+        ranks = nodes.join(hint(sums), "node", "left").select(
             "node",
             "_deg",
             (

@@ -97,7 +97,10 @@ def zorder_value(
         for c, bs in zip(cols, all_bounds):
             # dedupe degenerate boundaries (constant-ish columns)
             uniq = sorted(set(bs))
-            arr = F.array(*[F.lit(b) for b in uniq])
+            from ftm_lakehouse_spark.functions.vectors import lit_doubles
+
+            # up to 255 boundary literals — one F.expr round trip
+            arr = lit_doubles(uniq)
             v = F.col(c).cast("double")
             bucket = F.aggregate(
                 arr,
